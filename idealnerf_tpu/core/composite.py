@@ -1,0 +1,84 @@
+"""Alpha compositing of raw field outputs along rays.
+
+Matches the reference ``raw2outputs`` exactly (train/baseline.py:325-375 and
+the torso variant run_nerf.py:715-766, which adds ``rgb_map_fg``): the final
+sample's RGB is replaced by the known background-plate pixel ``bc_rgb`` so
+the field only models the foreground over a static plate, and
+``rgb_map_fg``/``last_weight`` enable layered head-over-torso compositing
+(``rgb_com = rgb_head * last_weight_torso + rgb_fg_torso``,
+run_nerf.py:610).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class RenderOutputs(NamedTuple):
+    rgb: jnp.ndarray          # (R, 3) composited color (bg plate included)
+    disp: jnp.ndarray         # (R,) inverse depth
+    acc: jnp.ndarray          # (R,) accumulated alpha
+    weights: jnp.ndarray      # (R, S) per-sample compositing weights
+    depth: jnp.ndarray        # (R,) expected depth
+    rgb_fg: jnp.ndarray       # (R, 3) composite excluding the bg sample
+    last_weight: jnp.ndarray  # (R,) weight of the bg (last) sample
+
+
+def raw2outputs(
+    raw: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    bc_rgb: jnp.ndarray,
+    raw_noise_std: float = 0.0,
+    white_bkgd: bool = False,
+    noise_key: Optional[jax.Array] = None,
+) -> RenderOutputs:
+    """raw (R, S, 4) [rgb logits, sigma] -> composited ray values.
+
+    ``bc_rgb`` (R, 3): background-plate pixels substituted for the last
+    sample's color (baseline.py:350).
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+    rgb = jax.nn.sigmoid(raw[..., :3])
+    rgb = jnp.concatenate([rgb[..., :-1, :], bc_rgb[..., None, :]], axis=-2)
+
+    sigma = raw[..., 3]
+    if raw_noise_std > 0.0 and noise_key is not None:
+        sigma = sigma + jax.random.normal(noise_key, sigma.shape) * raw_noise_std
+
+    alpha = 1.0 - jnp.exp(-(jax.nn.relu(sigma) + 1e-6) * dists)
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1
+        ),
+        axis=-1,
+    )[..., :-1]
+    weights = alpha * trans
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)
+    rgb_fg = jnp.sum(weights[..., :-1, None] * rgb[..., :-1, :], axis=-2)
+
+    depth = jnp.sum(weights * z_vals, axis=-1)
+    acc = jnp.sum(weights, axis=-1)
+    disp = 1.0 / jnp.maximum(1e-10, depth / acc)
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc[..., None])
+
+    return RenderOutputs(
+        rgb=rgb_map,
+        disp=disp,
+        acc=acc,
+        weights=weights,
+        depth=depth,
+        rgb_fg=rgb_fg,
+        last_weight=weights[..., -1],
+    )

@@ -1,0 +1,94 @@
+"""Stratified and hierarchical (inverse-CDF) sampling along rays.
+
+Semantics match the reference: stratified sampling with the forced
+``t_rand[..., -1] = 1.0`` so the final sample always lands exactly on the
+far plane (audio_exp_nerf.py:314-328) — the background-compositing trick in
+``raw2outputs`` depends on it — and ``sample_pdf`` inverse-CDF importance
+sampling (helper.py:269-313).
+
+Randomness uses JAX keyed PRNG; passing ``key=None`` selects the
+deterministic paths (perturb=0 / det=True), which are the reference's
+``pytest``/eval semantics and the basis for golden tests.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def stratified_sample(
+    near,
+    far,
+    n_samples: int,
+    n_rays: int,
+    key: Optional[jax.Array] = None,
+    lindisp: bool = False,
+    dtype=jnp.float32,
+) -> jnp.ndarray:
+    """(n_rays, n_samples) depths, linear in depth (or disparity).
+
+    ``key=None`` -> deterministic midpointless linspace (perturb=0);
+    otherwise jittered within strata with the last sample pinned to ``far``.
+    ``near``/``far`` may be scalars or (n_rays, 1) arrays.
+    """
+    t = jnp.linspace(0.0, 1.0, n_samples, dtype=dtype)
+    near = jnp.asarray(near, dtype)
+    far = jnp.asarray(far, dtype)
+    if lindisp:
+        z = 1.0 / (1.0 / near * (1.0 - t) + 1.0 / far * t)
+    else:
+        z = near * (1.0 - t) + far * t
+    z = jnp.broadcast_to(z, (n_rays, n_samples))
+
+    if key is None:
+        return z
+
+    mids = 0.5 * (z[..., 1:] + z[..., :-1])
+    upper = jnp.concatenate([mids, z[..., -1:]], axis=-1)
+    lower = jnp.concatenate([z[..., :1], mids], axis=-1)
+    t_rand = jax.random.uniform(key, z.shape, dtype=dtype)
+    # Pin the last sample exactly at `far`: raw2outputs replaces its RGB
+    # with the background plate pixel (audio_exp_nerf.py:327).
+    t_rand = t_rand.at[..., -1].set(1.0)
+    return lower + (upper - lower) * t_rand
+
+
+def sample_pdf(
+    bins: jnp.ndarray,
+    weights: jnp.ndarray,
+    n_samples: int,
+    key: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """Inverse-CDF sampling of ``n_samples`` depths per ray.
+
+    ``bins`` (R, B), ``weights`` (R, B-1). ``key=None`` -> deterministic
+    (u = linspace), matching the reference's ``det=(perturb==0)`` path
+    (helper.py:277-280). Output (R, n_samples).
+    """
+    weights = weights + 1e-5
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[..., :1]), cdf], axis=-1)  # (R, B)
+
+    if key is None:
+        u = jnp.linspace(0.0, 1.0, n_samples, dtype=cdf.dtype)
+        u = jnp.broadcast_to(u, cdf.shape[:-1] + (n_samples,))
+    else:
+        u = jax.random.uniform(key, cdf.shape[:-1] + (n_samples,), dtype=cdf.dtype)
+
+    inds = jax.vmap(lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    below = jnp.maximum(0, inds - 1)
+    above = jnp.minimum(cdf.shape[-1] - 1, inds)
+
+    cdf_below = jnp.take_along_axis(cdf, below, axis=-1)
+    cdf_above = jnp.take_along_axis(cdf, above, axis=-1)
+    bins_below = jnp.take_along_axis(bins, below, axis=-1)
+    bins_above = jnp.take_along_axis(bins, above, axis=-1)
+
+    denom = cdf_above - cdf_below
+    denom = jnp.where(denom < 1e-5, jnp.ones_like(denom), denom)
+    t = (u - cdf_below) / denom
+    return bins_below + t * (bins_above - bins_below)
