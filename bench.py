@@ -1,0 +1,99 @@
+"""Benchmark: full-frame 450² hierarchical (64+192-sample) conditioned
+FaceNeRF render — the reference's FPS-critical eval path
+(eval_aud_exp_nerf.py: 450²×256 ≈ 51.8M conditioned-MLP point evals per
+frame, muxed at 25 fps).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the north-star 25 FPS per chip at this workload (BASELINE.md —
+the reference publishes no number; 25 fps is its video mux rate and the
+driver-set target).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.eval.renderer import make_frame_renderer
+    from idealnerf_tpu.models.face_nerf import init_face_nerf
+
+    H = W = 450
+    focal, cx, cy = 1200.0, 225.0, 225.0
+    near, far = 0.5772005200386048, 1.1772005200386046  # May (README.md:46-47)
+
+    cfg = ExperimentConfig(
+        dim_aud=64, dim_expr=79, dim_latent=32, N_samples=64, N_importance=128
+    )
+    nerf_cfg = cfg.face_nerf_config()
+
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    params = {
+        "coarse": init_face_nerf(ks[0], nerf_cfg),
+        "fine": init_face_nerf(ks[1], nerf_cfg),
+    }
+    pose = jnp.concatenate(
+        [jnp.eye(3), jnp.array([[0.0], [0.0], [0.85]])], axis=1
+    )
+    bc = jax.random.uniform(ks[2], (H, W, 3))
+    aud = jax.random.normal(ks[3], (64,))
+    expr = jax.random.normal(ks[4], (79,))
+    latent = jnp.ones((32,))
+
+    compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else None
+    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1" and (
+        jax.default_backend() == "tpu"
+    )
+    render = make_frame_renderer(
+        nerf_cfg, H, W, focal, near, far, cfg.render_config(),
+        cx=cx, cy=cy, tile=16875,  # 202500 = 12 tiles
+        compute_dtype=compute_dtype, use_pallas=use_pallas,
+    )
+
+    frame = render(params, pose, bc, aud=aud, expr=expr, latent=latent)
+    float(frame.mean())  # compile + full completion
+
+    # NOTE: through the axon remote tunnel block_until_ready() can return
+    # before device execution finishes; accumulate frames and fetch the
+    # result to host so timing covers real execution.
+    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(n_frames):
+        frame = render(params, pose, bc, aud=aud + 0.01 * i, expr=expr, latent=latent)
+        acc = frame if acc is None else acc + frame
+    float(acc.mean())
+    dt = time.perf_counter() - t0
+
+    fps = n_frames / dt
+    rays_per_sec = fps * H * W
+    baseline_fps = 25.0
+    print(
+        json.dumps(
+            {
+                "metric": "render_fps_450p_hierarchical_64+192",
+                "value": round(fps, 3),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / baseline_fps, 3),
+                "extra": {
+                    "rays_per_sec": int(rays_per_sec),
+                    "mlp_point_evals_per_sec": int(rays_per_sec * 256),
+                    "backend": jax.default_backend(),
+                    "compute_dtype": str(compute_dtype),
+                    "use_pallas": use_pallas,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,99 @@
+"""Full-frame evaluation renderer.
+
+The reference renders eval frames by python-looping ray chunks of 8192
+(batchify_rays, audio_exp_nerf.py:281-295) — 25 kernel launches per 450²
+frame. Here the frame is one jitted program: rays are padded to a static
+tile multiple and swept with ``lax.map`` over tiles (bounded VMEM/HBM
+working set), everything else fused by XLA. Deterministic sampling
+(perturb=0), matching render_kwargs_test.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from idealnerf_tpu.core.rays import get_rays
+from idealnerf_tpu.core.render import RenderConfig, render_rays
+
+
+def render_frame(
+    coarse_fn,
+    H: int,
+    W: int,
+    focal,
+    pose,
+    bc_img: jnp.ndarray,   # (H, W, 3) float in [0,1]
+    near,
+    far,
+    cfg: RenderConfig,
+    cx=None,
+    cy=None,
+    fine_fn=None,
+    tile: int = 8192,
+) -> jnp.ndarray:
+    """Render a full (H, W, 3) frame. Call under jit (field fns traced)."""
+    cfg = cfg.eval_mode()
+    rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    bc = bc_img.reshape(-1, 3)
+
+    n = rays_o.shape[0]
+    n_pad = (-n) % tile
+    if n_pad:
+        rays_o = jnp.concatenate([rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]], rays_d.dtype), (n_pad, 1))], 0
+        )
+        bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
+
+    def render_tile(args):
+        o, d, b = args
+        out = render_rays(coarse_fn, o, d, b, near, far, cfg, fine_fn=fine_fn)
+        return out["rgb_map"]
+
+    tiles = (
+        rays_o.reshape(-1, tile, 3),
+        rays_d.reshape(-1, tile, 3),
+        bc.reshape(-1, tile, 3),
+    )
+    rgb = jax.lax.map(render_tile, tiles).reshape(-1, 3)[:n]
+    return rgb.reshape(H, W, 3)
+
+
+def make_frame_renderer(
+    nerf_cfg,
+    H: int, W: int, focal, near, far, cfg: RenderConfig,
+    cx=None, cy=None, tile: int = 8192,
+    compute_dtype=None,
+    use_pallas: bool = False,
+) -> Callable:
+    """One jit-compiled program per *model config* (not per frame):
+    ``render(params, pose, bc_img, aud, expr, latent) -> (H, W, 3)``.
+
+    Field closures are built inside the traced function, so every frame of
+    a video reuses the same executable — the reference re-launches 25
+    chunked renders per frame instead (batchify_rays).
+    """
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    @jax.jit
+    def _render(params, pose, bc_img, aud=None, expr=None, latent=None):
+        coarse_fn = make_field_fn(
+            params["coarse"], nerf_cfg, aud, expr, latent,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        )
+        fine_fn = make_field_fn(
+            params["fine"], nerf_cfg, aud, expr, latent,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        ) if "fine" in params else None
+        return render_frame(
+            coarse_fn, H, W, focal, pose, bc_img, near, far, cfg,
+            cx=cx, cy=cy, fine_fn=fine_fn, tile=tile,
+        )
+
+    return _render

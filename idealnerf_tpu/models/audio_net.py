@@ -33,7 +33,6 @@ def init_audio_net(key, dim_aud: int = 64, win_size: int = 16, dtype=jnp.float32
             init_conv1d(ks[3], 64, 64, 3, dtype),
         ],
         "fc": [init_dense(ks[4], 64, 64, dtype), init_dense(ks[5], 64, dim_aud, dtype)],
-        "win_size": win_size,
     }
 
 
@@ -63,8 +62,6 @@ def init_audio_att_net(key, dim_aud: int = 32, seq_len: int = 8, dtype=jnp.float
             init_conv1d(ks[i], chans[i], chans[i + 1], 3, dtype) for i in range(5)
         ],
         "att": init_dense(ks[5], seq_len, seq_len, dtype),
-        "dim_aud": dim_aud,
-        "seq_len": seq_len,
     }
 
 
@@ -72,10 +69,12 @@ def apply_audio_att_net(params: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """x (seq_len, dim) -> (dim,) attention-weighted sum over the window.
 
     Only the first dim_aud channels feed the attention net; the weighted
-    sum runs over the full input (audio_net.py:32-36).
+    sum runs over the full input (audio_net.py:32-36). dim_aud/seq_len are
+    recovered from the param shapes (params are a pure pytree — no static
+    leaves, so the whole tree is optax/pjit friendly).
     """
-    dim_aud = params["dim_aud"]
-    seq_len = params["seq_len"]
+    dim_aud = params["conv"][0]["w"].shape[1]
+    seq_len = params["att"]["w"].shape[0]
     y = jnp.transpose(x[:, :dim_aud])[None]        # (1, dim_aud, seq_len)
     for conv in params["conv"]:
         y = leaky_relu(conv1d(conv, y, stride=1, padding=1))

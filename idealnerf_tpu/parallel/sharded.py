@@ -1,0 +1,98 @@
+"""Multi-chip sharded training step.
+
+Sharding layout (the scaling-book recipe: pick a mesh, annotate, let XLA
+insert collectives):
+
+- params / latent table / optimizer state: replicated (the whole model is
+  ~6 MB — replication is free, gradient psum rides ICI).
+- frame batch (B frames per step): sharded over the 'data' mesh axis.
+- each frame's ray budget: sharded over the 'ray' mesh axis via a
+  with_sharding_constraint on the sampled coords — GSPMD then shards the
+  entire PE→MLP→composite pipeline over rays with zero communication until
+  the scalar loss reduction.
+
+This generalizes the reference's two mechanisms at once: DataParallel
+module replication and the manual einops ray reshape
+(distribute_nerf.py:457-462).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.data.dataset import FrameDataset
+from idealnerf_tpu.data.sampler import RayBudget, sample_ray_coords
+from idealnerf_tpu.train.head import make_frame_loss
+from idealnerf_tpu.train.schedule import exponential_lr
+from idealnerf_tpu.train.state import TrainState, make_optimizer
+
+
+def make_sharded_train_step(
+    cfg: ExperimentConfig,
+    dataset: FrameDataset,
+    mesh: Mesh,
+    smooth_audio: bool = False,
+):
+    """Jitted ``step(state, data, indices (B,), key) -> (state, metrics)``
+    with B = batch of frames; B must be divisible by the 'data' axis size
+    and the ray budget by the 'ray' axis size."""
+    H, W = dataset.hw
+    budget = RayBudget.from_config(
+        cfg.N_rand, cfg.mouth_rays, cfg.torso_rays, cfg.sample_rate
+    )
+    optimizer = make_optimizer(cfg)
+    lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
+    frame_loss = make_frame_loss(cfg, dataset, smooth_audio)
+
+    coords_sharding = NamedSharding(mesh, P("data", "ray", None))
+    replicated = NamedSharding(mesh, P())
+
+    def batched_loss(diff, data, indices, coords, keys):
+        losses, aux = jax.vmap(
+            frame_loss, in_axes=(None, None, 0, 0, 0)
+        )(diff, data, indices, coords, keys)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, data, indices, key):
+        batch = indices.shape[0]
+        keys = jax.random.split(key, 2 * batch)
+        k_sample, k_render = keys[:batch], keys[batch:]
+
+        coords = jax.vmap(
+            lambda k, i: sample_ray_coords(
+                k, H, W,
+                data["face_rects"][i], data["mouth_boxes"][i],
+                data["torso_masks"][i], budget,
+            )
+        )(k_sample, indices)
+        coords = jax.lax.with_sharding_constraint(coords, coords_sharding)
+
+        (loss, aux), grads = jax.value_and_grad(batched_loss, has_aux=True)(
+            (state.params, state.latent_codes), data, indices, coords, k_render
+        )
+        grads = jax.lax.with_sharding_constraint(grads, replicated)
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, (state.params, state.latent_codes)
+        )
+        params, latents = optax.apply_updates(
+            (state.params, state.latent_codes), updates
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params,
+            latent_codes=latents, opt_state=opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log(aux["img_loss"]) / jnp.log(10.0),
+            "lr": lr_sched(state.step),
+        }
+        return new_state, metrics
+
+    return train_step

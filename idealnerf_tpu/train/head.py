@@ -1,0 +1,220 @@
+"""Head trainer — the paper model (reference:
+NeRFs/HeadNeRF/train/audio_exp_nerf.py).
+
+Semantics parity: FaceNeRF coarse+fine conditioned on aud(dim_aud) +
+expr(dim_expr) + per-frame latent(32); region-stratified ray budget
+(mouth/torso/face/background); loss = MSE(fine) + MSE(coarse) +
+10·lc_weight·‖latent‖ (:540-548); Adam over params+latents with
+exponential decay (:554-558); AudioNet → AudioAttNet smoothing switch at
+nosmo_iters (:242-269).
+
+TPU-native structure: the entire step — frame gather, ray sampling, audio
+encoding, hierarchical render, backward, adam — is ONE jitted XLA program
+over HBM-resident data. The nosmo switch is two compiled programs selected
+by the driver (a one-time recompile instead of per-step python branching).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.data.dataset import FrameDataset
+from idealnerf_tpu.data.sampler import RayBudget, rays_at_coords, sample_ray_coords
+from idealnerf_tpu.core.render import render_rays
+from idealnerf_tpu.models.audio_net import (
+    apply_audio_att_net, apply_audio_net, apply_ds_aud_net,
+)
+from idealnerf_tpu.models.face_nerf import make_field_fn
+from idealnerf_tpu.train.schedule import exponential_lr
+from idealnerf_tpu.train.state import TrainState, init_train_state, make_optimizer
+from idealnerf_tpu.utils.logging import get_logger
+
+logger = get_logger("idealnerf")
+
+
+def compute_aud_feature(
+    params: Dict[str, Any],
+    auds: jnp.ndarray,        # (M, 16, 29) raw DeepSpeech windows
+    aud_ids: jnp.ndarray,     # (N,) per-frame window index
+    index,                    # frame index (traced scalar ok)
+    cfg: ExperimentConfig,
+    smooth: bool,
+) -> jnp.ndarray:
+    """Per-frame audio conditioning vector.
+
+    Mirrors audio_exp_nerf.py:241-269: dim_aud>29 selects AudioNet (with
+    AudioAttNet smoothing over smo_size neighboring frames once
+    ``smooth``), else the DeepSpeechAudNet ablation path. The smoothing
+    window indexes *frames* with zero padding at sequence edges.
+    """
+    if cfg.dim_aud <= 29:
+        return apply_ds_aud_net(params["ds_aud"], auds[aud_ids[index]][None])[0]
+    if not smooth:
+        return apply_audio_net(
+            params["aud_net"], auds[aud_ids[index]][None], win_size=cfg.win_size
+        )[0]
+    n = aud_ids.shape[0]
+    half = cfg.smo_size // 2
+    idx = index - half + jnp.arange(cfg.smo_size)
+    valid = (idx >= 0) & (idx < n)
+    windows = auds[aud_ids[jnp.clip(idx, 0, n - 1)]]
+    windows = jnp.where(valid[:, None, None], windows, 0.0)
+    feats = apply_audio_net(params["aud_net"], windows, win_size=cfg.win_size)
+    return apply_audio_att_net(params["aud_att"], feats)
+
+
+def make_frame_loss(cfg: ExperimentConfig, dataset: FrameDataset,
+                    smooth_audio: bool):
+    """Single-frame loss ``loss_fn((params, latents), data, index, coords,
+    key) -> (loss, aux)`` — shared by the single-chip step (jit) and the
+    multi-chip batched step (vmap over frames + ray sharding,
+    parallel/sharded.py)."""
+    focal, cx, cy = dataset.focal, dataset.cx, dataset.cy
+    near, far = dataset.near, dataset.far
+    nerf_cfg = cfg.face_nerf_config()
+    render_cfg = cfg.render_config()
+
+    def loss_fn(diff, data, index, coords, key):
+        params, latent_codes = diff
+        aud = compute_aud_feature(
+            params, data["auds"], data["aud_ids"], index, cfg, smooth_audio
+        )
+        expr = data["exprs"][index] if cfg.dim_expr > 0 else None
+        latent = latent_codes[index] if cfg.dim_latent > 0 else None
+
+        pose = data["poses"][index]
+        rays_o, rays_d = rays_at_coords(coords, focal, pose, cx, cy)
+        image = data["images"][index].astype(jnp.float32) / 255.0
+        bc = data["bc_img"].astype(jnp.float32) / 255.0
+        target = image[coords[:, 0], coords[:, 1]]
+        bc_rgb = bc[coords[:, 0], coords[:, 1]]
+
+        coarse_fn = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent)
+        fine_fn = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent)
+        out = render_rays(
+            coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
+            key=key, fine_fn=fine_fn,
+        )
+
+        img_loss = jnp.mean((out["rgb_map"] - target) ** 2)
+        loss = img_loss
+        if "rgb0" in out:
+            loss = loss + jnp.mean((out["rgb0"] - target) ** 2)
+        latent_loss = 0.0
+        if cfg.dim_latent > 0:
+            latent_loss = jnp.linalg.norm(latent) * cfg.lc_weight
+            loss = loss + latent_loss * 10.0
+        return loss, {"img_loss": img_loss, "latent_loss": latent_loss}
+
+    return loss_fn
+
+
+def make_head_train_step(
+    cfg: ExperimentConfig,
+    dataset: FrameDataset,
+    smooth_audio: bool,
+):
+    """Build the jitted single-chip train step."""
+    H, W = dataset.hw
+    budget = RayBudget.from_config(
+        cfg.N_rand, cfg.mouth_rays, cfg.torso_rays, cfg.sample_rate
+    )
+    optimizer = make_optimizer(cfg)
+    lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
+    loss_fn = make_frame_loss(cfg, dataset, smooth_audio)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, data, index, key):
+        k_sample, k_render = jax.random.split(key)
+        coords = sample_ray_coords(
+            k_sample, H, W,
+            data["face_rects"][index], data["mouth_boxes"][index],
+            data["torso_masks"][index], budget,
+        )
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (state.params, state.latent_codes), data, index, coords, k_render
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, (state.params, state.latent_codes)
+        )
+        params, latents = optax.apply_updates(
+            (state.params, state.latent_codes), updates
+        )
+        new_state = TrainState(
+            step=state.step + 1,
+            params=params,
+            latent_codes=latents,
+            opt_state=opt_state,
+        )
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log(aux["img_loss"]) / jnp.log(10.0),
+            "latent_loss": aux["latent_loss"],
+            "lr": lr_sched(state.step),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+class HeadTrainer:
+    """Python driver: epochs over frames (sequential order, matching the
+    reference's shuffle=False DataLoader — audio_exp_nerf.py:467), periodic
+    logging, nosmo→smooth recompile, checkpointing via ckpt.manager."""
+
+    def __init__(self, cfg: ExperimentConfig, dataset: FrameDataset,
+                 seed: int = 0):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.data = dataset.to_device()
+        self.key = jax.random.PRNGKey(seed)
+        self.key, init_key = jax.random.split(self.key)
+        self.state = init_train_state(init_key, cfg, dataset.size)
+        self._steps = {}
+
+    def _step_fn(self, smooth: bool):
+        if smooth not in self._steps:
+            self._steps[smooth] = make_head_train_step(self.cfg, self.dataset, smooth)
+        return self._steps[smooth]
+
+    @property
+    def global_step(self) -> int:
+        return int(self.state.step)
+
+    def run(self, n_epochs: Optional[int] = None, log_every: Optional[int] = None,
+            on_metrics=None) -> Dict[str, float]:
+        n_epochs = self.cfg.N_iters if n_epochs is None else n_epochs
+        log_every = self.cfg.i_print if log_every is None else log_every
+        metrics = {}
+        t0 = time.time()
+        for epoch in range(n_epochs):
+            for index in range(self.dataset.size):
+                smooth = (
+                    self.cfg.dim_aud > 29
+                    and self.global_step >= self.cfg.nosmo_iters
+                )
+                step_fn = self._step_fn(smooth)
+                self.key, k = jax.random.split(self.key)
+                self.state, m = step_fn(self.state, self.data, index, k)
+                if self.global_step % log_every == 0:
+                    metrics = {k2: float(v) for k2, v in m.items()}
+                    metrics["steps_per_sec"] = (
+                        self.global_step / max(time.time() - t0, 1e-9)
+                    )
+                    if on_metrics is not None:
+                        on_metrics(self.global_step, metrics)
+                    else:
+                        logger.info(
+                            "[TRAIN] epoch %d step %d loss %.5f psnr %.2f lr %.2e",
+                            epoch, self.global_step, metrics["loss"],
+                            metrics["psnr"], metrics["lr"],
+                        )
+        return metrics

@@ -1,0 +1,53 @@
+"""Train state: model params + per-frame latent codes + adam state.
+
+Matches the reference's optimization setup: a single Adam over network
+parameters *and* the learned (data_size, 32) latent-code table
+(audio_exp_nerf.py:482-493, latent codes initialized to ones), exponential
+LR decay applied per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.models.audio_net import (
+    init_audio_att_net, init_audio_net, init_ds_aud_net,
+)
+from idealnerf_tpu.models.face_nerf import init_face_nerf
+from idealnerf_tpu.train.schedule import exponential_lr
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray            # int32 global step
+    params: Dict[str, Any]       # coarse/fine/aud_net/aud_att/ds_aud
+    latent_codes: jnp.ndarray    # (data_size, dim_latent)
+    opt_state: Any
+
+
+def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
+    return optax.adam(exponential_lr(cfg.lrate, cfg.lrate_decay), b1=0.9, b2=0.999)
+
+
+def init_train_state(key, cfg: ExperimentConfig, data_size: int) -> TrainState:
+    ks = jax.random.split(key, 5)
+    nerf_cfg = cfg.face_nerf_config()
+    params = {
+        "coarse": init_face_nerf(ks[0], nerf_cfg),
+        "fine": init_face_nerf(ks[1], nerf_cfg),
+        "aud_net": init_audio_net(ks[2], dim_aud=cfg.dim_aud),
+        "aud_att": init_audio_att_net(ks[3], dim_aud=cfg.dim_aud, seq_len=cfg.smo_size),
+        "ds_aud": init_ds_aud_net(ks[4], win_size=cfg.win_size),
+    }
+    latent = jnp.ones((data_size, cfg.dim_latent), jnp.float32)
+    opt_state = make_optimizer(cfg).init((params, latent))
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        latent_codes=latent,
+        opt_state=opt_state,
+    )
