@@ -1,0 +1,203 @@
+"""Fused conditioned-NeRF point MLP as a single Pallas TPU kernel.
+
+Why: the XLA path executes the 8×256 trunk as 8 separate HBM-resident
+matmuls — at eval workloads (450² × 256 samples ≈ 52M points/frame) every
+layer round-trips multi-GB activation tensors through HBM, making the
+renderer bandwidth-bound (measured 0.27 fps). This kernel keeps the whole
+network — weights (~1 MB bf16) AND per-tile activations — in VMEM: one
+grid step processes a tile of points through all trunk layers, the skip
+concat, and both heads, touching HBM only for the (T, 64+32) encoded
+inputs and the (T, 4) raw output.
+
+Design notes:
+- Conditioning is pre-folded into per-frame biases
+  (models/face_nerf.py:fold_conditioning), so the kernel is an
+  unconditioned MLP — no per-point conditioning concat exists anywhere.
+- The skip layer's concat is algebraic: [pe ‖ h] @ W5 = pe @ W5_pe +
+  h @ W5_h — two matmuls, no concat buffer.
+- PE inputs are padded to MXU-friendly lanes (63→64, 27→32); the rgb and
+  alpha heads are packed into one zero-padded (…,128) matmul pair whose
+  sum lands rgb in lanes 0..2 and alpha in lane 3.
+- bf16 weights/activations, f32 accumulation (preferred_element_type).
+
+Matches the reference MLP semantics (models/face_nerf.py:40-80) exactly;
+equivalence vs the XLA path is tested in tests/test_fused_mlp.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from idealnerf_tpu.core.embedding import positional_encoding
+
+_PE_PAD = 64   # 63 xyz-PE channels + 1 zero lane
+_PED_PAD = 32  # 27 dir-PE channels + 5 zero lanes
+DEFAULT_TILE = 2048
+
+
+def _pad_rows(w: jnp.ndarray, rows: int) -> jnp.ndarray:
+    return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
+
+
+def _pack_weights(params: Dict, folded: Dict, cfg, compute_dtype):
+    """Flatten FaceNeRF params + folded biases into the kernel operand list.
+
+    Layout: [w0, b0, w1, b1, ..., w7, b7, w5pe, wv0h, wv0d, bv0,
+             wv1, bv1, wv2, bv2, w_heads_h, w_heads_v, b_heads]
+    where w_heads_h (256,128) routes alpha into lane 3 and
+    w_heads_v (128,128) routes rgb into lanes 0..2.
+    """
+    cd = compute_dtype
+    pe, in_all, W = cfg.input_ch, cfg.input_ch_all, cfg.width
+    ops = []
+    for i in range(cfg.depth):
+        w = params["pts"][i]["w"]
+        if i == 0:
+            ops.append(_pad_rows(w[:pe, :], _PE_PAD).astype(cd))
+        elif (i - 1) in cfg.skips:
+            ops.append(w[in_all:, :].astype(cd))  # h-part; pe-part added below
+        else:
+            ops.append(w.astype(cd))
+        ops.append(folded["b_pts"][i].reshape(1, W).astype(jnp.float32))
+    # pe-part of each skip layer
+    for i in range(1, cfg.depth):
+        if (i - 1) in cfg.skips:
+            ops.append(_pad_rows(params["pts"][i]["w"][:pe, :], _PE_PAD).astype(cd))
+
+    wv0 = params["views"][0]["w"]
+    ops.append(wv0[:W, :].astype(cd))                                   # wv0h
+    ops.append(_pad_rows(wv0[W : W + cfg.input_ch_views, :], _PED_PAD).astype(cd))
+    ops.append(folded["b_view0"].reshape(1, W // 2).astype(jnp.float32))
+    for layer in params["views"][1:]:
+        ops.append(layer["w"].astype(cd))
+        ops.append(layer["b"].reshape(1, W // 2).astype(jnp.float32))
+
+    # packed heads: alpha -> lane 3 (from trunk h), rgb -> lanes 0..2 (from hv)
+    w_alpha = jnp.zeros((W, 128), jnp.float32).at[:, 3].set(
+        params["alpha"]["w"][:, 0]
+    )
+    w_rgb = jnp.zeros((W // 2, 128), jnp.float32).at[:, :3].set(
+        params["rgb"]["w"]
+    )
+    b_heads = jnp.zeros((1, 128), jnp.float32)
+    b_heads = b_heads.at[0, 3].set(params["alpha"]["b"][0])
+    b_heads = b_heads.at[0, :3].set(params["rgb"]["b"])
+    ops.append(w_alpha.astype(cd))
+    ops.append(w_rgb.astype(cd))
+    ops.append(b_heads)
+    return ops
+
+
+def _kernel(cfg, n_views: int, *refs):
+    """refs: [pe, ped] + packed weights + [out]."""
+    pe_ref, ped_ref = refs[0], refs[1]
+    out_ref = refs[-1]
+    ops = [r[:] for r in refs[2:-1]]  # materialize weight refs into VMEM values
+
+    depth, W = cfg.depth, cfg.width
+    cd = ops[0].dtype
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    trunk = ops[: 2 * depth]
+    skip_pes = ops[2 * depth : 2 * depth + len([i for i in range(1, depth) if (i - 1) in cfg.skips])]
+    rest = ops[2 * depth + len(skip_pes) :]
+
+    pe = pe_ref[:]
+    h = jnp.maximum(dot(pe, trunk[0]) + trunk[1], 0.0).astype(cd)
+    s = 0
+    for i in range(1, depth):
+        w, b = trunk[2 * i], trunk[2 * i + 1]
+        if (i - 1) in cfg.skips:
+            acc = dot(pe, skip_pes[s]) + dot(h, w) + b
+            s += 1
+        else:
+            acc = dot(h, w) + b
+        h = jnp.maximum(acc, 0.0).astype(cd)
+
+    idx = 0
+    wv0h, wv0d, bv0 = rest[idx], rest[idx + 1], rest[idx + 2]
+    idx += 3
+    hv = jnp.maximum(dot(h, wv0h) + dot(ped_ref[:], wv0d) + bv0, 0.0).astype(cd)
+    for _ in range(n_views - 1):
+        w, b = rest[idx], rest[idx + 1]
+        idx += 2
+        hv = jnp.maximum(dot(hv, w) + b, 0.0).astype(cd)
+
+    w_alpha, w_rgb, b_heads = rest[idx], rest[idx + 1], rest[idx + 2]
+    out = dot(h, w_alpha) + dot(hv, w_rgb) + b_heads
+    out_ref[:] = out[:, :4]
+
+
+def fused_point_mlp(
+    params: Dict,
+    folded: Dict,
+    cfg,
+    pts: jnp.ndarray,               # (N, 3) raw sample points
+    dirs: Optional[jnp.ndarray],    # (N, 3) per-point view directions
+    tile: int = DEFAULT_TILE,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """(N, 4) raw [rgb logits, sigma] — fused PE-adjacent MLP evaluation."""
+    assert cfg.use_viewdirs and dirs is not None, (
+        "fused kernel covers the use_viewdirs path; use apply_folded otherwise"
+    )
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    compute_dtype = params["pts"][0]["w"].dtype
+    if compute_dtype == jnp.float32:
+        compute_dtype = jnp.bfloat16  # MXU-native; accumulation stays f32
+
+    n = pts.shape[0]
+    n_pad = (-n) % tile
+    pe = positional_encoding(pts, cfg.multires).astype(compute_dtype)
+    ped = positional_encoding(dirs, cfg.multires_views).astype(compute_dtype)
+    pe = jnp.pad(pe, ((0, n_pad), (0, _PE_PAD - pe.shape[1])))
+    ped = jnp.pad(ped, ((0, n_pad), (0, _PED_PAD - ped.shape[1])))
+
+    ops = _pack_weights(params, folded, cfg, compute_dtype)
+    n_views = 1 + cfg.depth // 4
+    n_tiles = (n + n_pad) // tile
+
+    w_specs = [
+        pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for op in ops
+    ]
+    flops_per_tile = 2 * tile * (
+        _PE_PAD * cfg.width * 2
+        + (cfg.depth - 1) * cfg.width * cfg.width
+        + cfg.width * (cfg.width // 2)
+        + _PED_PAD * (cfg.width // 2)
+        + (n_views - 1) * (cfg.width // 2) ** 2
+        + cfg.width * 128
+        + (cfg.width // 2) * 128
+    )
+
+    raw = pl.pallas_call(
+        functools.partial(_kernel, cfg, n_views),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tile, _PE_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, _PED_PAD), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n + n_pad, 4), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_tile * n_tiles,
+            bytes_accessed=(n + n_pad) * (2 * (_PE_PAD + _PED_PAD) + 16),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pe, ped, *ops)
+    return raw[:n]
