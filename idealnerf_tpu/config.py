@@ -57,6 +57,7 @@ class ExperimentConfig:
     lindisp: bool = False
     near: float = 0.3
     far: float = 0.9
+    density_activation: str = "relu"  # "relu" (reference parity) | "softplus"
 
     # optimization
     lrate: float = 8e-4
@@ -103,6 +104,7 @@ class ExperimentConfig:
             lindisp=self.lindisp,
             raw_noise_std=self.raw_noise_std,
             white_bkgd=self.white_bkgd,
+            density_activation=self.density_activation,
         )
 
     def face_nerf_config(self, dim_aud: Optional[int] = None,

@@ -35,11 +35,20 @@ def raw2outputs(
     raw_noise_std: float = 0.0,
     white_bkgd: bool = False,
     noise_key: Optional[jax.Array] = None,
+    density_activation: str = "relu",
 ) -> RenderOutputs:
     """raw (R, S, 4) [rgb logits, sigma] -> composited ray values.
 
     ``bc_rgb`` (R, 3): background-plate pixels substituted for the last
     sample's color (baseline.py:350).
+
+    ``density_activation``: "relu" reproduces the reference
+    (baseline.py:336-341). "softplus" is the robust alternative: with
+    relu, a field driven toward transparency can push sigma negative at
+    every sample and the density gradient dies permanently — observed in
+    frozen-head torso training, where the torso collapses to full
+    transparency and can never form the torso again. Softplus keeps the
+    gradient alive; all other math is identical.
     """
     dists = z_vals[..., 1:] - z_vals[..., :-1]
     dists = jnp.concatenate(
@@ -54,7 +63,13 @@ def raw2outputs(
     if raw_noise_std > 0.0 and noise_key is not None:
         sigma = sigma + jax.random.normal(noise_key, sigma.shape) * raw_noise_std
 
-    alpha = 1.0 - jnp.exp(-(jax.nn.relu(sigma) + 1e-6) * dists)
+    if density_activation not in ("relu", "softplus"):
+        raise ValueError(
+            f"density_activation must be 'relu' or 'softplus', got "
+            f"{density_activation!r}"
+        )
+    act = jax.nn.relu if density_activation == "relu" else jax.nn.softplus
+    alpha = 1.0 - jnp.exp(-(act(sigma) + 1e-6) * dists)
     trans = jnp.cumprod(
         jnp.concatenate(
             [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1
@@ -82,3 +97,15 @@ def raw2outputs(
         rgb_fg=rgb_fg,
         last_weight=weights[..., -1],
     )
+
+
+def layered_composite(
+    rgb_head: jnp.ndarray,
+    last_weight_torso: jnp.ndarray,
+    rgb_fg_torso: jnp.ndarray,
+) -> jnp.ndarray:
+    """Head-over-torso layering: the torso field's transmittance-to-
+    background (its last/bg sample weight) gates the head render behind
+    the torso foreground — ``rgb_com = rgb_head · last_weight_torso +
+    rgb_fg_torso`` (run_nerf.py:610, test_torso.py:523)."""
+    return rgb_head * last_weight_torso[..., None] + rgb_fg_torso

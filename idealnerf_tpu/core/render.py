@@ -35,6 +35,7 @@ class RenderConfig:
     lindisp: bool = False
     raw_noise_std: float = 0.0
     white_bkgd: bool = False
+    density_activation: str = "relu"  # "relu" (reference) | "softplus"
 
     def eval_mode(self) -> "RenderConfig":
         """perturb=0, no noise — the reference's render_kwargs_test."""
@@ -76,7 +77,7 @@ def render_rays(
     coarse = raw2outputs(
         raw, z_vals, rays_d, bc_rgb,
         raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
-        noise_key=k_noise,
+        noise_key=k_noise, density_activation=cfg.density_activation,
     )
 
     out = {
@@ -107,7 +108,7 @@ def render_rays(
     fine = raw2outputs(
         raw_fine, z_all, rays_d, bc_rgb,
         raw_noise_std=cfg.raw_noise_std, white_bkgd=cfg.white_bkgd,
-        noise_key=k_noise2,
+        noise_key=k_noise2, density_activation=cfg.density_activation,
     )
 
     out.update(

@@ -41,7 +41,14 @@ def make_synthetic_dataset(
     seed: int = 0,
     sphere_radius: float = 0.35,
     cam_radius: float = 1.5,
+    with_torso: bool = False,
 ) -> FrameDataset:
+    """``with_torso=False`` -> head-only frames (the reference's
+    head_imgs); ``with_torso=True`` -> composite frames (com_imgs) with an
+    image-space-static, audio-modulated torso band over the bottom — the
+    geometry torso rays see when cast from the fixed first-frame pose
+    (run_nerf.py:499). Same seed gives identical poses/audio/exprs in both
+    variants, so a head model trained on one drives the other."""
     rng = np.random.RandomState(seed)
     focal = 1.2 * max(H, W)
     cx, cy = W / 2.0, H / 2.0
@@ -90,6 +97,13 @@ def make_synthetic_dataset(
         col[mouth_region] *= (1.0 - 0.8 * openness)
 
         img = np.where(hit[..., None], col, bc)
+        if with_torso:
+            # image-space-static trapezoid band, shade driven by audio
+            band = yy >= 0.82 * H
+            taper = np.abs(xx - W / 2) < (0.18 + 0.35 * (yy / H - 0.82)) * W
+            torso_px = band & taper
+            t_col = np.array([0.25, 0.2, 0.35]) * (1.0 + 0.25 * aud_scalar[f])
+            img[torso_px] = np.clip(t_col, 0, 1)
         images.append((np.clip(img, 0, 1) * 255).astype(np.uint8))
 
         # face rect = sphere bbox in pixels (+margin)

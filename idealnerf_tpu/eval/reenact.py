@@ -1,0 +1,155 @@
+"""Cross-subject reenactment evaluation (reference:
+NeRFs/HeadNeRF/test/eval_aud_exp_nerf.py): identity (frames, poses,
+background, latent) from subject A's dataset; driving expressions from
+subject B's transforms json; driving audio sequentially from an aud .npy —
+rendered frame-by-frame to a 25 fps video.
+
+TPU-native details: audio features for the whole driving track are
+computed in ONE jitted program (batched AudioNet + vmapped AudioAttNet
+smoothing windows) instead of per-frame; each frame render reuses a single
+compiled executable (eval/renderer.py).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.data.dataset import FrameDataset
+from idealnerf_tpu.eval.renderer import (
+    make_composite_frame_renderer, make_frame_renderer,
+)
+from idealnerf_tpu.eval.video import VideoWriter
+from idealnerf_tpu.models.audio_net import apply_audio_att_net, apply_audio_net
+from idealnerf_tpu.train.torso import torso_nerf_config, torso_signal
+from idealnerf_tpu.utils.logging import get_logger
+
+logger = get_logger("idealnerf.eval")
+
+
+def load_driving_exprs(transforms_json_path: str) -> np.ndarray:
+    """Expressions from another subject's transforms json
+    (eval_aud_exp_nerf.py --evalExpr_path)."""
+    with open(transforms_json_path) as fh:
+        meta = json.load(fh)
+    return np.stack(
+        [np.array(f["exp"], np.float32) for f in meta["frames"]]
+    )
+
+
+def smoothed_audio_features(
+    params: Dict[str, Any],
+    auds: jnp.ndarray,  # (M, 16, 29) driving windows
+    cfg: ExperimentConfig,
+    smooth: bool = True,
+) -> jnp.ndarray:
+    """(M, dim_aud) features for the whole driving track, one program.
+
+    Mirrors the per-frame 8-window AudAttNet smoothing of
+    test_torso.py:478-498 / eval-time audio handling, vectorized."""
+
+    @jax.jit
+    def run(params, auds):
+        feats = apply_audio_net(params["aud_net"], auds, win_size=cfg.win_size)
+        if not smooth:
+            return feats
+        m = feats.shape[0]
+        half = cfg.smo_size // 2
+
+        def one(i):
+            idx = i - half + jnp.arange(cfg.smo_size)
+            valid = (idx >= 0) & (idx < m)
+            win = jnp.where(
+                valid[:, None], feats[jnp.clip(idx, 0, m - 1)], 0.0
+            )
+            return apply_audio_att_net(params["aud_att"], win)
+
+        return jax.vmap(one)(jnp.arange(m))
+
+    return run(params, auds)
+
+
+def reenact(
+    cfg: ExperimentConfig,
+    head_params: Dict[str, Any],
+    identity: FrameDataset,
+    driving_auds: np.ndarray,
+    driving_exprs: Optional[np.ndarray] = None,
+    latent_codes: Optional[jnp.ndarray] = None,
+    torso_params: Optional[Dict[str, Any]] = None,
+    out_path: Optional[str] = None,
+    max_frames: Optional[int] = None,
+    smooth_audio: bool = True,
+    compute_dtype=None,
+    use_pallas: Optional[bool] = None,
+    tile: int = 8192,
+):
+    """Render the reenactment video; returns the stacked frames (N,H,W,3).
+
+    Identity poses cycle through subject A's frames; expr index follows
+    the driving sequence (clamped at its end, like aud_id clamping in
+    GetData — audio_exp_nerf.py:81)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if compute_dtype is None and jax.default_backend() == "tpu":
+        compute_dtype = jnp.bfloat16
+
+    H, W = identity.hw
+    n_frames = driving_auds.shape[0] if max_frames is None else min(
+        max_frames, driving_auds.shape[0]
+    )
+    head_cfg = cfg.face_nerf_config()
+    render_cfg = cfg.render_config()
+
+    aud_feats = smoothed_audio_features(
+        head_params, jnp.asarray(driving_auds), cfg, smooth=smooth_audio
+    )
+    bc = jnp.asarray(identity.bc_img, jnp.float32) / 255.0
+    latent = latent_codes[0] if latent_codes is not None else None
+
+    if torso_params is None:
+        render = make_frame_renderer(
+            head_cfg, H, W, identity.focal, identity.near, identity.far,
+            render_cfg, cx=identity.cx, cy=identity.cy, tile=tile,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        )
+    else:
+        render = make_composite_frame_renderer(
+            head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
+            identity.near, identity.far, render_cfg,
+            cx=identity.cx, cy=identity.cy, tile=tile,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        )
+    pose0 = jnp.asarray(identity.poses[0])
+
+    writer = VideoWriter(out_path) if out_path else None
+    frames = []
+    for i in range(n_frames):
+        pose = jnp.asarray(identity.poses[i % identity.size])
+        expr = None
+        if driving_exprs is not None and cfg.dim_expr > 0:
+            expr = jnp.asarray(
+                driving_exprs[min(i, driving_exprs.shape[0] - 1)]
+            )
+        aud = aud_feats[i]
+        if torso_params is None:
+            frame = render(head_params, pose, bc, aud=aud, expr=expr,
+                           latent=latent)
+        else:
+            signal = torso_signal(aud, pose, cfg.dim_aud_body)
+            frame = render(head_params, torso_params, pose, pose0, bc,
+                           aud=aud, signal=signal, expr=expr, latent=latent)
+        frame = np.asarray(jnp.clip(frame, 0.0, 1.0))
+        frames.append(frame)
+        if writer is not None:
+            writer.add(frame)
+        if i % 25 == 0:
+            logger.info("reenact frame %d/%d", i, n_frames)
+    if writer is not None:
+        writer.close()
+    return np.stack(frames)

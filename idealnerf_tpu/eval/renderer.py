@@ -65,6 +65,88 @@ def render_frame(
     return rgb.reshape(H, W, 3)
 
 
+def render_frame_outputs(
+    coarse_fn, H, W, focal, pose, bc_img, near, far, cfg,
+    cx=None, cy=None, fine_fn=None, tile: int = 8192,
+    keys=("rgb_map", "last_weight", "rgb_fg"),
+):
+    """Like render_frame but returns several per-ray outputs reshaped to
+    (H, W, ...) — used by the head+torso compositor which needs
+    last_weight/rgb_fg of the torso field (test_torso.py:513-534)."""
+    cfg = cfg.eval_mode()
+    rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    bc = bc_img.reshape(-1, 3)
+
+    n = rays_o.shape[0]
+    n_pad = (-n) % tile
+    if n_pad:
+        rays_o = jnp.concatenate([rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+        rays_d = jnp.concatenate(
+            [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]], rays_d.dtype), (n_pad, 1))], 0
+        )
+        bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
+
+    def render_tile(args):
+        o, d, b = args
+        out = render_rays(coarse_fn, o, d, b, near, far, cfg, fine_fn=fine_fn)
+        return tuple(out[k] for k in keys)
+
+    tiles = (
+        rays_o.reshape(-1, tile, 3),
+        rays_d.reshape(-1, tile, 3),
+        bc.reshape(-1, tile, 3),
+    )
+    outs = jax.lax.map(render_tile, tiles)
+    result = {}
+    for k, v in zip(keys, outs):
+        v = v.reshape((-1,) + v.shape[2:])[:n]
+        result[k] = v.reshape((H, W) + v.shape[1:])
+    return result
+
+
+def make_composite_frame_renderer(
+    head_cfg, torso_cfg,
+    H: int, W: int, focal, near, far, cfg: RenderConfig,
+    cx=None, cy=None, tile: int = 8192,
+    compute_dtype=None, use_pallas: bool = False,
+):
+    """jit-compiled full-frame head+torso composite:
+    ``render(head_params, torso_params, pose, pose0, bc_img, aud, signal,
+    expr, latent) -> (H, W, 3)`` — head rays from ``pose``, torso rays
+    from the fixed ``pose0``, layered per test_torso.py:513-534."""
+    from idealnerf_tpu.core.composite import layered_composite
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    @jax.jit
+    def _render(head_params, torso_params, pose, pose0, bc_img,
+                aud=None, signal=None, expr=None, latent=None):
+        head = render_frame_outputs(
+            make_field_fn(head_params["coarse"], head_cfg, aud, expr, latent,
+                          compute_dtype=compute_dtype, use_pallas=use_pallas),
+            H, W, focal, pose, bc_img, near, far, cfg, cx=cx, cy=cy,
+            fine_fn=make_field_fn(head_params["fine"], head_cfg, aud, expr,
+                                  latent, compute_dtype=compute_dtype,
+                                  use_pallas=use_pallas),
+            tile=tile, keys=("rgb_map",),
+        )
+        torso = render_frame_outputs(
+            make_field_fn(torso_params["coarse"], torso_cfg, aud=signal,
+                          compute_dtype=compute_dtype, use_pallas=use_pallas),
+            H, W, focal, pose0, bc_img, near, far, cfg, cx=cx, cy=cy,
+            fine_fn=make_field_fn(torso_params["fine"], torso_cfg, aud=signal,
+                                  compute_dtype=compute_dtype,
+                                  use_pallas=use_pallas),
+            tile=tile, keys=("last_weight", "rgb_fg"),
+        )
+        return layered_composite(
+            head["rgb_map"], torso["last_weight"], torso["rgb_fg"]
+        )
+
+    return _render
+
+
 def make_frame_renderer(
     nerf_cfg,
     H: int, W: int, focal, near, far, cfg: RenderConfig,

@@ -171,7 +171,8 @@ class HeadTrainer:
     logging, nosmo→smooth recompile, checkpointing via ckpt.manager."""
 
     def __init__(self, cfg: ExperimentConfig, dataset: FrameDataset,
-                 seed: int = 0):
+                 seed: int = 0, ckpt_dir: Optional[str] = None,
+                 resume: bool = True):
         self.cfg = cfg
         self.dataset = dataset
         self.data = dataset.to_device()
@@ -179,6 +180,30 @@ class HeadTrainer:
         self.key, init_key = jax.random.split(self.key)
         self.state = init_train_state(init_key, cfg, dataset.size)
         self._steps = {}
+        self.ckpt = None
+        if ckpt_dir is not None:
+            from idealnerf_tpu.ckpt import CheckpointManager
+
+            self.ckpt = CheckpointManager(ckpt_dir)
+            if resume and self.ckpt.latest_step() is not None:
+                self.state = self.ckpt.restore(self.state)
+                logger.info("resumed from step %d", self.global_step)
+            elif cfg.ft_path:
+                # fine-tune surgery: load foreign checkpoint params with
+                # shape-mismatch drop (audio_exp_nerf.py:498-514)
+                from idealnerf_tpu.ckpt import CheckpointManager as CM
+                from idealnerf_tpu.ckpt import partial_restore
+
+                src = CM(cfg.ft_path)
+                raw = src.restore_partial(
+                    {"params": self.state.params}
+                )[0]
+                self.state = self.state._replace(params=raw["params"])
+                logger.info("fine-tune init from %s", cfg.ft_path)
+
+    def save(self):
+        if self.ckpt is not None:
+            self.ckpt.save(self.global_step, self.state)
 
     def _step_fn(self, smooth: bool):
         if smooth not in self._steps:
@@ -217,4 +242,10 @@ class HeadTrainer:
                             epoch, self.global_step, metrics["loss"],
                             metrics["psnr"], metrics["lr"],
                         )
+                if (
+                    self.ckpt is not None
+                    and self.global_step > 0
+                    and self.global_step % self.cfg.i_weights == 0
+                ):
+                    self.save()
         return metrics

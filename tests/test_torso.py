@@ -1,0 +1,99 @@
+"""Torso/composite system: torso signal construction, frozen-head torso
+training on com_imgs (composite loss drops), and the layered full-frame
+composite renderer."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.core.composite import layered_composite
+from idealnerf_tpu.data import make_synthetic_dataset
+from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
+from idealnerf_tpu.train import HeadTrainer
+from idealnerf_tpu.train.head import compute_aud_feature
+from idealnerf_tpu.train.torso import (
+    TORSO_POSE_PE, TorsoTrainer, torso_nerf_config, torso_signal,
+)
+
+TINY = dict(
+    dim_aud=64, dim_expr=8, dim_latent=32, dim_aud_body=32,
+    N_rand=256, mouth_rays=32, torso_rays=32, sample_rate=0.9,
+    N_samples=10, N_importance=10, lrate=5e-4, nosmo_iters=10**9,
+    # relu density lets the frozen-head torso collapse to permanent
+    # transparency (dead density gradient); softplus keeps it alive
+    density_activation="softplus",
+)
+
+
+def test_torso_signal_dims():
+    cfg = ExperimentConfig(**TINY)
+    aud = jnp.ones((64,))
+    pose = jnp.eye(4)[:3]
+    sig = torso_signal(aud, pose, cfg.dim_aud_body)
+    assert sig.shape == (32 + TORSO_POSE_PE,)
+    assert TORSO_POSE_PE == 42  # 2 × pe_dim(3, 3), run_nerf.py:421
+    tcfg = torso_nerf_config(cfg)
+    assert tcfg.dim_aud == 32 + 42 and tcfg.dim_expr == 0 and tcfg.dim_latent == 0
+
+
+def test_layered_composite_limits():
+    rgb_head = jnp.ones((5, 3)) * 0.8
+    # transparent torso (last_weight=1, fg=0) -> pure head
+    out = layered_composite(rgb_head, jnp.ones(5), jnp.zeros((5, 3)))
+    np.testing.assert_allclose(np.asarray(out), 0.8, atol=1e-6)
+    # opaque torso -> pure torso fg
+    fg = jnp.ones((5, 3)) * 0.3
+    out = layered_composite(rgb_head, jnp.zeros(5), fg)
+    np.testing.assert_allclose(np.asarray(out), 0.3, atol=1e-6)
+
+
+def test_torso_trainer_learns_composite():
+    cfg = ExperimentConfig(**TINY)
+    ds_head = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8)
+    ds_com = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8,
+                                    with_torso=True)
+    # the com frames really differ from head frames (torso band present)
+    assert np.abs(ds_com.images[0].astype(int) - ds_head.images[0].astype(int)).max() > 30
+
+    head = HeadTrainer(cfg, ds_head, seed=0)
+    head.run(n_epochs=20, log_every=100, on_metrics=lambda s, m: None)
+
+    # smooth_audio must match the mode the head was trained in (here: raw
+    # AudioNet, since nosmo_iters was never reached) — with smoothing on,
+    # the frozen head would render through an untrained AudioAttNet.
+    torso = TorsoTrainer(cfg, ds_com, head.state.params,
+                         latent_codes=head.state.latent_codes, seed=1,
+                         smooth_audio=False)
+    hist = []
+    # log_every multiple of n_frames so compared metrics hit the same frame
+    torso.run(n_steps=121, log_every=40, on_metrics=lambda s, m: hist.append(m))
+    assert hist[-1]["psnr"] > hist[0]["psnr"] + 1.5, (hist[0], hist[-1])
+    # frozen head: params untouched by torso training
+    h0 = head.state.params["coarse"]["pts"][0]["w"]
+    np.testing.assert_array_equal(
+        np.asarray(h0), np.asarray(torso.head_params["coarse"]["pts"][0]["w"])
+    )
+
+    # full-frame composite render
+    tcfg = torso_nerf_config(cfg)
+    render = make_composite_frame_renderer(
+        cfg.face_nerf_config(), tcfg, 48, 48, ds_com.focal,
+        ds_com.near, ds_com.far, cfg.render_config(),
+        cx=ds_com.cx, cy=ds_com.cy, tile=576,
+    )
+    data = torso.data
+    aud = compute_aud_feature(head.state.params, data["auds"], data["aud_ids"],
+                              0, cfg, False)
+    sig = torso_signal(aud, data["poses"][0], cfg.dim_aud_body)
+    frame = render(
+        head.state.params, torso.torso_params,
+        data["poses"][0], data["poses"][0],
+        data["bc_img"].astype(jnp.float32) / 255.0,
+        aud=aud, signal=sig, expr=data["exprs"][0],
+        latent=head.state.latent_codes[0],
+    )
+    assert frame.shape == (48, 48, 3)
+    gt = ds_com.images[0].astype(np.float32) / 255.0
+    psnr = -10 * np.log10(float(jnp.mean((frame - gt) ** 2)))
+    assert psnr > 14.0, psnr
