@@ -1,0 +1,75 @@
+"""Cross-subject reenactment evaluation (reference:
+NeRFs/HeadNeRF/test/eval_aud_exp_nerf.py; with --torso_ckpt also covers
+test_torso.py's composite video render).
+
+Identity frames/poses/background from --datadir, driving expressions from
+--evalExpr_path (another subject's transforms json), driving audio from
+--aud_file; writes a 25 fps MJPG video + periodic frame JPGs under
+--save_path."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from idealnerf_tpu.cli.common import build_parser, resolve_config, resolve_dataset
+from idealnerf_tpu.eval.reenact import load_driving_exprs, reenact
+from idealnerf_tpu.train.state import init_train_state
+from idealnerf_tpu.utils.logging import get_logger
+
+logger = get_logger("idealnerf.cli")
+
+
+def main(argv=None):
+    parser = build_parser(__doc__)
+    parser.add_argument("--head_ckpt", type=str, required=False)
+    parser.add_argument("--torso_ckpt", type=str, default=None)
+    parser.add_argument("--max_frames", type=int, default=None)
+    args = parser.parse_args(argv)
+    cfg = resolve_config(args)
+
+    identity = resolve_dataset(args, cfg, mode="val")
+    state = init_train_state(jax.random.PRNGKey(args.seed), cfg, identity.size)
+    if args.head_ckpt:
+        from idealnerf_tpu.ckpt import CheckpointManager
+
+        state = CheckpointManager(args.head_ckpt).restore(state)
+        logger.info("head from %s step %d", args.head_ckpt, int(state.step))
+    else:
+        logger.warning("no --head_ckpt: rendering with fresh weights (dry run)")
+
+    torso_params = None
+    if args.torso_ckpt:
+        from idealnerf_tpu.ckpt import CheckpointManager
+        from idealnerf_tpu.train.torso import init_torso_params
+
+        like = {"torso_params": init_torso_params(jax.random.PRNGKey(0), cfg)}
+        torso_params = CheckpointManager(args.torso_ckpt).restore_partial(like)[0][
+            "torso_params"
+        ]
+
+    if cfg.evalExpr_path:
+        exprs = load_driving_exprs(cfg.evalExpr_path)
+    else:
+        exprs = identity.exprs  # self-reenactment fallback
+    if args.synthetic:
+        auds = identity.auds
+    else:
+        auds = np.load(os.path.join(cfg.datadir, cfg.aud_file)).astype(np.float32)
+
+    save_path = cfg.save_path or "output/render"
+    out = os.path.join(save_path, f"{cfg.expname}.avi")
+    frames = reenact(
+        cfg, state.params, identity,
+        driving_auds=auds, driving_exprs=exprs,
+        latent_codes=state.latent_codes, torso_params=torso_params,
+        out_path=out, max_frames=args.max_frames,
+        smooth_audio=cfg.nosmo_iters <= int(state.step),
+    )
+    logger.info("wrote %d frames to %s", frames.shape[0], out)
+
+
+if __name__ == "__main__":
+    main()

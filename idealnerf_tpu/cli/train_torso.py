@@ -1,0 +1,71 @@
+"""Train the torso/composite model against a frozen head checkpoint
+(reference: NeRFs/TorsoNeRF/run_nerf.py, train_torso.py). The head comes
+from --head_ckpt (a train_head checkpoint dir); com_imgs is the default
+image source."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from idealnerf_tpu.cli.common import (
+    build_parser, make_summary, resolve_config, resolve_dataset,
+)
+from idealnerf_tpu.train.state import init_train_state
+from idealnerf_tpu.train.torso import TorsoTrainer
+from idealnerf_tpu.utils.logging import get_logger
+
+logger = get_logger("idealnerf.cli")
+
+
+def main(argv=None):
+    parser = build_parser(__doc__)
+    parser.add_argument("--head_ckpt", type=str, required=False,
+                        help="checkpoint dir of the trained head")
+    parser.add_argument("--steps", type=int, default=None,
+                        help="torso optimization steps")
+    parser.add_argument("--smooth_audio", dest="cli_smooth_audio", type=int,
+                        default=1)
+    args = parser.parse_args(argv)
+    cfg = resolve_config(args)
+    if args.synthetic:
+        dataset = resolve_dataset(args, cfg, mode="train", gt_dirs="com_imgs")
+    else:
+        dataset = resolve_dataset(args, cfg, mode="train", gt_dirs="com_imgs")
+
+    # frozen head: restore from checkpoint (or fresh init for dry runs)
+    state = init_train_state(jax.random.PRNGKey(args.seed), cfg, dataset.size)
+    if args.head_ckpt:
+        from idealnerf_tpu.ckpt import CheckpointManager
+
+        state = CheckpointManager(args.head_ckpt).restore(state)
+        logger.info("loaded frozen head from %s (step %d)",
+                    args.head_ckpt, int(state.step))
+    else:
+        logger.warning("no --head_ckpt given: using a fresh head (dry run)")
+
+    run_dir = os.path.join(cfg.basedir, cfg.expname + "_torso")
+    cfg.write(os.path.join(run_dir, "args.txt"))
+    summary = make_summary(cfg, run_dir)
+    ckpt_dir = args.ckpt_dir or os.path.join(run_dir, "ckpt")
+
+    trainer = TorsoTrainer(
+        cfg, dataset, state.params, latent_codes=state.latent_codes,
+        seed=args.seed, smooth_audio=bool(args.cli_smooth_audio),
+        ckpt_dir=ckpt_dir,
+    )
+
+    def on_metrics(step, m):
+        summary.scalars(step, m, prefix="torso")
+        logger.info("[TORSO] step %d loss %.5f psnr %.2f", step,
+                    m["loss"], m["psnr"])
+
+    n_steps = args.steps or cfg.N_iters * dataset.size
+    trainer.run(n_steps=n_steps, on_metrics=on_metrics)
+    trainer.save()
+    summary.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,11 @@ class ExperimentConfig:
     torso_rays: int = 0
     sample_rate: float = 0.95
 
+    # model variant (one trainer, pluggable conditioning — models/variants.py)
+    model_variant: str = "face_nerf"  # face_nerf | face_nerf_agg | attention_nerf
+    dim_agg: int = 64        # FaceNeRFAgg fused-feature dim (face_nerf_agg.py)
+    attn_output_ch: int = 256  # SelfAttention inner width (self_attention.py)
+
     # network
     netdepth: int = 8
     netwidth: int = 256

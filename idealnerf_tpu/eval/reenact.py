@@ -26,6 +26,7 @@ from idealnerf_tpu.eval.renderer import (
 )
 from idealnerf_tpu.eval.video import VideoWriter
 from idealnerf_tpu.models.audio_net import apply_audio_att_net, apply_audio_net
+from idealnerf_tpu.models.variants import variant_conditioning, variant_nerf_config
 from idealnerf_tpu.train.torso import torso_nerf_config, torso_signal
 from idealnerf_tpu.utils.logging import get_logger
 
@@ -103,7 +104,10 @@ def reenact(
     n_frames = driving_auds.shape[0] if max_frames is None else min(
         max_frames, driving_auds.shape[0]
     )
-    head_cfg = cfg.face_nerf_config()
+    # variant-aware: the head may be face_nerf / agg / attention — the
+    # renderer sees the variant's FaceNeRF topology and pre-transformed
+    # conditioning (models/variants.py)
+    head_cfg = variant_nerf_config(cfg)
     render_cfg = cfg.render_config()
 
     aud_feats = smoothed_audio_features(
@@ -137,13 +141,15 @@ def reenact(
                 driving_exprs[min(i, driving_exprs.shape[0] - 1)]
             )
         aud = aud_feats[i]
+        aud_arg, expr_arg = variant_conditioning(head_params, cfg, aud, expr)
         if torso_params is None:
-            frame = render(head_params, pose, bc, aud=aud, expr=expr,
+            frame = render(head_params, pose, bc, aud=aud_arg, expr=expr_arg,
                            latent=latent)
         else:
             signal = torso_signal(aud, pose, cfg.dim_aud_body)
             frame = render(head_params, torso_params, pose, pose0, bc,
-                           aud=aud, signal=signal, expr=expr, latent=latent)
+                           aud=aud_arg, signal=signal, expr=expr_arg,
+                           latent=latent)
         frame = np.asarray(jnp.clip(frame, 0.0, 1.0))
         frames.append(frame)
         if writer is not None:

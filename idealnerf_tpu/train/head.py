@@ -33,6 +33,7 @@ from idealnerf_tpu.models.audio_net import (
     apply_audio_att_net, apply_audio_net, apply_ds_aud_net,
 )
 from idealnerf_tpu.models.face_nerf import make_field_fn
+from idealnerf_tpu.models.variants import build_field_fns
 from idealnerf_tpu.train.schedule import exponential_lr
 from idealnerf_tpu.train.state import TrainState, init_train_state, make_optimizer
 from idealnerf_tpu.utils.logging import get_logger
@@ -79,7 +80,6 @@ def make_frame_loss(cfg: ExperimentConfig, dataset: FrameDataset,
     parallel/sharded.py)."""
     focal, cx, cy = dataset.focal, dataset.cx, dataset.cy
     near, far = dataset.near, dataset.far
-    nerf_cfg = cfg.face_nerf_config()
     render_cfg = cfg.render_config()
 
     def loss_fn(diff, data, index, coords, key):
@@ -97,8 +97,7 @@ def make_frame_loss(cfg: ExperimentConfig, dataset: FrameDataset,
         target = image[coords[:, 0], coords[:, 1]]
         bc_rgb = bc[coords[:, 0], coords[:, 1]]
 
-        coarse_fn = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent)
-        fine_fn = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent)
+        coarse_fn, fine_fn = build_field_fns(params, cfg, aud, expr, latent)
         out = render_rays(
             coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
             key=key, fine_fn=fine_fn,
@@ -121,12 +120,25 @@ def make_head_train_step(
     cfg: ExperimentConfig,
     dataset: FrameDataset,
     smooth_audio: bool,
+    precrop: bool = False,
 ):
-    """Build the jitted single-chip train step."""
+    """Build the jitted single-chip train step.
+
+    ``precrop`` reproduces the baseline warmup (baseline.py:612-622): all
+    rays come from the central precrop_frac crop; the driver switches to
+    the full budget after precrop_iters (a one-time recompile)."""
     H, W = dataset.hw
-    budget = RayBudget.from_config(
-        cfg.N_rand, cfg.mouth_rays, cfg.torso_rays, cfg.sample_rate
-    )
+    if precrop:
+        dH = int(H // 2 * cfg.precrop_frac)
+        dW = int(W // 2 * cfg.precrop_frac)
+        budget = RayBudget(face=cfg.N_rand, background=0, mouth=0, torso=0)
+        crop_rect = jnp.array(
+            [W // 2 - dW, H // 2 - dH, 2 * dW - 1, 2 * dH - 1], jnp.int32
+        )
+    else:
+        budget = RayBudget.from_config(
+            cfg.N_rand, cfg.mouth_rays, cfg.torso_rays, cfg.sample_rate
+        )
     optimizer = make_optimizer(cfg)
     lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
     loss_fn = make_frame_loss(cfg, dataset, smooth_audio)
@@ -134,9 +146,10 @@ def make_head_train_step(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, data, index, key):
         k_sample, k_render = jax.random.split(key)
+        face_rect = crop_rect if precrop else data["face_rects"][index]
         coords = sample_ray_coords(
             k_sample, H, W,
-            data["face_rects"][index], data["mouth_boxes"][index],
+            face_rect, data["mouth_boxes"][index],
             data["torso_masks"][index], budget,
         )
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -205,28 +218,39 @@ class HeadTrainer:
         if self.ckpt is not None:
             self.ckpt.save(self.global_step, self.state)
 
-    def _step_fn(self, smooth: bool):
-        if smooth not in self._steps:
-            self._steps[smooth] = make_head_train_step(self.cfg, self.dataset, smooth)
-        return self._steps[smooth]
+    def _step_fn(self, smooth: bool, precrop: bool = False):
+        key = (smooth, precrop)
+        if key not in self._steps:
+            self._steps[key] = make_head_train_step(
+                self.cfg, self.dataset, smooth, precrop=precrop
+            )
+        return self._steps[key]
 
     @property
     def global_step(self) -> int:
         return int(self.state.step)
 
     def run(self, n_epochs: Optional[int] = None, log_every: Optional[int] = None,
-            on_metrics=None) -> Dict[str, float]:
+            on_metrics=None, frame_order: str = "sequential") -> Dict[str, float]:
         n_epochs = self.cfg.N_iters if n_epochs is None else n_epochs
         log_every = self.cfg.i_print if log_every is None else log_every
         metrics = {}
         t0 = time.time()
+        rng = np.random.RandomState(0)
         for epoch in range(n_epochs):
-            for index in range(self.dataset.size):
+            if frame_order == "random":
+                # baseline.py:578 — one random train frame per iteration
+                order = rng.randint(0, self.dataset.size, size=self.dataset.size)
+            else:
+                order = range(self.dataset.size)
+            for index in order:
+                index = int(index)
                 smooth = (
                     self.cfg.dim_aud > 29
                     and self.global_step >= self.cfg.nosmo_iters
                 )
-                step_fn = self._step_fn(smooth)
+                precrop = self.global_step < self.cfg.precrop_iters
+                step_fn = self._step_fn(smooth, precrop)
                 self.key, k = jax.random.split(self.key)
                 self.state, m = step_fn(self.state, self.data, index, k)
                 if self.global_step % log_every == 0:

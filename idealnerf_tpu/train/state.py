@@ -19,6 +19,7 @@ from idealnerf_tpu.models.audio_net import (
     init_audio_att_net, init_audio_net, init_ds_aud_net,
 )
 from idealnerf_tpu.models.face_nerf import init_face_nerf
+from idealnerf_tpu.models.variants import init_variant_extras, variant_nerf_config
 from idealnerf_tpu.train.schedule import exponential_lr
 
 
@@ -34,8 +35,8 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
 
 
 def init_train_state(key, cfg: ExperimentConfig, data_size: int) -> TrainState:
-    ks = jax.random.split(key, 5)
-    nerf_cfg = cfg.face_nerf_config()
+    ks = jax.random.split(key, 6)
+    nerf_cfg = variant_nerf_config(cfg)
     params = {
         "coarse": init_face_nerf(ks[0], nerf_cfg),
         "fine": init_face_nerf(ks[1], nerf_cfg),
@@ -43,6 +44,7 @@ def init_train_state(key, cfg: ExperimentConfig, data_size: int) -> TrainState:
         "aud_att": init_audio_att_net(ks[3], dim_aud=cfg.dim_aud, seq_len=cfg.smo_size),
         "ds_aud": init_ds_aud_net(ks[4], win_size=cfg.win_size),
     }
+    params.update(init_variant_extras(ks[5], cfg))
     latent = jnp.ones((data_size, cfg.dim_latent), jnp.float32)
     opt_state = make_optimizer(cfg).init((params, latent))
     return TrainState(

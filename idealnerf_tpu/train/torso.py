@@ -39,6 +39,7 @@ from idealnerf_tpu.core.render import render_rays
 from idealnerf_tpu.data.dataset import FrameDataset
 from idealnerf_tpu.data.sampler import RayBudget, rays_at_coords, sample_ray_coords
 from idealnerf_tpu.models.face_nerf import init_face_nerf, make_field_fn
+from idealnerf_tpu.models.variants import build_field_fns
 from idealnerf_tpu.train.head import compute_aud_feature
 from idealnerf_tpu.train.schedule import exponential_lr
 from idealnerf_tpu.train.state import TrainState
@@ -82,7 +83,6 @@ def make_torso_train_step(
     H, W = dataset.hw
     focal, cx, cy = dataset.focal, dataset.cx, dataset.cy
     near, far = dataset.near, dataset.far
-    head_cfg = cfg.face_nerf_config()
     tcfg = torso_nerf_config(cfg)
     render_cfg = cfg.render_config()
     lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
@@ -111,16 +111,18 @@ def make_torso_train_step(
         rays_o, rays_d = rays_at_coords(coords, focal, pose, cx, cy)
         rays_o_t, rays_d_t = rays_at_coords(coords, focal, pose0, cx, cy)
 
-        expr = data["exprs"][index] if head_cfg.dim_expr > 0 else None
+        expr = data["exprs"][index] if cfg.dim_expr > 0 else None
         latent = (
             head_params.get("latent_codes")[index]
             if head_params.get("latent_codes") is not None else None
         )
         k_h, k_t = (jax.random.split(key) if key is not None else (None, None))
+        # head fields are variant-aware: the frozen head may be any of the
+        # face_nerf / agg / attention variants (models/variants.py)
+        head_coarse, head_fine = build_field_fns(head_params, cfg, aud, expr, latent)
         head_out = render_rays(
-            make_field_fn(head_params["coarse"], head_cfg, aud, expr, latent),
-            rays_o, rays_d, bc_rgb, near, far, render_cfg, key=k_h,
-            fine_fn=make_field_fn(head_params["fine"], head_cfg, aud, expr, latent),
+            head_coarse, rays_o, rays_d, bc_rgb, near, far, render_cfg,
+            key=k_h, fine_fn=head_fine,
         )
         torso_out = render_rays(
             make_field_fn(torso_params["coarse"], tcfg, aud=signal),

@@ -12,4 +12,5 @@ def get_logger(name: str = "idealnerf") -> logging.Logger:
         )
         logger.addHandler(handler)
         logger.setLevel(logging.INFO)
+        logger.propagate = False  # avoid double lines via the root logger
     return logger
