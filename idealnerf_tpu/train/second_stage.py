@@ -1,0 +1,186 @@
+"""Second-stage / cross-identity fine-tuning (reference:
+NeRFs/HeadNeRF/train/distribute_nerf.py + utils/load_data/
+get_data_second_stage.py).
+
+What the reference does: fine-tune a trained head on the *target
+identity's* head images while conditioning on a *source subject's* audio
+(and landmarks), rendering the full face crop every step and optimizing
+MSE + LandmarkLoss over the crop (distribute_nerf.py:455-495; VGG/VGGFace
+losses are instantiated but commented out :483-486). Multi-GPU is a
+DataParallel ray-axis reshape (:457-462) — here that role is played by
+parallel/sharded.py's ray-axis mesh sharding.
+
+Here: ``make_cross_identity_dataset`` swaps the driving audio/expressions
+into the identity dataset; ``SecondStageTrainer`` renders a fixed-size
+face crop per step (static shapes for XLA) and optimizes MSE + an
+optional *traceable* aux loss over the crop (e.g.
+losses.landmark.landmark_feature_loss with a differentiable landmark
+head; FAN/VGG weights are not downloadable in this environment — see
+losses/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.core.render import render_rays
+from idealnerf_tpu.data.dataset import FrameDataset
+from idealnerf_tpu.data.sampler import rays_at_coords
+from idealnerf_tpu.models.variants import build_field_fns
+from idealnerf_tpu.train.head import compute_aud_feature
+from idealnerf_tpu.train.schedule import exponential_lr
+from idealnerf_tpu.train.state import TrainState, init_train_state, make_optimizer
+from idealnerf_tpu.utils.logging import get_logger
+
+logger = get_logger("idealnerf.second_stage")
+
+
+def make_cross_identity_dataset(
+    identity: FrameDataset,
+    driving_auds: np.ndarray,
+    driving_exprs: Optional[np.ndarray] = None,
+) -> FrameDataset:
+    """Identity frames/poses/crops + source subject's audio (and
+    optionally expressions), index-aligned with clamping — the pairing of
+    get_data_second_stage.py."""
+    n = identity.size
+    ids = np.minimum(np.arange(n), driving_auds.shape[0] - 1).astype(np.int32)
+    exprs = identity.exprs
+    if driving_exprs is not None:
+        exprs = driving_exprs[np.minimum(np.arange(n), driving_exprs.shape[0] - 1)]
+    return dataclasses.replace(
+        identity, auds=driving_auds.astype(np.float32), aud_ids=ids,
+        exprs=exprs.astype(np.float32),
+    )
+
+
+def make_second_stage_step(
+    cfg: ExperimentConfig,
+    dataset: FrameDataset,
+    crop: int,
+    smooth_audio: bool = False,
+    aux_loss: Optional[Callable] = None,
+):
+    """Jitted step rendering the full (crop × crop) face region.
+
+    ``aux_loss(pred_crop, target_crop) -> scalar`` must be jax-traceable
+    (it participates in the gradient like the reference's landmark loss).
+    """
+    H, W = dataset.hw
+    focal, cx, cy = dataset.focal, dataset.cx, dataset.cy
+    near, far = dataset.near, dataset.far
+    render_cfg = cfg.render_config()
+    optimizer = make_optimizer(cfg)
+    lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
+
+    def loss_fn(diff, data, index, key):
+        params, latent_codes = diff
+        aud = compute_aud_feature(
+            params, data["auds"], data["aud_ids"], index, cfg, smooth_audio
+        )
+        expr = data["exprs"][index] if cfg.dim_expr > 0 else None
+        latent = latent_codes[index] if cfg.dim_latent > 0 else None
+
+        # static-size crop anchored at the (clipped) face rect corner
+        rect = data["face_rects"][index]
+        x0 = jnp.clip(rect[0], 0, W - crop)
+        y0 = jnp.clip(rect[1], 0, H - crop)
+        rr = y0 + jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 0)
+        cc = x0 + jax.lax.broadcasted_iota(jnp.int32, (crop, crop), 1)
+        coords = jnp.stack([rr.reshape(-1), cc.reshape(-1)], axis=-1)
+
+        pose = data["poses"][index]
+        rays_o, rays_d = rays_at_coords(coords, focal, pose, cx, cy)
+        image = data["images"][index].astype(jnp.float32) / 255.0
+        bc = data["bc_img"].astype(jnp.float32) / 255.0
+        target = image[coords[:, 0], coords[:, 1]]
+        bc_rgb = bc[coords[:, 0], coords[:, 1]]
+
+        coarse_fn, fine_fn = build_field_fns(params, cfg, aud, expr, latent)
+        out = render_rays(
+            coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
+            key=key, fine_fn=fine_fn,
+        )
+        img_loss = jnp.mean((out["rgb_map"] - target) ** 2)
+        loss = img_loss + jnp.mean((out["rgb0"] - target) ** 2)
+        aux = 0.0
+        if aux_loss is not None:
+            pred_crop = out["rgb_map"].reshape(crop, crop, 3)
+            target_crop = target.reshape(crop, crop, 3)
+            aux = aux_loss(pred_crop, target_crop)
+            loss = loss + aux
+        return loss, {"img_loss": img_loss, "aux_loss": aux}
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, data, index, key):
+        (loss, auxm), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (state.params, state.latent_codes), data, index, key
+        )
+        updates, opt_state = optimizer.update(
+            grads, state.opt_state, (state.params, state.latent_codes)
+        )
+        params, latents = optax.apply_updates(
+            (state.params, state.latent_codes), updates
+        )
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log(auxm["img_loss"]) / jnp.log(10.0),
+            "aux_loss": auxm["aux_loss"],
+            "lr": lr_sched(state.step),
+        }
+        return TrainState(state.step + 1, params, latents, opt_state), metrics
+
+    return step
+
+
+class SecondStageTrainer:
+    def __init__(self, cfg: ExperimentConfig, identity: FrameDataset,
+                 driving_auds: np.ndarray,
+                 driving_exprs: Optional[np.ndarray] = None,
+                 init_params: Optional[Dict[str, Any]] = None,
+                 crop: int = 256, seed: int = 0,
+                 smooth_audio: bool = False,
+                 aux_loss: Optional[Callable] = None):
+        self.cfg = cfg
+        self.dataset = make_cross_identity_dataset(
+            identity, driving_auds, driving_exprs
+        )
+        self.data = self.dataset.to_device()
+        self.crop = min(crop, min(self.dataset.hw))
+        self.key = jax.random.PRNGKey(seed)
+        self.key, k = jax.random.split(self.key)
+        self.state = init_train_state(k, cfg, self.dataset.size)
+        if init_params is not None:
+            # fine-tune start: merge a head checkpoint with shape surgery
+            from idealnerf_tpu.ckpt import partial_restore
+
+            merged, dropped = partial_restore(init_params, self.state.params)
+            self.state = self.state._replace(params=merged)
+            if dropped:
+                logger.info("surgery dropped %d leaves", len(dropped))
+        self._step = make_second_stage_step(
+            cfg, self.dataset, self.crop, smooth_audio, aux_loss
+        )
+
+    def run(self, n_steps: int, log_every: int = 20, on_metrics=None):
+        metrics = {}
+        for i in range(n_steps):
+            index = i % self.dataset.size
+            self.key, k = jax.random.split(self.key)
+            self.state, m = self._step(self.state, self.data, index, k)
+            if i % log_every == 0:
+                metrics = {k2: float(v) for k2, v in m.items()}
+                if on_metrics is not None:
+                    on_metrics(i, metrics)
+                else:
+                    logger.info("[2ND] step %d loss %.5f psnr %.2f",
+                                i, metrics["loss"], metrics["psnr"])
+        return metrics

@@ -1,0 +1,224 @@
+"""Offline pipeline: audio feature chain, parse/plate/decouple steps,
+transforms writer (round-trips through the dataset loader), and the 3DMM
+landmark tracker recovering synthetic ground-truth poses."""
+
+import json
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from idealnerf_tpu.pipeline.audio import (
+    deepspeech_input_vector, extract_deepspeech_features,
+    interpolate_features, make_audio_windows, mfcc,
+)
+from idealnerf_tpu.pipeline.process import (
+    decouple_images, extract_background_plate, face_rect_from_landmarks,
+    parse_color_map, write_transforms,
+)
+from idealnerf_tpu.pipeline.tracking import (
+    Face3DMM, FaceTracker, euler2rot, forward_transform, lap_loss,
+)
+
+
+# --------------------------------------------------------------- audio
+
+def test_mfcc_shape_and_energy():
+    sr = 16000
+    t = np.arange(sr) / sr
+    audio = (np.sin(2 * np.pi * 440 * t) * 3000).astype(np.int16)
+    feat = mfcc(audio, sr, numcep=26)
+    # 25ms/10ms framing over 1s -> ~98-100 frames
+    assert 95 <= feat.shape[0] <= 101 and feat.shape[1] == 26
+    # c0 is log energy: louder signal -> larger c0
+    feat_quiet = mfcc((audio * 0.1).astype(np.int16), sr, numcep=26)
+    assert feat[:, 0].mean() > feat_quiet[:, 0].mean()
+
+
+def test_deepspeech_input_vector():
+    sr = 16000
+    audio = np.random.RandomState(0).randn(sr).astype(np.float64) * 1000
+    vec = deepspeech_input_vector(audio, sr)
+    assert vec.shape[1] == 19 * 26  # (2*9+1) context x 26 cepstra
+    assert abs(vec.mean()) < 1e-6 and abs(vec.std() - 1.0) < 1e-6
+
+
+def test_interpolate_and_windows():
+    feats = np.arange(100, dtype=np.float64)[:, None].repeat(29, 1)
+    out = interpolate_features(feats, 50, 25, 50)
+    assert out.shape == (50, 29)
+    np.testing.assert_allclose(out[:, 0], np.arange(50) * 2.0)
+
+    win = make_audio_windows(np.arange(40, dtype=np.float64)[:, None]
+                             .repeat(29, 1), win_size=16)
+    assert win.shape[1:] == (16, 29)
+    # first window zero-padded on the left half
+    assert (win[0, :8] == 0).all()
+
+
+def test_full_audio_chain_shapes_and_determinism():
+    sr = 16000
+    audio = np.random.RandomState(1).randn(2 * sr) * 2000
+    aud = extract_deepspeech_features(audio, sr, num_frames=50)
+    assert aud.shape == (50, 16, 29)
+    aud2 = extract_deepspeech_features(audio, sr, num_frames=50)
+    np.testing.assert_array_equal(aud, aud2)  # deterministic fallback
+    # audio-dependent (note: MFCC is sign-invariant — use different audio)
+    other = np.random.RandomState(2).randn(2 * sr) * 2000
+    aud3 = extract_deepspeech_features(other, sr, num_frames=50)
+    assert np.abs(aud - aud3).max() > 1e-3
+
+
+# ------------------------------------------------------------- process
+
+def test_parse_color_map():
+    cm = np.zeros((4, 6), np.int32)
+    cm[0, :] = 5    # face
+    cm[1, :] = 14   # hair
+    cm[2, :] = 16   # torso
+    cm[3, :] = 18   # face (>=17)
+    colors = parse_color_map(cm)
+    np.testing.assert_array_equal(colors[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(colors[1, 0], [0, 255, 0])
+    np.testing.assert_array_equal(colors[2, 0], [0, 0, 255])
+    np.testing.assert_array_equal(colors[3, 0], [255, 0, 0])
+    # class 0 = background -> white
+    cm2 = np.zeros((2, 2), np.int32)
+    np.testing.assert_array_equal(parse_color_map(cm2)[0, 0], [255, 255, 255])
+
+
+def test_background_plate_extraction():
+    h = w = 40
+    n = 4
+    rng = np.random.RandomState(0)
+    true_bg = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+    images, masks = [], []
+    for i in range(n):
+        img = true_bg.copy()
+        mask = np.zeros((h, w), bool)
+        x0 = 5 + 6 * i  # head moves across frames
+        mask[10:30, x0 : x0 + 10] = True
+        img[mask] = [200, 50, 50]
+        images.append(img)
+        masks.append(mask)
+    plate = extract_background_plate(np.stack(images), np.stack(masks))
+    assert plate.shape == (h, w, 3)
+    # pixels never covered by the head and far from it must match true bg
+    far = np.ones((h, w), bool)
+    far[5:35, 0:40] = False  # generous exclusion band around head sweep
+    if far.any():
+        match = (plate[far] == true_bg[far]).all(-1).mean()
+        assert match > 0.95, match
+
+
+def test_decouple_images():
+    h = w = 8
+    img = np.full((h, w, 3), 100, np.uint8)
+    plate = np.full((h, w, 3), 7, np.uint8)
+    parse = np.zeros((h, w, 3), np.uint8)
+    parse[:4] = [255, 0, 0]        # head
+    parse[4:6] = [0, 0, 255]       # torso
+    parse[6:] = [255, 255, 255]    # background
+    com, head = decouple_images(img, parse, plate)
+    np.testing.assert_array_equal(com[6, 0], [7, 7, 7])     # bg replaced
+    np.testing.assert_array_equal(com[4, 0], [100, 100, 100])  # torso kept
+    np.testing.assert_array_equal(head[0, 0], [100, 100, 100])  # head kept
+    np.testing.assert_array_equal(head[4, 0], [7, 7, 7])    # torso removed
+
+
+def test_write_transforms_roundtrip(tmp_path):
+    from idealnerf_tpu.data.dataset import load_transforms_dataset
+
+    n, h, w = 11, 32, 32
+    rng = np.random.RandomState(0)
+    euler = rng.randn(n, 3).astype(np.float32) * 0.1
+    trans = np.tile([0.0, 0.0, -0.9], (n, 1)).astype(np.float32)
+    exps = rng.randn(n, 6).astype(np.float32)
+    lms = {i: np.c_[rng.uniform(8, 24, 68), rng.uniform(8, 24, 68)]
+           for i in range(n)}
+    out = str(tmp_path)
+    written = write_transforms(out, list(range(n)), euler, trans, exps,
+                               lms, focal=60.0, h=h, w=w, subject="tst")
+    with open(written["train"]) as fh:
+        doc = json.load(fh)
+    assert len(doc["frames"]) == 10 and doc["focal_len"] == 60.0  # 10/11 split
+    pose = np.array(doc["frames"][0]["transform_matrix"])
+    # pose is the inverse extrinsic: R_pose = R.T (orthonormal)
+    np.testing.assert_allclose(pose[:3, :3] @ pose[:3, :3].T, np.eye(3), atol=1e-5)
+    # near/far config written with mean_z +- 0.2/0.4
+    cfg_txt = open(written["HeadNeRF_config.txt"]).read()
+    near_val = float([l for l in cfg_txt.splitlines() if l.startswith("near")][0].split("=")[1])
+    far_val = float([l for l in cfg_txt.splitlines() if l.startswith("far")][0].split("=")[1])
+    assert abs(near_val - 0.7) < 1e-5 and abs(far_val - 1.3) < 1e-5
+
+    # full roundtrip through the dataset loader (needs images on disk)
+    os.makedirs(os.path.join(out, "head_imgs"))
+    os.makedirs(os.path.join(out, "ori_imgs"))
+    os.makedirs(os.path.join(out, "parsing"))
+    import imageio.v2 as imageio
+
+    imageio.imwrite(os.path.join(out, "bc.jpg"),
+                    np.zeros((h, w, 3), np.uint8))
+    np.save(os.path.join(out, "aud.npy"),
+            rng.randn(n, 16, 29).astype(np.float32))
+    for i in range(n):
+        imageio.imwrite(os.path.join(out, "head_imgs", f"{i}.jpg"),
+                        np.zeros((h, w, 3), np.uint8))
+        np.savetxt(os.path.join(out, "ori_imgs", f"{i}.lms"), lms[i])
+        imageio.imwrite(os.path.join(out, "parsing", f"{i}.png"),
+                        np.zeros((h, w, 3), np.uint8))
+    ds = load_transforms_dataset(out, mode="train")
+    assert ds.size == 10 and ds.focal == 60.0
+    assert ds.exprs.shape == (10, 6)
+
+
+# ------------------------------------------------------------- tracker
+
+def np_euler2rot_reference(e):
+    """Independent numpy port of util.py:18-40 (column-cat layout)."""
+    t, p, s = e
+    rx = np.array([[1, 0, 0], [0, np.cos(t), -np.sin(t)], [0, np.sin(t), np.cos(t)]])
+    ry = np.array([[np.cos(p), 0, np.sin(p)], [0, 1, 0], [-np.sin(p), 0, np.cos(p)]])
+    rz = np.array([[np.cos(s), np.sin(s), 0], [-np.sin(s), np.cos(s), 0], [0, 0, 1]])
+    return rx @ ry @ rz
+
+
+def test_euler2rot_matches_reference_layout():
+    e = np.array([[0.3, -0.2, 0.5]], np.float32)
+    got = np.asarray(euler2rot(jnp.asarray(e)))[0]
+    want = np_euler2rot_reference(e[0])
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_allclose(got @ got.T, np.eye(3), atol=1e-5)
+
+
+def test_lap_loss_zero_for_linear():
+    series = jnp.arange(10.0)[:, None].repeat(3, 1)
+    assert float(lap_loss(series)) < 1e-10
+    noisy = series.at[5, 0].add(1.0)
+    assert float(lap_loss(noisy)) > 1e-4
+
+
+def test_tracker_recovers_synthetic_pose():
+    model = Face3DMM.synthetic(n_vertices=200, n_id=8, n_exp=4, seed=0)
+    rng = np.random.RandomState(1)
+    n = 6
+    gt_euler = (rng.randn(n, 3) * 0.05).astype(np.float32)
+    gt_trans = np.tile([0.0, 0.0, -7.0], (n, 1)).astype(np.float32)
+    gt_trans[:, :2] += rng.randn(n, 2) * 0.05
+    focal_gt = 1000.0
+
+    lan3d = np.asarray(model.landmarks(jnp.zeros((1, 8)), jnp.zeros((n, 4))))
+    gt_lan = np.asarray(forward_transform(
+        jnp.asarray(lan3d), jnp.asarray(gt_euler), jnp.asarray(gt_trans),
+        focal_gt, (225.0, 225.0),
+    ))[..., :2]
+
+    tracker = FaceTracker(model, 450, 450,
+                          focal_candidates=[800, 1000, 1200])
+    result = tracker.fit(gt_lan, steps_focal=150, steps_global=500,
+                         steps_refine=100, lap_weight=0.0)
+    assert result.focal == 1000.0, result.focal
+    # reprojection error in pixels
+    assert result.loss < 2.0, result.loss
+    np.testing.assert_allclose(result.euler, gt_euler, atol=0.05)
