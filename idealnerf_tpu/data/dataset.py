@@ -101,12 +101,21 @@ def load_transforms_dataset(
     if max_frames is not None:
         frames = frames[:max_frames]
 
-    images, poses, aud_ids, exprs, rects, mouth_boxes, torso_masks = (
-        [], [], [], [], [], [], []
+    # frame images: native threaded JPEG decode into one contiguous
+    # buffer (data/native_loader.py; imageio fallback)
+    from idealnerf_tpu.data.native_loader import decode_jpeg_batch
+
+    img_paths = [
+        os.path.join(datadir, gt_dirs, f"{f['img_id']}.jpg") for f in frames
+    ]
+    probe = _load_image(img_paths[0])
+    images_arr = decode_jpeg_batch(img_paths, probe.shape[0], probe.shape[1])
+
+    poses, aud_ids, exprs, rects, mouth_boxes, torso_masks = (
+        [], [], [], [], [], []
     )
     for frame in frames:
         img_id = frame["img_id"]
-        images.append(_load_image(os.path.join(datadir, gt_dirs, f"{img_id}.jpg")))
         poses.append(np.array(frame["transform_matrix"], np.float32)[:3, :4])
         aud_ids.append(min(int(frame["aud_id"]), auds.shape[0] - 1))
         exprs.append(np.array(frame["exp"], np.float32))
@@ -128,7 +137,7 @@ def load_transforms_dataset(
         torso_masks.append(torso.astype(np.uint8))
 
     return FrameDataset(
-        images=np.stack(images),
+        images=images_arr,
         poses=np.stack(poses),
         auds=auds,
         aud_ids=np.array(aud_ids, np.int32),

@@ -16,8 +16,10 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+from idealnerf_tpu.core.composite import raw2outputs
 from idealnerf_tpu.core.rays import get_rays
 from idealnerf_tpu.core.render import RenderConfig, render_rays
+from idealnerf_tpu.core.sampling import sample_pdf, stratified_sample
 
 
 def render_frame(
@@ -145,6 +147,123 @@ def make_composite_frame_renderer(
         )
 
     return _render
+
+
+def render_frame_pruned(
+    coarse_fn,
+    fine_fn,
+    H: int,
+    W: int,
+    focal,
+    pose,
+    bc_img: jnp.ndarray,
+    near,
+    far,
+    cfg: RenderConfig,
+    cx=None,
+    cy=None,
+    tile: int = 8192,
+    keep_fraction: float = 0.45,
+    fine_tile: int = 4096,
+) -> jnp.ndarray:
+    """Foreground-pruned hierarchical eval render.
+
+    TPU-native algorithmic optimization (no reference counterpart — the
+    reference evaluates 64+192 samples on every pixel of the frame,
+    eval_aud_exp_nerf.py): most eval rays never hit the head; their
+    coarse pass already composites to the known background plate with
+    ~zero accumulated opacity. So: coarse-render all rays, keep the
+    static top-K (= keep_fraction · H·W, shape-static for XLA) rays by
+    coarse opacity, run the expensive fine pass only on those, and
+    scatter the fine colors over the coarse image. With keep_fraction
+    0.4-0.5 the fine workload drops >2× at visually identical output
+    (the dropped rays' fine result would equal their coarse result: both
+    composite the plate).
+    """
+    cfg = cfg.eval_mode()
+    rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    bc = bc_img.reshape(-1, 3)
+    n = rays_o.shape[0]
+
+    coarse_cfg = RenderConfig(
+        n_samples=cfg.n_samples, n_importance=0, perturb=False,
+        lindisp=cfg.lindisp, density_activation=cfg.density_activation,
+        white_bkgd=cfg.white_bkgd,
+    )
+
+    n_pad = (-n) % tile
+    def pad(x, fill=0.0):
+        if not n_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((n_pad,) + x.shape[1:], fill, x.dtype)], 0
+        )
+
+    ro_p, rd_p, bc_p = pad(rays_o, 1.0), pad(rays_d, -1.0), pad(bc)
+
+    def coarse_tile(args):
+        o, d, b = args
+        out = render_rays(coarse_fn, o, d, b, near, far, coarse_cfg)
+        return out["rgb_map"], out["weights"], out["acc_map"]
+
+    rgb_c, weights_c, acc_c = jax.lax.map(
+        coarse_tile,
+        (ro_p.reshape(-1, tile, 3), rd_p.reshape(-1, tile, 3),
+         bc_p.reshape(-1, tile, 3)),
+    )
+    rgb_c = rgb_c.reshape(-1, 3)[:n]
+    weights_c = weights_c.reshape(-1, weights_c.shape[-1])[:n]
+    acc_c = acc_c.reshape(-1)[:n]
+
+    # static top-K foreground rays; acc excludes the forced bg sample
+    k = int(n * keep_fraction)
+    k = max(k - k % 256, 256)  # tile-friendly
+    score = acc_c - weights_c[:, -1]
+    _, keep = jax.lax.top_k(score, k)
+
+    ro_k, rd_k, bc_k = rays_o[keep], rays_d[keep], bc[keep]
+    w_k = weights_c[keep]
+    viewdirs = rd_k / jnp.linalg.norm(rd_k, axis=-1, keepdims=True)
+
+    fine_tile = min(fine_tile, max(256, k))
+    k_pad = (-k) % fine_tile
+    def padk(x, fill=0.0):
+        if not k_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((k_pad,) + x.shape[1:], fill, x.dtype)], 0
+        )
+
+    def fine_tile_fn(args):
+        # per-tile inverse-CDF resampling: the masked-reduce inside
+        # sample_pdf materializes (rays, n_importance, bins) — tiled here
+        # so the intermediate stays ~tens of MB instead of GBs
+        o, d, vd, w, b = args
+        z_vals = stratified_sample(near, far, cfg.n_samples, o.shape[0],
+                                   key=None, lindisp=cfg.lindisp)
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(z_mid, w[..., 1:-1], cfg.n_importance)
+        z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        pts = o[:, None, :] + d[:, None, :] * z[..., None]
+        raw = fine_fn(pts, vd)
+        out = raw2outputs(raw, z, d, b,
+                          density_activation=cfg.density_activation)
+        return out.rgb
+
+    Sw = w_k.shape[-1]
+    rgb_f = jax.lax.map(
+        fine_tile_fn,
+        (padk(ro_k, 1.0).reshape(-1, fine_tile, 3),
+         padk(rd_k, -1.0).reshape(-1, fine_tile, 3),
+         padk(viewdirs, -1.0).reshape(-1, fine_tile, 3),
+         padk(w_k, 1.0).reshape(-1, fine_tile, Sw),
+         padk(bc_k).reshape(-1, fine_tile, 3)),
+    ).reshape(-1, 3)[:k]
+
+    img = rgb_c.at[keep].set(rgb_f)
+    return img.reshape(H, W, 3)
 
 
 def make_frame_renderer(

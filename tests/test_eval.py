@@ -90,3 +90,31 @@ def test_reenactment_cross_subject(tmp_path):
         compute_dtype=None, tile=400,
     )
     assert np.abs(frames - frames2).max() > 1e-4
+
+
+def test_pruned_renderer_keep_all_matches_full():
+    """keep_fraction=1.0 must reproduce the full hierarchical render
+    exactly (validates selection/scatter plumbing); lower fractions are a
+    speed/quality trade documented in render_frame_pruned."""
+    import jax
+
+    from idealnerf_tpu.eval.renderer import render_frame, render_frame_pruned
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+    from idealnerf_tpu.train.state import init_train_state
+
+    cfg = ExperimentConfig(**TINY)
+    ds = make_synthetic_dataset(n_frames=2, H=32, W=32, dim_expr=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, 2)
+    ncfg = cfg.face_nerf_config()
+    aud = jnp.ones((64,))
+    cf = make_field_fn(state.params["coarse"], ncfg, aud, ds.exprs[0], state.latent_codes[0])
+    ff = make_field_fn(state.params["fine"], ncfg, aud, ds.exprs[0], state.latent_codes[0])
+    bc = jnp.asarray(ds.bc_img, jnp.float32) / 255.0
+    pose = jnp.asarray(ds.poses[0])
+    args = (32, 32, ds.focal, pose, bc, ds.near, ds.far, cfg.render_config())
+    kw = dict(cx=ds.cx, cy=ds.cy, tile=256)
+    full = render_frame(cf, *args, fine_fn=ff, **kw)
+    pruned = render_frame_pruned(cf, ff, *args, keep_fraction=1.0, **kw)
+    np.testing.assert_allclose(np.asarray(pruned), np.asarray(full), atol=1e-5)
+    half = render_frame_pruned(cf, ff, *args, keep_fraction=0.5, **kw)
+    assert half.shape == (32, 32, 3) and jnp.isfinite(half).all()
