@@ -132,6 +132,17 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
         return self._ckptr.restore(self._step_dir(step), like)
 
+    def restore_raw(self, step: Optional[int] = None) -> Any:
+        """Restore without a structure target — whatever was saved.
+        Needed when array sizes are data-dependent (e.g. the per-frame
+        latent table is train-set-sized but eval loads a differently
+        sized split)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.directory}")
+        return self._ckptr.restore(self._step_dir(step))
+
     def restore_partial(self, like: Any, step: Optional[int] = None):
         """Restore with shape-mismatch surgery (see partial_restore)."""
         import orbax.checkpoint as ocp

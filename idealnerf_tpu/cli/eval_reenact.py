@@ -33,9 +33,17 @@ def main(argv=None):
     identity = resolve_dataset(args, cfg, mode="val")
     state = init_train_state(jax.random.PRNGKey(args.seed), cfg, identity.size)
     if args.head_ckpt:
+        # raw restore: latent table is train-set-sized, eval uses [0]
         from idealnerf_tpu.ckpt import CheckpointManager
 
-        state = CheckpointManager(args.head_ckpt).restore(state)
+        import jax.numpy as jnp
+
+        raw = CheckpointManager(args.head_ckpt).restore_raw()
+        state = state._replace(
+            params=raw["params"],
+            latent_codes=jnp.asarray(raw["latent_codes"]),
+            step=jnp.asarray(raw["step"]),
+        )
         logger.info("head from %s step %d", args.head_ckpt, int(state.step))
     else:
         logger.warning("no --head_ckpt: rendering with fresh weights (dry run)")

@@ -1,0 +1,92 @@
+"""Render the val split through a trained model to video + metrics
+(reference: NeRFs/HeadNeRF/test/test_nerf.py, test_unet_att_nerf.py, and
+the metric-less eval twins — this adds PSNR/SSIM against ground truth,
+which the reference only eyeballed via TensorBoard)."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from idealnerf_tpu.cli.common import build_parser, resolve_config, resolve_dataset
+from idealnerf_tpu.eval.metrics import psnr, ssim
+from idealnerf_tpu.eval.renderer import make_frame_renderer
+from idealnerf_tpu.eval.video import VideoWriter
+from idealnerf_tpu.models.variants import variant_conditioning, variant_nerf_config
+from idealnerf_tpu.train.head import compute_aud_feature
+from idealnerf_tpu.train.state import init_train_state
+from idealnerf_tpu.utils.logging import get_logger
+
+logger = get_logger("idealnerf.cli")
+
+
+def main(argv=None):
+    parser = build_parser(__doc__)
+    parser.add_argument("--head_ckpt", type=str, required=False)
+    parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--pruned", type=int, default=0,
+                        help="use the foreground-pruned fast eval path")
+    args = parser.parse_args(argv)
+    cfg = resolve_config(args)
+
+    ds = resolve_dataset(args, cfg, mode="val")
+    state = init_train_state(jax.random.PRNGKey(args.seed), cfg, ds.size)
+    if args.head_ckpt:
+        # raw restore: the latent table is train-set-sized; eval only
+        # needs latent_codes[0] (eval_aud_exp_nerf.py:472)
+        from idealnerf_tpu.ckpt import CheckpointManager
+
+        raw = CheckpointManager(args.head_ckpt).restore_raw()
+        state = state._replace(
+            params=raw["params"],
+            latent_codes=jnp.asarray(raw["latent_codes"]),
+            step=jnp.asarray(raw["step"]),
+        )
+    else:
+        logger.warning("no --head_ckpt: rendering fresh weights (dry run)")
+
+    H, W = ds.hw
+    head_cfg = variant_nerf_config(cfg)
+    render = make_frame_renderer(
+        head_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
+        cx=ds.cx, cy=ds.cy,
+        tile=min(8192, H * W),
+        compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else None,
+        use_pallas=jax.default_backend() == "tpu",
+    )
+    data = ds.to_device()
+    bc = data["bc_img"].astype(jnp.float32) / 255.0
+    smooth = cfg.dim_aud > 29 and int(state.step) >= cfg.nosmo_iters
+
+    save_path = cfg.save_path or "output/render"
+    out = os.path.join(save_path, f"{cfg.expname}_val.avi")
+    n = ds.size if args.max_frames is None else min(args.max_frames, ds.size)
+    psnrs, ssims = [], []
+    with VideoWriter(out) as writer:
+        for i in range(n):
+            aud = compute_aud_feature(
+                state.params, data["auds"], data["aud_ids"], i, cfg, smooth
+            )
+            expr = data["exprs"][i] if cfg.dim_expr > 0 else None
+            aud_arg, expr_arg = variant_conditioning(state.params, cfg, aud, expr)
+            latent = (
+                state.latent_codes[0] if cfg.dim_latent > 0 else None
+            )  # eval uses latent_codes[0] (eval_aud_exp_nerf.py:472)
+            frame = render(state.params, data["poses"][i], bc,
+                           aud=aud_arg, expr=expr_arg, latent=latent)
+            gt = data["images"][i].astype(jnp.float32) / 255.0
+            psnrs.append(float(psnr(frame, gt)))
+            ssims.append(float(ssim(frame, gt)))
+            writer.add(np.asarray(jnp.clip(frame, 0, 1)))
+            logger.info("val frame %d/%d psnr %.2f ssim %.3f",
+                        i + 1, n, psnrs[-1], ssims[-1])
+    logger.info("val set: mean PSNR %.2f, mean SSIM %.3f -> %s",
+                float(np.mean(psnrs)), float(np.mean(ssims)), out)
+    return float(np.mean(psnrs))
+
+
+if __name__ == "__main__":
+    main()

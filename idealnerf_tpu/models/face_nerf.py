@@ -176,6 +176,34 @@ def apply_folded(
     return jnp.concatenate([rgb, alpha], axis=-1)
 
 
+def apply_point_conditioned(
+    params: Dict,
+    cfg: FaceNeRFConfig,
+    pe_pts: jnp.ndarray,
+    pe_dirs: Optional[jnp.ndarray],
+    cond_pts: jnp.ndarray,
+) -> jnp.ndarray:
+    """Forward with PER-POINT conditioning (N, dim_aud) occupying the aud
+    slot — used by the GRF/unet path where each sample point carries its
+    own gathered image feature (NeRFAttentionModel's decoder input,
+    nerf_attention_model.py:26-43). Bias folding does not apply here;
+    this is the honest concat formulation."""
+    initial = jnp.concatenate([pe_pts, cond_pts.astype(pe_pts.dtype)], axis=-1)
+    h = initial
+    for i, layer in enumerate(params["pts"]):
+        h = jax.nn.relu(h @ layer["w"] + layer["b"])
+        if i in cfg.skips:
+            h = jnp.concatenate([initial, h], axis=-1)
+    if not cfg.use_viewdirs:
+        return h @ params["output"]["w"] + params["output"]["b"]
+    alpha = h @ params["alpha"]["w"] + params["alpha"]["b"]
+    hv = jnp.concatenate([h, pe_dirs], axis=-1)
+    for layer in params["views"]:
+        hv = jax.nn.relu(hv @ layer["w"] + layer["b"])
+    rgb = hv @ params["rgb"]["w"] + params["rgb"]["b"]
+    return jnp.concatenate([rgb, alpha], axis=-1)
+
+
 def apply_face_nerf(
     params: Dict,
     cfg: FaceNeRFConfig,

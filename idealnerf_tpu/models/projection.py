@@ -56,11 +56,12 @@ def gather_image_features(
     pts: jnp.ndarray,
     pose: jnp.ndarray,
     intrinsic: jnp.ndarray,
-    feature_map: jnp.ndarray,  # (C, H, W) or (H, W, C)
+    feature_map: jnp.ndarray,  # (H, W, C); channels_first for (C, H, W)
+    channels_first: bool = False,
 ) -> jnp.ndarray:
     """(N, C + 2): per-point source-view features ‖ their pixel indices
     (helper.py:351-368)."""
-    if feature_map.ndim == 3 and feature_map.shape[0] > feature_map.shape[-1]:
+    if channels_first:
         feature_map = jnp.transpose(feature_map, (1, 2, 0))  # CHW -> HWC
     H, W = feature_map.shape[0], feature_map.shape[1]
     idx = project_points(pts, pose, intrinsic, H, W)
