@@ -38,10 +38,20 @@ def make_sharded_train_step(
     dataset: FrameDataset,
     mesh: Mesh,
     smooth_audio: bool = False,
+    remat: bool = False,
 ):
     """Jitted ``step(state, data, indices (B,), key) -> (state, metrics)``
     with B = batch of frames; B must be divisible by the 'data' axis size
-    and the ray budget by the 'ray' axis size."""
+    and the ray budget by the 'ray' axis size.
+
+    ``remat`` rematerializes each frame's forward during backward
+    (jax.checkpoint). Measured on v5e at paper scale (3072 rays, 64+128):
+    1 frame/chip runs 8.5 steps/s without remat and fills HBM (~5 GB
+    backward residuals/frame); 2 frames/chip fit only WITH remat but the
+    recompute drops throughput to 5.2 frames/s — so the recommended
+    layout is one paper-scale frame per chip (remat off), scaling frames
+    across the 'data' mesh axis; turn remat on only when a bigger
+    per-chip batch is required for optimization reasons."""
     H, W = dataset.hw
     budget = RayBudget.from_config(
         cfg.N_rand, cfg.mouth_rays, cfg.torso_rays, cfg.sample_rate
@@ -49,6 +59,8 @@ def make_sharded_train_step(
     optimizer = make_optimizer(cfg)
     lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
     frame_loss = make_frame_loss(cfg, dataset, smooth_audio)
+    if remat:
+        frame_loss = jax.checkpoint(frame_loss)
 
     coords_sharding = NamedSharding(mesh, P("data", "ray", None))
     replicated = NamedSharding(mesh, P())
