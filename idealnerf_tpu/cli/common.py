@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 from idealnerf_tpu.config import ExperimentConfig
 from idealnerf_tpu.data.dataset import FrameDataset, load_transforms_dataset

@@ -10,8 +10,7 @@ working set), everything else fused by XLA. Deterministic sampling
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

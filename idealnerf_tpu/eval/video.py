@@ -5,8 +5,6 @@ reference eval outputs (eval_aud_exp_nerf.py:479-496, test_torso.py:
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from idealnerf_tpu.utils.metrics import to8b

@@ -17,7 +17,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from idealnerf_tpu.models.nn import xavier_uniform
 
 
 def _init_conv2d(key, in_ch, out_ch, k, dtype=jnp.float32):

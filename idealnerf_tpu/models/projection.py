@@ -11,7 +11,6 @@ and the gather is a vectorized take instead of python fancy indexing.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

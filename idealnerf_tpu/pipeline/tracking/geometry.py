@@ -5,7 +5,6 @@ util.py:60-69), landmark/Laplacian losses, triangle normals."""
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

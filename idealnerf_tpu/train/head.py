@@ -32,7 +32,6 @@ from idealnerf_tpu.core.render import render_rays
 from idealnerf_tpu.models.audio_net import (
     apply_audio_att_net, apply_audio_net, apply_ds_aud_net,
 )
-from idealnerf_tpu.models.face_nerf import make_field_fn
 from idealnerf_tpu.models.variants import build_field_fns
 from idealnerf_tpu.train.schedule import exponential_lr
 from idealnerf_tpu.train.state import TrainState, init_train_state, make_optimizer

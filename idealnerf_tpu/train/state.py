@@ -45,7 +45,9 @@ def init_train_state(key, cfg: ExperimentConfig, data_size: int) -> TrainState:
         "ds_aud": init_ds_aud_net(ks[4], win_size=cfg.win_size),
     }
     params.update(init_variant_extras(ks[5], cfg))
-    latent = jnp.ones((data_size, cfg.dim_latent), jnp.float32)
+    # dim_latent=0 (baseline) keeps a 1-wide dummy table: zero-size arrays
+    # are unoptimizable noise and orbax refuses to checkpoint them
+    latent = jnp.ones((data_size, max(cfg.dim_latent, 1)), jnp.float32)
     opt_state = make_optimizer(cfg).init((params, latent))
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -24,7 +24,6 @@ or optimizer param-group surgery).
 from __future__ import annotations
 
 import functools
-import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -42,7 +41,6 @@ from idealnerf_tpu.models.face_nerf import init_face_nerf, make_field_fn
 from idealnerf_tpu.models.variants import build_field_fns
 from idealnerf_tpu.train.head import compute_aud_feature
 from idealnerf_tpu.train.schedule import exponential_lr
-from idealnerf_tpu.train.state import TrainState
 from idealnerf_tpu.utils.logging import get_logger
 
 logger = get_logger("idealnerf.torso")

@@ -22,11 +22,10 @@ Ray batches put the 68 landmark pixels first, then the regular budget.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from idealnerf_tpu.config import ExperimentConfig

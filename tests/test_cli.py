@@ -1,0 +1,71 @@
+"""CLI smoke tests: the user-facing entry points run end-to-end with
+--synthetic at tiny scale (in-process main() calls — same argv surface
+as python -m)."""
+
+import os
+
+import numpy as np
+import pytest
+
+COMMON = [
+    "--synthetic", "3", "--synthetic_hw", "32",
+    "--dim_aud", "64", "--dim_expr", "8", "--dim_latent", "32",
+    "--N_rand", "96", "--mouth_rays", "8", "--torso_rays", "8",
+    "--N_samples", "6", "--N_importance", "6",
+    "--nosmo_iters", "1000000", "--i_print", "5",
+    "--density_activation", "softplus",
+]
+
+
+def _args(tmp_path, expname, extra=()):
+    return COMMON + ["--basedir", str(tmp_path), "--expname", expname,
+                     *extra]
+
+
+def test_cli_train_head_then_eval_chain(tmp_path):
+    from idealnerf_tpu.cli.eval_reenact import main as eval_main
+    from idealnerf_tpu.cli.render_val import main as val_main
+    from idealnerf_tpu.cli.train_head import main as train_main
+
+    train_main(_args(tmp_path, "smoke", ["--epochs", "2"]))
+    ckpt = str(tmp_path / "smoke" / "ckpt")
+    assert os.path.isdir(ckpt)
+    assert os.path.exists(tmp_path / "smoke" / "args.txt")
+    assert os.path.exists(tmp_path / "smoke" / "metrics.jsonl")
+
+    out = str(tmp_path / "out")
+    eval_main(_args(tmp_path, "smoke",
+                    ["--head_ckpt", ckpt, "--max_frames", "1",
+                     "--save_path", out]))
+    assert os.path.getsize(os.path.join(out, "smoke.avi")) > 0
+
+    mean_psnr = val_main(_args(tmp_path, "smoke",
+                               ["--head_ckpt", ckpt, "--max_frames", "1",
+                                "--save_path", out]))
+    assert np.isfinite(mean_psnr)
+
+
+def test_cli_train_torso_against_head(tmp_path):
+    from idealnerf_tpu.cli.train_head import main as train_main
+    from idealnerf_tpu.cli.train_torso import main as torso_main
+
+    train_main(_args(tmp_path, "smoke2", ["--epochs", "1"]))
+    torso_main(_args(tmp_path, "smoke2",
+                     ["--head_ckpt", str(tmp_path / "smoke2" / "ckpt"),
+                      "--steps", "2", "--smooth_audio", "0"]))
+    assert os.path.isdir(tmp_path / "smoke2_torso" / "ckpt")
+
+
+def test_cli_train_baseline(tmp_path):
+    from idealnerf_tpu.cli.train_baseline import main
+
+    main(_args(tmp_path, "base", ["--epochs", "1", "--precrop_iters", "2"]))
+    assert os.path.isdir(tmp_path / "base" / "ckpt")
+
+
+def test_cli_process_data_missing_inputs(tmp_path):
+    from idealnerf_tpu.cli.process_data import main
+
+    os.makedirs(tmp_path / "subj" / "ori_imgs")
+    # no frames at all -> clean error path, no exception
+    main(["--id_dir", str(tmp_path / "subj")])
