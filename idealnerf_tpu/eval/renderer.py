@@ -265,6 +265,146 @@ def render_frame_pruned(
     return img.reshape(H, W, 3)
 
 
+def foreground_prior(dataset, margin: int = 12):
+    """Subject foreground prior for masked eval: union of all frames'
+    face rects and torso masks, dilated by ``margin`` pixels. Returns
+    (mask (H, W) bool, k_coarse) with k_coarse padded to a tile-friendly
+    static count. Legitimate subject data — the parse maps the offline
+    pipeline already produces (SURVEY §2.6)."""
+    import numpy as np
+
+    H, W = dataset.hw
+    mask = np.zeros((H, W), bool)
+    for i in range(dataset.size):
+        x, y, w, h = [int(v) for v in dataset.face_rects[i]]
+        mask[max(y - margin, 0) : min(y + h + margin, H),
+             max(x - margin, 0) : min(x + w + margin, W)] = True
+    mask |= dataset.torso_masks.any(0).astype(bool)
+    # dilate the torso contribution too
+    from scipy.ndimage import binary_dilation
+
+    mask = binary_dilation(mask, iterations=margin)
+    k = int(mask.sum())
+    k = min(H * W, ((k + 255) // 256) * 256)
+    return mask, k
+
+
+def render_frame_prior_masked(
+    coarse_fn,
+    fine_fn,
+    H: int,
+    W: int,
+    focal,
+    pose,
+    bc_img: jnp.ndarray,
+    near,
+    far,
+    cfg: RenderConfig,
+    prior_mask: jnp.ndarray,   # (H, W) bool subject foreground prior
+    k_coarse: int,             # static count of prior rays (foreground_prior)
+    cx=None,
+    cy=None,
+    keep_fraction: float = 0.5,
+    coarse_tile: int = 4096,
+    fine_tile: int = 4096,
+) -> jnp.ndarray:
+    """Prior-masked + opacity-pruned eval render.
+
+    Second pruning level on top of render_frame_pruned: rays outside the
+    subject's foreground prior never see ANY network — their trained
+    composite is the background plate by construction (raw2outputs forces
+    the final sample to the plate; empty rays transmit to it). Coarse
+    runs only on the k_coarse prior rays; the fine pass on the top
+    keep_fraction of those by coarse opacity. Everything stays
+    shape-static.
+    """
+    cfg = cfg.eval_mode()
+    rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+    rays_o = rays_o.reshape(-1, 3)
+    rays_d = rays_d.reshape(-1, 3)
+    bc = bc_img.reshape(-1, 3)
+    n = rays_o.shape[0]
+
+    # static selection of the prior rays (mask is 0/1; ties broken by
+    # index via iota epsilon so selection is deterministic)
+    score = prior_mask.reshape(-1).astype(jnp.float32)
+    _, sel = jax.lax.top_k(score, k_coarse)
+
+    ro_s, rd_s, bc_s = rays_o[sel], rays_d[sel], bc[sel]
+
+    coarse_cfg = RenderConfig(
+        n_samples=cfg.n_samples, n_importance=0, perturb=False,
+        lindisp=cfg.lindisp, density_activation=cfg.density_activation,
+        white_bkgd=cfg.white_bkgd,
+    )
+
+    kc_pad = (-k_coarse) % coarse_tile
+    def padc(x, fill=0.0):
+        if not kc_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((kc_pad,) + x.shape[1:], fill, x.dtype)], 0
+        )
+
+    def coarse_tile_fn(args):
+        o, d, b = args
+        out = render_rays(coarse_fn, o, d, b, near, far, coarse_cfg)
+        return out["rgb_map"], out["weights"], out["acc_map"]
+
+    rgb_c, w_c, acc_c = jax.lax.map(
+        coarse_tile_fn,
+        (padc(ro_s, 1.0).reshape(-1, coarse_tile, 3),
+         padc(rd_s, -1.0).reshape(-1, coarse_tile, 3),
+         padc(bc_s).reshape(-1, coarse_tile, 3)),
+    )
+    rgb_c = rgb_c.reshape(-1, 3)[:k_coarse]
+    w_c = w_c.reshape(-1, w_c.shape[-1])[:k_coarse]
+    acc_c = acc_c.reshape(-1)[:k_coarse]
+
+    k_fine = int(k_coarse * keep_fraction)
+    k_fine = max(k_fine - k_fine % 256, 256)
+    _, keep = jax.lax.top_k(acc_c - w_c[:, -1], k_fine)
+
+    ro_k, rd_k, bc_k, w_k = ro_s[keep], rd_s[keep], bc_s[keep], w_c[keep]
+    viewdirs = rd_k / jnp.linalg.norm(rd_k, axis=-1, keepdims=True)
+
+    kf_pad = (-k_fine) % fine_tile
+    def padf(x, fill=0.0):
+        if not kf_pad:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((kf_pad,) + x.shape[1:], fill, x.dtype)], 0
+        )
+
+    def fine_tile_fn(args):
+        o, d, vd, w, b = args
+        z_vals = stratified_sample(near, far, cfg.n_samples, o.shape[0],
+                                   key=None, lindisp=cfg.lindisp)
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(z_mid, w[..., 1:-1], cfg.n_importance)
+        z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        pts = o[:, None, :] + d[:, None, :] * z[..., None]
+        raw = fine_fn(pts, vd)
+        out = raw2outputs(raw, z, d, b,
+                          density_activation=cfg.density_activation)
+        return out.rgb
+
+    Sw = w_k.shape[-1]
+    rgb_f = jax.lax.map(
+        fine_tile_fn,
+        (padf(ro_k, 1.0).reshape(-1, fine_tile, 3),
+         padf(rd_k, -1.0).reshape(-1, fine_tile, 3),
+         padf(viewdirs, -1.0).reshape(-1, fine_tile, 3),
+         padf(w_k, 1.0).reshape(-1, fine_tile, Sw),
+         padf(bc_k).reshape(-1, fine_tile, 3)),
+    ).reshape(-1, 3)[:k_fine]
+
+    img = bc                               # non-prior rays: the plate
+    img = img.at[sel].set(rgb_c)           # prior rays: coarse composite
+    img = img.at[sel[keep]].set(rgb_f)     # foreground rays: fine
+    return img.reshape(H, W, 3)
+
+
 def make_frame_renderer(
     nerf_cfg,
     H: int, W: int, focal, near, far, cfg: RenderConfig,

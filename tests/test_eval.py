@@ -118,3 +118,54 @@ def test_pruned_renderer_keep_all_matches_full():
     np.testing.assert_allclose(np.asarray(pruned), np.asarray(full), atol=1e-5)
     half = render_frame_pruned(cf, ff, *args, keep_fraction=0.5, **kw)
     assert half.shape == (32, 32, 3) and jnp.isfinite(half).all()
+
+
+def test_prior_masked_renderer_full_mask_matches_full():
+    """All-true prior + keep_fraction=1.0 must equal the full render
+    exactly; a partial prior still yields a valid image with plate pixels
+    outside the prior."""
+    import jax
+
+    from idealnerf_tpu.eval.renderer import (
+        foreground_prior, render_frame, render_frame_prior_masked,
+    )
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+    from idealnerf_tpu.train.state import init_train_state
+
+    cfg = ExperimentConfig(**TINY)
+    ds = make_synthetic_dataset(n_frames=2, H=32, W=32, dim_expr=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, 2)
+    ncfg = cfg.face_nerf_config()
+    aud = jnp.ones((64,))
+    cf = make_field_fn(state.params["coarse"], ncfg, aud, ds.exprs[0],
+                       state.latent_codes[0])
+    ff = make_field_fn(state.params["fine"], ncfg, aud, ds.exprs[0],
+                       state.latent_codes[0])
+    bc = jnp.asarray(ds.bc_img, jnp.float32) / 255.0
+    pose = jnp.asarray(ds.poses[0])
+    args = (32, 32, ds.focal, pose, bc, ds.near, ds.far, cfg.render_config())
+    full = render_frame(cf, *args, fine_fn=ff, cx=ds.cx, cy=ds.cy, tile=256)
+    exact = render_frame_prior_masked(
+        cf, ff, *args, jnp.ones((32, 32), bool), 1024,
+        cx=ds.cx, cy=ds.cy, keep_fraction=1.0,
+        coarse_tile=256, fine_tile=256,
+    )
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(full), atol=1e-5)
+
+    mask, kc = foreground_prior(ds, margin=2)
+    assert 0 < kc <= 1024
+    partial = render_frame_prior_masked(
+        cf, ff, *args, jnp.asarray(mask), kc,
+        cx=ds.cx, cy=ds.cy, keep_fraction=0.5,
+        coarse_tile=256, fine_tile=256,
+    )
+    assert jnp.isfinite(partial).all()
+    # k_coarse pads up to a tile multiple, so a few outside-prior rays
+    # also get rendered; the REST must be exactly the plate
+    outside = ~np.asarray(mask)
+    n_padded = kc - int(np.asarray(mask).sum())
+    eq_plate = (
+        np.abs(np.asarray(partial)[outside] - np.asarray(bc)[outside]).max(-1)
+        < 1e-6
+    )
+    assert (~eq_plate).sum() <= n_padded, ((~eq_plate).sum(), n_padded)
