@@ -94,12 +94,70 @@ def _pack_weights(params: Dict, folded: Dict, cfg, compute_dtype):
     return ops
 
 
+def _pe_operands(num_freqs: int, out_pad: int):
+    """In-kernel PE as one matmul + lane-wise trig:
+    ``z = pts @ F`` places coordinate d scaled by frequency f_k into the
+    lane that the PE layout expects; masks then select identity / sin /
+    cos per lane. Layout matches core.embedding.positional_encoding:
+    [x(3), sin(f0·x)(3), cos(f0·x)(3), sin(f1·x)(3), ...] + zero pad."""
+    import numpy as np
+
+    F = np.zeros((8, out_pad), np.float32)
+    is_id = np.zeros((1, out_pad), np.float32)
+    is_sin = np.zeros((1, out_pad), np.float32)
+    for d in range(3):
+        F[d, d] = 1.0
+        is_id[0, d] = 1.0
+    freqs = 2.0 ** np.linspace(0.0, num_freqs - 1, num_freqs)
+    col = 3
+    for f in freqs:
+        for d in range(3):
+            F[d, col] = f
+            is_sin[0, col] = 1.0
+            col += 1
+        for d in range(3):
+            F[d, col] = f
+            col += 1
+    # pad lanes: F column zero, marked sin -> sin(0) = 0
+    is_sin[0, col:] = 1.0
+    return F, is_id, is_sin
+
+
+def _kernel_fused_pe(cfg, n_views: int, *refs):
+    """refs: [pts(T,8), dirs(T,8), F_p, id_p, sin_p, F_d, id_d, sin_d]
+    + packed weights + [out]. PE computed in-kernel (f32 trig — bf16
+    phases at freq 512 would be garbage), then the same MLP body."""
+    pts_ref, dirs_ref = refs[0], refs[1]
+    F_p, id_p, sin_p = refs[2][:], refs[3][:], refs[4][:]
+    F_d, id_d, sin_d = refs[5][:], refs[6][:], refs[7][:]
+    out_ref = refs[-1]
+    ops = [r[:] for r in refs[8:-1]]
+    cd = ops[0].dtype
+
+    def f32dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    def make_pe(x_ref, F, is_id, is_sin):
+        z = f32dot(x_ref[:], F)
+        enc = jnp.where(is_id > 0, z, jnp.where(is_sin > 0, jnp.sin(z), jnp.cos(z)))
+        return enc.astype(cd)
+
+    pe = make_pe(pts_ref, F_p, id_p, sin_p)
+    ped = make_pe(dirs_ref, F_d, id_d, sin_d)
+    _mlp_body(cfg, n_views, pe, ped, ops, out_ref)
+
+
 def _kernel(cfg, n_views: int, *refs):
     """refs: [pe, ped] + packed weights + [out]."""
     pe_ref, ped_ref = refs[0], refs[1]
     out_ref = refs[-1]
     ops = [r[:] for r in refs[2:-1]]  # materialize weight refs into VMEM values
+    _mlp_body(cfg, n_views, pe_ref[:], ped_ref[:], ops, out_ref)
 
+
+def _mlp_body(cfg, n_views, pe, ped, ops, out_ref):
     depth, W = cfg.depth, cfg.width
     cd = ops[0].dtype
 
@@ -112,7 +170,6 @@ def _kernel(cfg, n_views: int, *refs):
     skip_pes = ops[2 * depth : 2 * depth + len([i for i in range(1, depth) if (i - 1) in cfg.skips])]
     rest = ops[2 * depth + len(skip_pes) :]
 
-    pe = pe_ref[:]
     h = jnp.maximum(dot(pe, trunk[0]) + trunk[1], 0.0).astype(cd)
     s = 0
     for i in range(1, depth):
@@ -127,7 +184,7 @@ def _kernel(cfg, n_views: int, *refs):
     idx = 0
     wv0h, wv0d, bv0 = rest[idx], rest[idx + 1], rest[idx + 2]
     idx += 3
-    hv = jnp.maximum(dot(h, wv0h) + dot(ped_ref[:], wv0d) + bv0, 0.0).astype(cd)
+    hv = jnp.maximum(dot(h, wv0h) + dot(ped, wv0d) + bv0, 0.0).astype(cd)
     for _ in range(n_views - 1):
         w, b = rest[idx], rest[idx + 1]
         idx += 2
@@ -146,8 +203,14 @@ def fused_point_mlp(
     dirs: Optional[jnp.ndarray],    # (N, 3) per-point view directions
     tile: int = DEFAULT_TILE,
     interpret: Optional[bool] = None,
+    fuse_pe: bool = True,
 ) -> jnp.ndarray:
-    """(N, 4) raw [rgb logits, sigma] — fused PE-adjacent MLP evaluation."""
+    """(N, 4) raw [rgb logits, sigma] — fused MLP evaluation.
+
+    ``fuse_pe=True`` computes the positional encodings inside the kernel
+    (matmul + lane-masked trig — see _pe_operands), so the only per-point
+    HBM traffic is the raw (N, 8) coords in and (N, 4) raw out; the XLA
+    path otherwise materializes the (N, 96) encoded features."""
     assert cfg.use_viewdirs and dirs is not None, (
         "fused kernel covers the use_viewdirs path; use apply_folded otherwise"
     )
@@ -160,19 +223,46 @@ def fused_point_mlp(
 
     n = pts.shape[0]
     n_pad = (-n) % tile
-    pe = positional_encoding(pts, cfg.multires).astype(compute_dtype)
-    ped = positional_encoding(dirs, cfg.multires_views).astype(compute_dtype)
-    pe = jnp.pad(pe, ((0, n_pad), (0, _PE_PAD - pe.shape[1])))
-    ped = jnp.pad(ped, ((0, n_pad), (0, _PED_PAD - ped.shape[1])))
-
     ops = _pack_weights(params, folded, cfg, compute_dtype)
     n_views = 1 + cfg.depth // 4
     n_tiles = (n + n_pad) // tile
-
     w_specs = [
         pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for op in ops
     ]
+
+    if fuse_pe:
+        pts8 = jnp.pad(pts.astype(jnp.float32), ((0, n_pad), (0, 5)))
+        dirs8 = jnp.pad(dirs.astype(jnp.float32), ((0, n_pad), (0, 5)))
+        F_p, id_p, sin_p = (jnp.asarray(a) for a in
+                            _pe_operands(cfg.multires, _PE_PAD))
+        F_d, id_d, sin_d = (jnp.asarray(a) for a in
+                            _pe_operands(cfg.multires_views, _PED_PAD))
+        pe_ops = [F_p, id_p, sin_p, F_d, id_d, sin_d]
+        pe_specs = [
+            pl.BlockSpec(op.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+            for op in pe_ops
+        ]
+        raw = pl.pallas_call(
+            functools.partial(_kernel_fused_pe, cfg, n_views),
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                *pe_specs,
+                *w_specs,
+            ],
+            out_specs=pl.BlockSpec((tile, 4), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n + n_pad, 4), jnp.float32),
+            interpret=interpret,
+        )(pts8, dirs8, *pe_ops, *ops)
+        return raw[:n]
+
+    pe = positional_encoding(pts, cfg.multires).astype(compute_dtype)
+    ped = positional_encoding(dirs, cfg.multires_views).astype(compute_dtype)
+    pe = jnp.pad(pe, ((0, n_pad), (0, _PE_PAD - pe.shape[1])))
+    ped = jnp.pad(ped, ((0, n_pad), (0, _PED_PAD - ped.shape[1])))
 
     raw = pl.pallas_call(
         functools.partial(_kernel, cfg, n_views),

@@ -237,6 +237,13 @@ def make_field_fn(
     def field_fn(pts, viewdirs):
         R, S, _ = pts.shape
         flat = pts.reshape(R * S, 3)
+        if use_pallas and cfg.use_viewdirs:
+            # the fused kernel computes PE in-kernel — hand it raw coords
+            from idealnerf_tpu.kernels.fused_mlp import fused_point_mlp
+
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(R * S, 3)
+            raw = fused_point_mlp(params, folded, cfg, flat, dirs)
+            return raw.reshape(R, S, 4).astype(jnp.float32)
         if compute_dtype is not None:
             flat = flat.astype(compute_dtype)
         pe_pts = positional_encoding(flat, cfg.multires)
@@ -246,13 +253,7 @@ def make_field_fn(
             if compute_dtype is not None:
                 dirs = dirs.astype(compute_dtype)
             pe_dirs = positional_encoding(dirs, cfg.multires_views)
-        if use_pallas:
-            from idealnerf_tpu.kernels.fused_mlp import fused_point_mlp
-
-            raw = fused_point_mlp(params, folded, cfg, flat,
-                                  dirs if cfg.use_viewdirs else None)
-        else:
-            raw = apply_folded(params, folded, cfg, pe_pts, pe_dirs)
+        raw = apply_folded(params, folded, cfg, pe_pts, pe_dirs)
         return raw.reshape(R, S, 4).astype(jnp.float32)
 
     return field_fn
