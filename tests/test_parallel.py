@@ -1,0 +1,78 @@
+"""Parallel layer: mesh construction, sharded batched training on the
+virtual device mesh, remat numerical equivalence, and parsing of every
+reference config file (when the reference checkout is present)."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.data import make_synthetic_dataset
+from idealnerf_tpu.parallel import make_mesh, make_sharded_train_step
+from idealnerf_tpu.train.state import init_train_state
+
+TINY = dict(
+    dim_aud=64, dim_expr=8, dim_latent=32,
+    N_rand=128, mouth_rays=16, torso_rays=16,
+    N_samples=8, N_importance=8, nosmo_iters=10**9,
+)
+
+
+def _run_steps(mesh, cfg, ds, remat, n_steps=3):
+    data = jax.device_put(ds.to_device(), NamedSharding(mesh, P()))
+    state = jax.device_put(
+        init_train_state(jax.random.PRNGKey(0), cfg, ds.size),
+        NamedSharding(mesh, P()),
+    )
+    step = make_sharded_train_step(cfg, ds, mesh, remat=remat)
+    with mesh:
+        for i in range(n_steps):
+            state, m = step(state, data, jnp.arange(4, dtype=jnp.int32),
+                            jax.random.PRNGKey(i))
+    return float(m["loss"]), state
+
+
+def test_sharded_step_runs_and_remat_is_equivalent():
+    cfg = ExperimentConfig(**TINY)
+    ds = make_synthetic_dataset(n_frames=4, H=24, W=24, dim_expr=8)
+    mesh = make_mesh(n_data=2, devices=jax.devices()[:4])
+    loss_plain, s1 = _run_steps(mesh, cfg, ds, remat=False)
+    loss_remat, s2 = _run_steps(mesh, cfg, ds, remat=True)
+    # rematerialization trades memory for recompute — math is identical
+    assert loss_plain == loss_remat, (loss_plain, loss_remat)
+    np.testing.assert_array_equal(
+        np.asarray(s1.params["coarse"]["pts"][0]["w"]),
+        np.asarray(s2.params["coarse"]["pts"][0]["w"]),
+    )
+    assert np.isfinite(loss_plain)
+
+
+def test_mesh_layouts():
+    assert make_mesh(devices=jax.devices()).devices.shape == (1, 8)
+    m = make_mesh(n_ray=4, devices=jax.devices())
+    assert dict(zip(m.axis_names, m.devices.shape)) == {"data": 2, "ray": 4}
+
+
+REF_CONFIGS = sorted(
+    glob.glob("/root/reference/NeRFs/**/configs/**/*.txt", recursive=True)
+)
+
+
+@pytest.mark.skipif(not REF_CONFIGS, reason="reference checkout not present")
+def test_every_reference_config_parses():
+    """All ~30 shipped reference config files load through from_file with
+    sane values — the 1:1 config-compat claim, checked exhaustively."""
+    assert len(REF_CONFIGS) >= 10
+    for path in REF_CONFIGS:
+        cfg = ExperimentConfig.from_file(path)
+        assert cfg.N_samples > 0 and cfg.N_rand > 0
+        assert 0 < cfg.near < cfg.far, path
+        assert cfg.lrate > 0
+        # renderer/nerf configs derivable without error
+        cfg.render_config()
+        cfg.face_nerf_config()
