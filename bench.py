@@ -25,8 +25,12 @@ def main():
     from idealnerf_tpu.eval.renderer import make_frame_renderer
     from idealnerf_tpu.models.face_nerf import init_face_nerf
 
-    H = W = 450
-    focal, cx, cy = 1200.0, 225.0, 225.0
+    on_tpu_backend = jax.default_backend() == "tpu"
+    # CPU fallback (driver runs this on a real chip): shrink the frame so
+    # a no-TPU environment still produces a comparable-shape JSON line
+    H = W = 450 if on_tpu_backend else 96
+    focal = 1200.0 if on_tpu_backend else 256.0
+    cx = cy = H / 2.0
     near, far = 0.5772005200386048, 1.1772005200386046  # May (README.md:46-47)
 
     cfg = ExperimentConfig(
@@ -74,7 +78,7 @@ def main():
     use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1" and on_tpu
     render_full = make_frame_renderer(
         nerf_cfg, H, W, focal, near, far, cfg.render_config(),
-        cx=cx, cy=cy, tile=16875,  # 202500 = 12 tiles
+        cx=cx, cy=cy, tile=(H * W) // 12,  # 12 tiles
         compute_dtype=compute_dtype, use_pallas=use_pallas,
     )
     fps_full = timed(render_full)
@@ -94,7 +98,7 @@ def main():
                            compute_dtype=compute_dtype)
         return render_frame_pruned(
             cf, ff, H, W, focal, pose, bc_img, near, far,
-            cfg.render_config(), cx=cx, cy=cy, tile=16875,
+            cfg.render_config(), cx=cx, cy=cy, tile=(H * W) // 12,
             keep_fraction=keep,
         )
 
@@ -109,7 +113,7 @@ def main():
     from idealnerf_tpu.eval.renderer import render_frame_prior_masked
 
     mask = np.zeros((H, W), bool)
-    mask[60:440, 90:330] = True  # 45% coverage
+    mask[int(0.13 * H) : int(0.98 * H), int(0.2 * W) : int(0.73 * W)] = True  # ~45%
     k_coarse = ((int(mask.sum()) + 255) // 256) * 256
     mask_dev = jnp.asarray(mask)
 
@@ -144,6 +148,7 @@ def main():
                     "fps_prior_masked_45pct": round(fps_masked, 3),
                     "keep_fraction": keep,
                     "rays_per_sec": int(rays_per_sec),
+                    "frame_hw": H,
                     "backend": jax.default_backend(),
                     "compute_dtype": str(compute_dtype),
                 },
