@@ -35,6 +35,7 @@ class FrameDataset:
     exprs: np.ndarray        # (N, dim_expr) float32
     face_rects: np.ndarray   # (N, 4) int32 [x, y, w, h]
     mouth_boxes: np.ndarray  # (N, 4) float32 [min_x, max_x, min_y, max_y]
+    landmarks: np.ndarray    # (N, 68, 2) float32 (x, y) as stored in .lms
     torso_masks: np.ndarray  # (N, H, W) uint8 {0,1}
     bc_img: np.ndarray       # (H, W, 3) uint8 background plate
     focal: float
@@ -63,6 +64,7 @@ class FrameDataset:
             "exprs": jnp.asarray(self.exprs),
             "face_rects": jnp.asarray(self.face_rects),
             "mouth_boxes": jnp.asarray(self.mouth_boxes),
+            "landmarks": jnp.asarray(self.landmarks),
             "torso_masks": jnp.asarray(self.torso_masks),
             "bc_img": jnp.asarray(self.bc_img),
         }
@@ -114,6 +116,7 @@ def load_transforms_dataset(
     poses, aud_ids, exprs, rects, mouth_boxes, torso_masks = (
         [], [], [], [], [], []
     )
+    landmarks = []
     for frame in frames:
         img_id = frame["img_id"]
         poses.append(np.array(frame["transform_matrix"], np.float32)[:3, :4])
@@ -122,6 +125,7 @@ def load_transforms_dataset(
         rects.append(np.array(frame["face_rect"], np.int32))
 
         lms = np.loadtxt(os.path.join(datadir, "ori_imgs", f"{img_id}.lms"))
+        landmarks.append(lms[:68].astype(np.float32))
         mouth = lms[48:]
         mouth_boxes.append(
             np.array(
@@ -144,6 +148,7 @@ def load_transforms_dataset(
         exprs=np.stack(exprs),
         face_rects=np.stack(rects),
         mouth_boxes=np.stack(mouth_boxes),
+        landmarks=np.stack(landmarks),
         torso_masks=np.stack(torso_masks),
         bc_img=bc_img,
         focal=focal,

@@ -67,6 +67,7 @@ def make_synthetic_dataset(
     bc_img = (np.clip(bc, 0, 1) * 255).astype(np.uint8)
 
     images, poses, rects, mouth_boxes, torso_masks = [], [], [], [], []
+    landmarks = []
     for f in range(n_frames):
         theta = 0.25 * np.sin(2 * np.pi * f / max(n_frames, 1))
         phi = 0.12 * np.cos(2 * np.pi * f / max(n_frames, 1))
@@ -126,6 +127,24 @@ def make_synthetic_dataset(
         torso[int(0.85 * H):, :] = 1               # bottom band stands in for torso
         torso_masks.append(torso)
 
+        # 68 synthetic landmarks, (x, y) as in .lms files: 48 evenly
+        # spaced over the sphere's visible pixels + 20 "mouth" points, so
+        # lms[48:] is consistent with the mouth box derivation
+        if len(xs) >= 48:
+            idx = np.linspace(0, len(xs) - 1, 48).astype(int)
+            face_pts = np.stack([xs[idx], ys[idx]], -1)
+        else:
+            face_pts = np.tile([[cx, cy]], (48, 1))
+        mys, mxs = np.nonzero(mouth_region & hit)
+        if len(mxs) >= 20:
+            midx = np.linspace(0, len(mxs) - 1, 20).astype(int)
+            mouth_pts = np.stack([mxs[midx], mys[midx]], -1)
+        else:
+            mouth_pts = np.tile([[cx, cy]], (20, 1))
+        landmarks.append(
+            np.concatenate([face_pts, mouth_pts], 0).astype(np.float32)
+        )
+
     return FrameDataset(
         images=np.stack(images),
         poses=np.stack(poses),
@@ -134,6 +153,7 @@ def make_synthetic_dataset(
         exprs=exprs,
         face_rects=np.stack(rects),
         mouth_boxes=np.stack(mouth_boxes),
+        landmarks=np.stack(landmarks),
         torso_masks=np.stack(torso_masks),
         bc_img=bc_img,
         focal=focal,

@@ -80,13 +80,31 @@ def init_face_unet(key, input_ch: int, dtype=jnp.float32) -> Dict:
     }
 
 
+def _valid_size(n: int) -> int:
+    """Smallest input size >= n the stage arithmetic returns exactly.
+
+    With the reference's strides/paddings, every encoder stage must stay
+    even for the decoder skip-concats to line up, which holds iff the
+    input is ``16k + 2`` (450 = 16·28 + 2 — the reference only ever runs
+    that size); the decoder then lands back on exactly the input size.
+    """
+    return -(-(n - 2) // 16) * 16 + 2
+
+
 def apply_face_unet(params: Dict, x: jnp.ndarray, embed_ln: int) -> jnp.ndarray:
     """x (B, H, W, C_embed) -> (B, 128 + embed_ln, H, W) feature map.
 
     The first ``embed_ln`` input channels (the embedded RGB) are carried
     through and concatenated to the decoder output (face_unet.py:43-58).
+    Arbitrary H×W are handled by edge-padding the input up to the nearest
+    valid stage-aligned size and cropping the feature map back — the
+    reference hard-requires 450² (ROADMAP #9).
     """
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    Hp, Wp = _valid_size(H), _valid_size(W)
     embedded_rgb = jnp.transpose(x[..., :embed_ln], (0, 3, 1, 2))
+    if (Hp, Wp) != (H, W):
+        x = jnp.pad(x, ((0, 0), (0, Hp - H), (0, Wp - W), (0, 0)), mode="edge")
     h = jnp.transpose(x, (0, 3, 1, 2))
 
     stack = []
@@ -103,4 +121,6 @@ def apply_face_unet(params: Dict, x: jnp.ndarray, embed_ln: int) -> jnp.ndarray:
             h = jnp.concatenate([h, stack.pop()], axis=1)
 
     h = jnp.pad(h, ((0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    if (Hp, Wp) != (H, W):
+        h = h[:, :, :H, :W]
     return jnp.concatenate([h, embedded_rgb], axis=1)

@@ -139,15 +139,13 @@ def make_unet_train_step(cfg: ExperimentConfig, dataset: FrameDataset):
             k_sample, H, W, data["face_rects"][index],
             data["mouth_boxes"][index], data["torso_masks"][index], budget,
         )
-        # landmark pixels lead the batch (get_data.py:122-132); mouth box
-        # corners stand in when explicit landmarks are not in the batch
-        mb = data["mouth_boxes"][index]
-        lm_rows = jnp.clip(
-            jnp.linspace(mb[2], mb[3], 68), 0, H - 1
-        ).astype(jnp.int32)
-        lm_cols = jnp.clip(
-            jnp.linspace(mb[0], mb[1], 68), 0, W - 1
-        ).astype(jnp.int32)
+        # the frame's 68 landmark pixels lead the batch (get_data.py:133).
+        # .lms rows are (x, y); coords are (row, col) = (y, x). (The
+        # reference indexes the raw lms row-first — an x/y swap we do not
+        # replicate.)
+        lms = data["landmarks"][index]
+        lm_rows = jnp.clip(jnp.round(lms[:, 1]), 0, H - 1).astype(jnp.int32)
+        lm_cols = jnp.clip(jnp.round(lms[:, 0]), 0, W - 1).astype(jnp.int32)
         lm_coords = jnp.stack([lm_rows, lm_cols], axis=-1)
         coords = jnp.concatenate([lm_coords, coords], axis=0)
 
