@@ -60,9 +60,12 @@ def main():
     def timed(render):
         # NOTE: through the axon remote tunnel block_until_ready() can
         # return before device execution finishes; accumulate frames and
-        # fetch to host so timing covers real execution.
-        frame = render(params, pose, bc, aud=aud, expr=expr, latent=latent)
-        float(frame.mean())  # compile + warmup
+        # fetch to host so timing covers real execution. Warm 3 rounds:
+        # the remote relay inflates the first executions of every new
+        # executable (a time-based ramp, not just the first call).
+        for _ in range(3):
+            frame = render(params, pose, bc, aud=aud, expr=expr, latent=latent)
+            float(frame.mean())
         t0 = time.perf_counter()
         acc = None
         for i in range(n_frames):
@@ -72,10 +75,14 @@ def main():
         float(acc.mean())
         return n_frames / (time.perf_counter() - t0)
 
-    # 1. full-fidelity hierarchical render. BENCH_PALLAS=1 uses the fused
-    # kernel; default is the XLA path — measured at parity (63 vs 57
-    # TFLOP/s) and marginally faster end to end.
-    use_pallas = os.environ.get("BENCH_PALLAS", "0") == "1" and on_tpu
+    # 1. full-fidelity hierarchical render. Default on TPU: the per-ray
+    # fused Pallas kernel with in-kernel compositing ("ray", 105 TF/s on
+    # the fine pass — kernels/fused_render.py). BENCH_PALLAS=0 forces the
+    # XLA path, =1 the per-point fused-MLP kernel.
+    mode = os.environ.get("BENCH_PALLAS", "ray")
+    use_pallas = {"0": False, "1": True, "ray": "ray"}.get(mode, "ray")
+    if not on_tpu:
+        use_pallas = False
     render_full = make_frame_renderer(
         nerf_cfg, H, W, focal, near, far, cfg.render_config(),
         cx=cx, cy=cy, tile=(H * W) // 12,  # 12 tiles
@@ -84,23 +91,32 @@ def main():
     fps_full = timed(render_full)
 
     # 2. foreground-pruned eval (fine pass on top-40% rays by coarse
-    # opacity; visually identical on converged models). Pallas inside
-    # this program trips an axon-backend internal error, so it runs the
-    # bf16 XLA MLP path for now.
+    # opacity; visually identical on converged models), fused kernel in
+    # both passes on TPU.
     from idealnerf_tpu.eval.renderer import render_frame_pruned
     from idealnerf_tpu.models.face_nerf import make_field_fn
 
-    @jax.jit
-    def render_pruned(params, pose, bc_img, aud=None, expr=None, latent=None):
-        cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
-                           compute_dtype=compute_dtype)
-        ff = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent,
-                           compute_dtype=compute_dtype)
-        return render_frame_pruned(
-            cf, ff, H, W, focal, pose, bc_img, near, far,
-            cfg.render_config(), cx=cx, cy=cy, tile=(H * W) // 12,
-            keep_fraction=keep,
+    if on_tpu:
+        from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
+
+        render_pruned = make_pruned_frame_renderer(
+            nerf_cfg, H, W, focal, near, far, cfg.render_config(),
+            cx=cx, cy=cy, tile=(H * W) // 12, keep_fraction=keep,
+            compute_dtype=compute_dtype,
         )
+    else:
+        @jax.jit
+        def render_pruned(params, pose, bc_img, aud=None, expr=None,
+                          latent=None):
+            cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
+                               compute_dtype=compute_dtype)
+            ff = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent,
+                               compute_dtype=compute_dtype)
+            return render_frame_pruned(
+                cf, ff, H, W, focal, pose, bc_img, near, far,
+                cfg.render_config(), cx=cx, cy=cy, tile=(H * W) // 12,
+                keep_fraction=keep,
+            )
 
     fps_pruned = timed(render_pruned)
 
@@ -117,17 +133,26 @@ def main():
     k_coarse = ((int(mask.sum()) + 255) // 256) * 256
     mask_dev = jnp.asarray(mask)
 
-    @jax.jit
-    def render_masked(params, pose, bc_img, aud=None, expr=None, latent=None):
-        cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
-                           compute_dtype=compute_dtype)
-        ff = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent,
-                           compute_dtype=compute_dtype)
-        return render_frame_prior_masked(
-            cf, ff, H, W, focal, pose, bc_img, near, far,
-            cfg.render_config(), mask_dev, k_coarse, cx=cx, cy=cy,
-            keep_fraction=0.6,
+    if on_tpu:
+        render_masked = make_pruned_frame_renderer(
+            nerf_cfg, H, W, focal, near, far, cfg.render_config(),
+            cx=cx, cy=cy, tile=(H * W) // 12, keep_fraction=0.6,
+            compute_dtype=compute_dtype,
+            prior_mask=mask_dev, k_coarse=k_coarse,
         )
+    else:
+        @jax.jit
+        def render_masked(params, pose, bc_img, aud=None, expr=None,
+                          latent=None):
+            cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
+                               compute_dtype=compute_dtype)
+            ff = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent,
+                               compute_dtype=compute_dtype)
+            return render_frame_prior_masked(
+                cf, ff, H, W, focal, pose, bc_img, near, far,
+                cfg.render_config(), mask_dev, k_coarse, cx=cx, cy=cy,
+                keep_fraction=0.6,
+            )
 
     fps_masked = timed(render_masked)
 
@@ -143,7 +168,7 @@ def main():
                 "vs_baseline": round(fps / baseline_fps, 3),
                 "extra": {
                     "fps_full_fidelity": round(fps_full, 3),
-                    "full_mode_pallas": use_pallas,
+                    "full_mode_pallas": str(use_pallas),
                     "fps_fg_pruned": round(fps_pruned, 3),
                     "fps_prior_masked_45pct": round(fps_masked, 3),
                     "keep_fraction": keep,

@@ -46,9 +46,16 @@ def main(argv=None):
     parser.add_argument("--wav", default=None, help="audio wav (default aud.wav)")
     parser.add_argument("--subject", default=None)
     parser.add_argument("--step", default="all",
-                        help="all | audio | bg | decouple | track | transforms")
+                        help="all | audio | parse | bg | decouple | track | "
+                             "transforms")
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--bfm", default=None, help="3DMM_info.npy path")
+    parser.add_argument("--parse_weights", default=None,
+                        help="BiSeNet weights (torch 79999_iter.pth or a "
+                             "converted .npz) — enables the parse step")
+    parser.add_argument("--fan_weights", default=None,
+                        help="FAN 2DFAN-4 weights (torch .pth state dict or "
+                             "a converted .npz) — enables the landmarks step")
     args = parser.parse_args(argv)
 
     import imageio.v2 as imageio
@@ -65,7 +72,8 @@ def main(argv=None):
         logger.error("no frames in %s — run frame extraction (ffmpeg) first", ori)
         return
     steps = (
-        ["audio", "bg", "decouple", "track", "transforms"]
+        ["audio", "landmarks", "parse", "bg", "decouple", "track",
+         "transforms"]
         if args.step == "all" else [args.step]
     )
     h, w = imageio.imread(os.path.join(ori, f"{ids[0]}.jpg")).shape[:2]
@@ -79,6 +87,68 @@ def main(argv=None):
             logger.info("audio features %s -> aud.npy", aud.shape)
         else:
             logger.warning("no wav at %s — skipping audio step", wav)
+
+    if "landmarks" in steps and args.fan_weights:
+        # step 2 (reference process_data.py:104-123): FAN landmark
+        # detection -> .lms files. The face box comes from the parse map
+        # when available (we control the pipeline order), else the full
+        # frame — replacing the reference's s3fd detector (see fan.py).
+        from idealnerf_tpu.pipeline.fan import detect_landmarks
+        from idealnerf_tpu.pipeline.process import head_mask_from_parse
+
+        if args.fan_weights.endswith(".npz"):
+            fparams = dict(np.load(args.fan_weights))
+        else:
+            import torch
+
+            sd = torch.load(args.fan_weights, map_location="cpu")
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            from idealnerf_tpu.pipeline.fan import convert_torch_state_dict
+
+            fparams = convert_torch_state_dict(sd)
+        for i in ids:
+            img = imageio.imread(os.path.join(ori, f"{i}.jpg"))
+            box = np.array([0, 0, img.shape[1], img.shape[0]], np.float32)
+            ppath = os.path.join(parsing, f"{i}.png")
+            if os.path.exists(ppath):
+                mask = head_mask_from_parse(imageio.imread(ppath))
+                ys, xs = np.nonzero(mask)
+                if len(xs):
+                    m = 0.25 * max(xs.max() - xs.min(), ys.max() - ys.min())
+                    box = np.array([xs.min() - m, ys.min() - m,
+                                    xs.max() + m, ys.max() + m], np.float32)
+            lms = detect_landmarks(fparams, img, box)
+            np.savetxt(os.path.join(ori, f"{i}.lms"), lms, "%f")
+        logger.info("FAN landmarks -> ori_imgs/*.lms (%d frames)", len(ids))
+    elif "landmarks" in steps and args.step == "landmarks":
+        logger.error("landmarks step needs --fan_weights")
+
+    if "parse" in steps and args.parse_weights:
+        # step 3 (reference process_data.py:138-139 + face_parsing/test.py):
+        # BiSeNet 19-class parse -> reference color coding
+        from idealnerf_tpu.pipeline.parsing_net import (
+            convert_torch_state_dict, parse_image,
+        )
+        from idealnerf_tpu.pipeline.process import parse_color_map
+
+        if args.parse_weights.endswith(".npz"):
+            bparams = dict(np.load(args.parse_weights))
+        else:
+            import torch
+
+            bparams = convert_torch_state_dict(
+                torch.load(args.parse_weights, map_location="cpu")
+            )
+        os.makedirs(parsing, exist_ok=True)
+        for i in ids:
+            img = imageio.imread(os.path.join(ori, f"{i}.jpg"))
+            classes = parse_image(bparams, img)
+            imageio.imwrite(os.path.join(parsing, f"{i}.png"),
+                            parse_color_map(classes))
+        logger.info("BiSeNet parsing -> parsing/ (%d frames)", len(ids))
+    elif "parse" in steps and args.step == "parse":
+        logger.error("parse step needs --parse_weights (79999_iter.pth)")
 
     has_parsing = os.path.isdir(parsing) and os.listdir(parsing)
     if "bg" in steps:

@@ -10,7 +10,7 @@ working set), everything else fused by XLA. Deterministic sampling
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -148,6 +148,66 @@ def make_composite_frame_renderer(
     return _render
 
 
+def _tile_fns(coarse_fn, fine_fn, near, far, cfg, fused=None):
+    """(coarse_tile_fn, fine_tile_fn) for the pruned/masked renderers.
+
+    ``fused=None``: field-fn XLA path. ``fused=(params, nerf_cfg,
+    folded_coarse, folded_fine)``: per-ray fused Pallas kernel
+    (kernels/fused_render.py) for both passes.
+    """
+    if fused is not None:
+        from idealnerf_tpu.kernels.fused_render import fused_render_rays
+
+        params, nerf_cfg, folded_c, folded_f = fused
+
+        def coarse_tile(args):
+            o, d, b = args
+            z_vals = stratified_sample(near, far, cfg.n_samples, o.shape[0],
+                                       key=None, lindisp=cfg.lindisp)
+            out = fused_render_rays(params["coarse"], folded_c, nerf_cfg,
+                                    o, d, z_vals, b, point_tile=8192)
+            return out["rgb_map"], out["weights"], out["acc_map"]
+
+        def fine_tile(args):
+            o, d, vd, w, b = args
+            z_vals = stratified_sample(near, far, cfg.n_samples, o.shape[0],
+                                       key=None, lindisp=cfg.lindisp)
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(z_mid, w[..., 1:-1], cfg.n_importance)
+            z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+            out = fused_render_rays(params["fine"], folded_f, nerf_cfg,
+                                    o, d, z, b, point_tile=4096)
+            return out["rgb_map"]
+
+        return coarse_tile, fine_tile
+
+    coarse_cfg = RenderConfig(
+        n_samples=cfg.n_samples, n_importance=0, perturb=False,
+        lindisp=cfg.lindisp, density_activation=cfg.density_activation,
+        white_bkgd=cfg.white_bkgd,
+    )
+
+    def coarse_tile(args):
+        o, d, b = args
+        out = render_rays(coarse_fn, o, d, b, near, far, coarse_cfg)
+        return out["rgb_map"], out["weights"], out["acc_map"]
+
+    def fine_tile(args):
+        o, d, vd, w, b = args
+        z_vals = stratified_sample(near, far, cfg.n_samples, o.shape[0],
+                                   key=None, lindisp=cfg.lindisp)
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(z_mid, w[..., 1:-1], cfg.n_importance)
+        z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+        pts = o[:, None, :] + d[:, None, :] * z[..., None]
+        raw = fine_fn(pts, vd)
+        out = raw2outputs(raw, z, d, b,
+                          density_activation=cfg.density_activation)
+        return out.rgb
+
+    return coarse_tile, fine_tile
+
+
 def render_frame_pruned(
     coarse_fn,
     fine_fn,
@@ -164,6 +224,7 @@ def render_frame_pruned(
     tile: int = 8192,
     keep_fraction: float = 0.45,
     fine_tile: int = 4096,
+    fused=None,
 ) -> jnp.ndarray:
     """Foreground-pruned hierarchical eval render.
 
@@ -186,10 +247,8 @@ def render_frame_pruned(
     bc = bc_img.reshape(-1, 3)
     n = rays_o.shape[0]
 
-    coarse_cfg = RenderConfig(
-        n_samples=cfg.n_samples, n_importance=0, perturb=False,
-        lindisp=cfg.lindisp, density_activation=cfg.density_activation,
-        white_bkgd=cfg.white_bkgd,
+    coarse_tile_fn, fine_tile_fn = _tile_fns(
+        coarse_fn, fine_fn, near, far, cfg, fused=fused
     )
 
     n_pad = (-n) % tile
@@ -202,13 +261,8 @@ def render_frame_pruned(
 
     ro_p, rd_p, bc_p = pad(rays_o, 1.0), pad(rays_d, -1.0), pad(bc)
 
-    def coarse_tile(args):
-        o, d, b = args
-        out = render_rays(coarse_fn, o, d, b, near, far, coarse_cfg)
-        return out["rgb_map"], out["weights"], out["acc_map"]
-
     rgb_c, weights_c, acc_c = jax.lax.map(
-        coarse_tile,
+        coarse_tile_fn,
         (ro_p.reshape(-1, tile, 3), rd_p.reshape(-1, tile, 3),
          bc_p.reshape(-1, tile, 3)),
     )
@@ -235,22 +289,9 @@ def render_frame_pruned(
             [x, jnp.full((k_pad,) + x.shape[1:], fill, x.dtype)], 0
         )
 
-    def fine_tile_fn(args):
-        # per-tile inverse-CDF resampling: the masked-reduce inside
-        # sample_pdf materializes (rays, n_importance, bins) — tiled here
-        # so the intermediate stays ~tens of MB instead of GBs
-        o, d, vd, w, b = args
-        z_vals = stratified_sample(near, far, cfg.n_samples, o.shape[0],
-                                   key=None, lindisp=cfg.lindisp)
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(z_mid, w[..., 1:-1], cfg.n_importance)
-        z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
-        pts = o[:, None, :] + d[:, None, :] * z[..., None]
-        raw = fine_fn(pts, vd)
-        out = raw2outputs(raw, z, d, b,
-                          density_activation=cfg.density_activation)
-        return out.rgb
-
+    # per-tile inverse-CDF resampling: the masked-reduce inside
+    # sample_pdf materializes (rays, n_importance, bins) — tiled here
+    # so the intermediate stays ~tens of MB instead of GBs
     Sw = w_k.shape[-1]
     rgb_f = jax.lax.map(
         fine_tile_fn,
@@ -263,6 +304,146 @@ def render_frame_pruned(
 
     img = rgb_c.at[keep].set(rgb_f)
     return img.reshape(H, W, 3)
+
+
+def make_pruned_frame_renderer(
+    nerf_cfg,
+    H: int, W: int, focal, near, far, cfg: RenderConfig,
+    cx=None, cy=None, tile: int = 16875, keep_fraction: float = 0.4,
+    fine_tile: int = 4096, compute_dtype=None,
+    prior_mask=None, k_coarse: Optional[int] = None,
+):
+    """Foreground-pruned (optionally prior-masked) renderer on the fused
+    per-ray kernel, split into TWO jitted stages.
+
+    The split is load-bearing on the axon TPU runtime: one program that
+    both contains pallas calls and gathers several arrays by the same
+    top_k index vector crashes the TPU worker (kernel fault — observed
+    whenever rgb[keep] and weights[keep] coexist with a pallas call).
+    Materializing stage-1 outputs at a jit boundary makes the stage-2
+    gathers read plain buffers, which is exactly the always-working XLA
+    pattern. Cost: one extra dispatch, ~nothing at frame scale.
+
+    ``prior_mask``/``k_coarse``: when given, the coarse pass runs only on
+    the static prior rays (render_frame_prior_masked semantics).
+    """
+    from idealnerf_tpu.kernels.fused_render import fused_render_rays
+    from idealnerf_tpu.models.face_nerf import fold_conditioning
+
+    cfg = cfg.eval_mode()
+    cd = compute_dtype or jnp.float32
+    n = H * W
+    masked = prior_mask is not None
+    if masked:
+        n_coarse = k_coarse
+        coarse_tile = min(tile, 4096)
+        prior_flat = prior_mask.reshape(-1).astype(jnp.float32)
+    else:
+        n_coarse = n
+        coarse_tile = tile
+    k = int(n_coarse * keep_fraction)
+    k = max(k - k % 256, 256)
+
+    @jax.jit
+    def stage1(params, pose, bc_img, aud=None, expr=None, latent=None):
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["coarse"], nerf_cfg, aud, expr, latent)
+        rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+        o = rays_o.reshape(-1, 3)
+        d = rays_d.reshape(-1, 3)
+        b = bc_img.reshape(-1, 3)
+        if masked:
+            _, sel = jax.lax.top_k(prior_flat, n_coarse)
+            o_c, d_c, b_c = o[sel], d[sel], b[sel]
+        else:
+            sel = None
+            o_c, d_c, b_c = o, d, b
+
+        pad_c = (-n_coarse) % coarse_tile
+        def padc(x, fill=0.0):
+            if not pad_c:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((pad_c,) + x.shape[1:], fill, x.dtype)], 0)
+
+        def tile_fn(args):
+            oo, dd, bb = args
+            z = stratified_sample(near, far, cfg.n_samples, oo.shape[0],
+                                  key=None, lindisp=cfg.lindisp)
+            # point_tile 4096, NOT 8192: at 8192 the kernel's scoped VMEM
+            # (~18 MB) exceeds the 16 MB chip limit once XLA fuses the
+            # surrounding lax.map update-slices — compile error or worker
+            # kernel-fault depending on which guard catches it first
+            out = fused_render_rays(p["coarse"], folded, nerf_cfg,
+                                    oo, dd, z, bb, point_tile=4096)
+            return (out["rgb_map"], out["acc_map"], out["weights"],
+                    out["last_weight"])
+
+        rgb_c, acc, w, lw = jax.lax.map(
+            tile_fn,
+            (padc(o_c, 1.0).reshape(-1, coarse_tile, 3),
+             padc(d_c, -1.0).reshape(-1, coarse_tile, 3),
+             padc(b_c).reshape(-1, coarse_tile, 3)),
+        )
+        rgb_c = rgb_c.reshape(-1, 3)[:n_coarse]
+        acc = acc.reshape(-1)[:n_coarse]
+        lw = lw.reshape(-1)[:n_coarse]
+        w = w.reshape(-1, cfg.n_samples)[:n_coarse]
+        _, keep = jax.lax.top_k(acc - lw, k)
+        return rgb_c, w, keep, sel, o, d, b
+
+    @jax.jit
+    def stage2(params, rgb_c, w, keep, sel, o, d, b,
+               aud=None, expr=None, latent=None):
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["fine"], nerf_cfg, aud, expr, latent)
+        keep_full = sel[keep] if masked else keep
+        ok, dk, bk, wk = o[keep_full], d[keep_full], b[keep_full], w[keep]
+        vd = dk / jnp.linalg.norm(dk, axis=-1, keepdims=True)
+        kp = (-k) % fine_tile
+        def padk(x, fill=0.0):
+            if not kp:
+                return x
+            return jnp.concatenate(
+                [x, jnp.full((kp,) + x.shape[1:], fill, x.dtype)], 0)
+
+        def tile_fn(args):
+            oo, dd, vdd, ww, bb = args
+            z_vals = stratified_sample(near, far, cfg.n_samples, oo.shape[0],
+                                       key=None, lindisp=cfg.lindisp)
+            z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+            z_samples = sample_pdf(z_mid, ww[..., 1:-1], cfg.n_importance)
+            z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
+            out = fused_render_rays(p["fine"], folded, nerf_cfg,
+                                    oo, dd, z, bb, point_tile=4096)
+            return out["rgb_map"]
+
+        Sw = wk.shape[-1]
+        rgb_f = jax.lax.map(
+            tile_fn,
+            (padk(ok, 1.0).reshape(-1, fine_tile, 3),
+             padk(dk, -1.0).reshape(-1, fine_tile, 3),
+             padk(vd, -1.0).reshape(-1, fine_tile, 3),
+             padk(wk, 1.0).reshape(-1, fine_tile, Sw),
+             padk(bk).reshape(-1, fine_tile, 3)),
+        ).reshape(-1, 3)[:k]
+
+        if masked:
+            img = b
+            img = img.at[sel].set(rgb_c)
+            img = img.at[sel[keep]].set(rgb_f)
+        else:
+            img = rgb_c.at[keep].set(rgb_f)
+        return img.reshape(H, W, 3)
+
+    def render(params, pose, bc_img, aud=None, expr=None, latent=None):
+        rgb_c, w, keep, sel, o, d, b = stage1(params, pose, bc_img,
+                                              aud=aud, expr=expr,
+                                              latent=latent)
+        return stage2(params, rgb_c, w, keep, sel, o, d, b,
+                      aud=aud, expr=expr, latent=latent)
+
+    return render
 
 
 def foreground_prior(dataset, margin: int = 12):
@@ -307,6 +488,7 @@ def render_frame_prior_masked(
     keep_fraction: float = 0.5,
     coarse_tile: int = 4096,
     fine_tile: int = 4096,
+    fused=None,
 ) -> jnp.ndarray:
     """Prior-masked + opacity-pruned eval render.
 
@@ -332,10 +514,8 @@ def render_frame_prior_masked(
 
     ro_s, rd_s, bc_s = rays_o[sel], rays_d[sel], bc[sel]
 
-    coarse_cfg = RenderConfig(
-        n_samples=cfg.n_samples, n_importance=0, perturb=False,
-        lindisp=cfg.lindisp, density_activation=cfg.density_activation,
-        white_bkgd=cfg.white_bkgd,
+    coarse_tile_fn, fine_tile_fn = _tile_fns(
+        coarse_fn, fine_fn, near, far, cfg, fused=fused
     )
 
     kc_pad = (-k_coarse) % coarse_tile
@@ -345,11 +525,6 @@ def render_frame_prior_masked(
         return jnp.concatenate(
             [x, jnp.full((kc_pad,) + x.shape[1:], fill, x.dtype)], 0
         )
-
-    def coarse_tile_fn(args):
-        o, d, b = args
-        out = render_rays(coarse_fn, o, d, b, near, far, coarse_cfg)
-        return out["rgb_map"], out["weights"], out["acc_map"]
 
     rgb_c, w_c, acc_c = jax.lax.map(
         coarse_tile_fn,
@@ -376,19 +551,6 @@ def render_frame_prior_masked(
             [x, jnp.full((kf_pad,) + x.shape[1:], fill, x.dtype)], 0
         )
 
-    def fine_tile_fn(args):
-        o, d, vd, w, b = args
-        z_vals = stratified_sample(near, far, cfg.n_samples, o.shape[0],
-                                   key=None, lindisp=cfg.lindisp)
-        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-        z_samples = sample_pdf(z_mid, w[..., 1:-1], cfg.n_importance)
-        z = jnp.sort(jnp.concatenate([z_vals, z_samples], -1), -1)
-        pts = o[:, None, :] + d[:, None, :] * z[..., None]
-        raw = fine_fn(pts, vd)
-        out = raw2outputs(raw, z, d, b,
-                          density_activation=cfg.density_activation)
-        return out.rgb
-
     Sw = w_k.shape[-1]
     rgb_f = jax.lax.map(
         fine_tile_fn,
@@ -410,7 +572,7 @@ def make_frame_renderer(
     H: int, W: int, focal, near, far, cfg: RenderConfig,
     cx=None, cy=None, tile: int = 8192,
     compute_dtype=None,
-    use_pallas: bool = False,
+    use_pallas=False,
 ) -> Callable:
     """One jit-compiled program per *model config* (not per frame):
     ``render(params, pose, bc_img, aud, expr, latent) -> (H, W, 3)``.
@@ -418,8 +580,58 @@ def make_frame_renderer(
     Field closures are built inside the traced function, so every frame of
     a video reuses the same executable — the reference re-launches 25
     chunked renders per frame instead (batchify_rays).
+
+    ``use_pallas``: False = pure XLA; True = per-point fused MLP kernel
+    (kernels/fused_mlp.py); "ray" = per-ray fused render kernel with
+    in-kernel compositing (kernels/fused_render.py) — the fastest path.
     """
     from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    if use_pallas == "ray":
+        from idealnerf_tpu.kernels.fused_render import render_rays_fused
+        from idealnerf_tpu.models.face_nerf import fold_conditioning
+
+        @jax.jit
+        def _render_fused(params, pose, bc_img, aud=None, expr=None,
+                          latent=None):
+            cd = compute_dtype or jnp.float32
+            p = jax.tree.map(lambda x: x.astype(cd), params)
+            folded_c = fold_conditioning(p["coarse"], nerf_cfg, aud, expr,
+                                         latent)
+            folded_f = (fold_conditioning(p["fine"], nerf_cfg, aud, expr,
+                                          latent) if "fine" in p else None)
+            rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+            rays_o = rays_o.reshape(-1, 3)
+            rays_d = rays_d.reshape(-1, 3)
+            bc = bc_img.reshape(-1, 3)
+            n = rays_o.shape[0]
+            n_pad = (-n) % tile
+            if n_pad:
+                rays_o = jnp.concatenate(
+                    [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+                rays_d = jnp.concatenate(
+                    [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]],
+                                                rays_d.dtype), (n_pad, 1))], 0)
+                bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
+
+            def render_tile(args):
+                o, d, b = args
+                out = render_rays_fused(
+                    p["coarse"], folded_c, nerf_cfg, o, d, b, near, far,
+                    cfg.n_samples, cfg.n_importance,
+                    fine_params=p.get("fine"), fine_folded=folded_f,
+                    lindisp=cfg.lindisp,
+                )
+                return out["rgb_map"]
+
+            rgb = jax.lax.map(
+                render_tile,
+                (rays_o.reshape(-1, tile, 3), rays_d.reshape(-1, tile, 3),
+                 bc.reshape(-1, tile, 3)),
+            ).reshape(-1, 3)[:n]
+            return rgb.reshape(H, W, 3)
+
+        return _render_fused
 
     @jax.jit
     def _render(params, pose, bc_img, aud=None, expr=None, latent=None):

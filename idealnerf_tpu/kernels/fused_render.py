@@ -1,0 +1,313 @@
+"""Per-ray fused render kernel: PE -> conditioned MLP -> alpha-composite,
+one Pallas launch, per-ray outputs only.
+
+Replaces the per-point kernel + XLA compositing for the eval hot path
+(reference workload: eval_aud_exp_nerf.py:437 — 450²×256 ≈ 52M point
+evals/frame). Structural wins over kernels/fused_mlp.py:
+
+- Points never exist in HBM. The kernel receives (R, 8) ray packets and
+  (R, S) depths; since PE is linear in the point, the phase matrix is
+  ``pts @ F = o @ F + t · (d @ F)`` — two tiny per-ray matmuls plus a
+  broadcast multiply-add, instead of materializing (R·S, 3) points and
+  (R·S, 8) padded kernel inputs.
+- The view-direction PE and its first-layer matmul contribution are
+  computed per RAY (S× fewer transcendentals and a (R,32)@(32,128)
+  matmul instead of (R·S,32)@(32,128)).
+- Compositing happens in-kernel: transmittance cumprod is a log-space
+  strictly-lower-triangular (S, S) matmul on the MXU; the per-point
+  (R·S, 4) raw output never reaches HBM — only (R, 8) summaries and the
+  (R, S) weights (needed by hierarchical sample_pdf and training).
+
+Math parity: identical to core.composite.raw2outputs with
+density_activation="relu" and the bc_rgb last-sample substitution
+(train/baseline.py:325-375), deterministic sampling (eval semantics).
+Equivalence is tested against the XLA path in tests/test_fused_render.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from idealnerf_tpu.kernels.fused_mlp import (
+    _PE_PAD,
+    _PED_PAD,
+    _pack_weights,
+    _pe_operands,
+)
+
+
+def _render_kernel(cfg, n_views: int, S: int, *refs):
+    """refs: [o8, d8, vd8, z, bc4, F_p, id_p, F_d, id_d, U]
+    + packed weights + [summary_out, weights_out].
+
+    o8 = [ox,oy,oz,1,0,0,0,0] (the 1-lane injects the cos phases via F's
+    row 3); d8 = [dx,dy,dz,0,...] (no phase — phases must not scale with
+    t); vd8 = unit viewdirs with the 1-lane. bc4 = [r,g,b,|rays_d|].
+    U (S, S) strictly-lower-triangular ones: logT = log(1-alpha) @ U is
+    the exclusive prefix sum over samples, on the MXU.
+    """
+    o8, d8, vd8, z_ref = refs[0], refs[1], refs[2], refs[3]
+    bc4 = refs[4][:]  # materialize: refs don't support None-indexing
+    F_p, id_p = refs[5][:], refs[6][:]
+    F_d, id_d = refs[7][:], refs[8][:]
+    U = refs[9][:]
+    summary_ref, weights_ref = refs[-2], refs[-1]
+    ops = [r[:] for r in refs[10:-2]]
+    cd = ops[0].dtype
+    R = o8.shape[0]
+
+    def f32dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    z = z_ref[:]  # (R, S) f32
+
+    # --- positional encoding from ray packets (no points in memory) ---
+    A = f32dot(o8[:], F_p)            # (R, PE_PAD) incl. phase lanes
+    B = f32dot(d8[:], F_p)            # (R, PE_PAD) no phase
+    phases = A[:, None, :] + z[:, :, None] * B[:, None, :]   # (R, S, PE)
+    pe = jnp.where(id_p[None] > 0, phases, jnp.sin(phases))
+    pe = pe.reshape(R * S, pe.shape[-1]).astype(cd)
+
+    zd = f32dot(vd8[:], F_d)          # (R, PED_PAD)
+    ped = jnp.where(id_d > 0, zd, jnp.sin(zd)).astype(cd)    # per-ray
+
+    # --- trunk (same packed-operand layout as fused_mlp._mlp_body) ---
+    depth_n = cfg.depth
+    trunk = ops[: 2 * depth_n]
+    n_skip = len([i for i in range(1, depth_n) if (i - 1) in cfg.skips])
+    skip_pes = ops[2 * depth_n : 2 * depth_n + n_skip]
+    rest = ops[2 * depth_n + n_skip :]
+
+    h = jnp.maximum(f32dot(pe, trunk[0]) + trunk[1], 0.0).astype(cd)
+    s_i = 0
+    for i in range(1, depth_n):
+        w, b = trunk[2 * i], trunk[2 * i + 1]
+        if (i - 1) in cfg.skips:
+            acc = f32dot(pe, skip_pes[s_i]) + f32dot(h, w) + b
+            s_i += 1
+        else:
+            acc = f32dot(h, w) + b
+        h = jnp.maximum(acc, 0.0).astype(cd)
+
+    # --- view branch; dir-PE contribution added per ray ---
+    wv0h, wv0d, bv0 = rest[0], rest[1], rest[2]
+    idx = 3
+    pv = f32dot(ped, wv0d) + bv0                   # (R, W/2)
+    hv = f32dot(h, wv0h).reshape(R, S, -1) + pv[:, None, :]
+    hv = jnp.maximum(hv, 0.0).astype(cd).reshape(R * S, -1)
+    for _ in range(n_views - 1):
+        w, b = rest[idx], rest[idx + 1]
+        idx += 2
+        hv = jnp.maximum(f32dot(hv, w) + b, 0.0).astype(cd)
+
+    w_alpha, w_rgb, b_heads = rest[idx], rest[idx + 1], rest[idx + 2]
+    raw = f32dot(h, w_alpha) + f32dot(hv, w_rgb) + b_heads   # (R*S, 128)
+    raw = raw[:, :4].reshape(R, S, 4)
+
+    # --- alpha compositing (raw2outputs semantics) ---
+    d_norm = bc4[:, 3:4]                                     # (R, 1)
+    dists = jnp.concatenate(
+        [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1
+    ) * d_norm
+    sigma = raw[..., 3]
+    alpha = 1.0 - jnp.exp(-(jnp.maximum(sigma, 0.0) + 1e-6) * dists)
+    # max(), NOT `1-alpha+1e-10`: Mosaic reassociates the latter to
+    # (1+1e-10)-alpha == 0 at alpha==1, and log(0)=-inf turns the masked
+    # (x·0) lanes of the triangular matmul into NaN
+    log_t = jnp.log(jnp.maximum(1.0 - alpha, 1e-10))
+    trans = jnp.exp(f32dot(log_t, U))                        # (R, S)
+    weights = alpha * trans
+
+    rgb = jax.nn.sigmoid(raw[..., :3])                       # (R, S, 3)
+    # bc substitution without a 3-way-broadcast where (Mosaic lowers that
+    # select to an unsupported gather): zero the last sample in the
+    # reduction and add last_weight·bc as a 2D term. This also IS rgb_fg.
+    not_last = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, S, 1), 1) < S - 1
+    ).astype(jnp.float32)
+    last_w = weights[:, S - 1 :]                             # (R, 1)
+    rgb_fg = jnp.sum(weights[..., None] * rgb * not_last, axis=1)  # (R, 3)
+    rgb_map = rgb_fg + last_w * bc4[:, :3]
+    acc = jnp.sum(weights, axis=1, keepdims=True)
+    depth_map = jnp.sum(weights * z, axis=1, keepdims=True)
+
+    # sliced stores, NOT one concat of skinny pieces — a >2-piece concat
+    # of lane-width 1-3 arrays crashes the TPU compiler backend here
+    summary_ref[:, :3] = rgb_map
+    summary_ref[:, 3:4] = acc
+    summary_ref[:, 4:5] = last_w
+    summary_ref[:, 5:6] = depth_map
+    summary_ref[:, 6:8] = jnp.zeros((R, 2), jnp.float32)
+    weights_ref[:] = weights
+
+
+def fused_render_rays(
+    params: Dict,
+    folded: Dict,
+    cfg,
+    rays_o: jnp.ndarray,      # (R, 3)
+    rays_d: jnp.ndarray,      # (R, 3)
+    z_vals: jnp.ndarray,      # (R, S) sample depths (sorted)
+    bc_rgb: jnp.ndarray,      # (R, 3) background plate pixels
+    point_tile: int = 4096,
+    interpret: Optional[bool] = None,
+    vmem_limit_mb: Optional[int] = 100,
+) -> Dict[str, jnp.ndarray]:
+    """Fused render of (R,) rays at given depths -> per-ray outputs.
+
+    Deterministic (eval) semantics: no perturb, no raw noise,
+    density_activation='relu'. Returns rgb_map/acc_map/last_weight/
+    depth/weights; disp derived by the caller if needed.
+    """
+    assert cfg.use_viewdirs, "fused render covers the use_viewdirs path"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    compute_dtype = params["pts"][0]["w"].dtype
+    if compute_dtype == jnp.float32:
+        compute_dtype = jnp.bfloat16
+
+    R, S = z_vals.shape
+    ray_tile = max((point_tile // S) // 8 * 8, 8)  # sublane-aligned
+    r_pad = (-R) % ray_tile
+    n_tiles = (R + r_pad) // ray_tile
+
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    d_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    def pack8(x, one_lane: bool):
+        parts = [x.astype(jnp.float32)]
+        if one_lane:
+            parts += [jnp.ones((x.shape[0], 1), jnp.float32),
+                      jnp.zeros((x.shape[0], 4), jnp.float32)]
+        else:
+            parts += [jnp.zeros((x.shape[0], 5), jnp.float32)]
+        out = jnp.concatenate(parts, axis=1)
+        return jnp.pad(out, ((0, r_pad), (0, 0)))
+
+    o8 = pack8(rays_o, one_lane=True)     # phase lane rides on o
+    d8 = pack8(rays_d, one_lane=False)
+    vd8 = pack8(viewdirs, one_lane=True)
+    bc4 = jnp.concatenate([bc_rgb.astype(jnp.float32), d_norm], axis=1)
+    bc4 = jnp.pad(bc4, ((0, r_pad), (0, 0)))
+    z_p = jnp.pad(z_vals.astype(jnp.float32), ((0, r_pad), (0, 0)),
+                  mode="edge" if r_pad else "constant")
+    if r_pad:
+        # padded rays: keep z monotone (edge mode copies real rows)
+        pass
+
+    F_p, id_p = (jnp.asarray(a) for a in _pe_operands(cfg.multires, _PE_PAD))
+    F_d, id_d = (jnp.asarray(a) for a in
+                 _pe_operands(cfg.multires_views, _PED_PAD))
+    U = jnp.asarray(np.triu(np.ones((S, S), np.float32), k=1))  # j < s
+
+    ops = _pack_weights(params, folded, cfg, compute_dtype)
+    n_views = 1 + cfg.depth // 4
+
+    def ray_spec(width):
+        return pl.BlockSpec((ray_tile, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    const_specs = [
+        pl.BlockSpec(a.shape, functools.partial(lambda nd, i: (0,) * nd, a.ndim),
+                     memory_space=pltpu.VMEM)
+        for a in (F_p, id_p, F_d, id_d, U, *ops)
+    ]
+
+    summary, weights = pl.pallas_call(
+        functools.partial(_render_kernel, cfg, n_views, S),
+        grid=(n_tiles,),
+        in_specs=[ray_spec(8), ray_spec(8), ray_spec(8), ray_spec(S),
+                  ray_spec(4), *const_specs],
+        out_specs=(ray_spec(8), ray_spec(S)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R + r_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((R + r_pad, S), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            ) if vmem_limit_mb is not None else None
+        ),
+    )(o8, d8, vd8, z_p, bc4, F_p, id_p, F_d, id_d, U, *ops)
+
+    summary = summary[:R]
+    rgb_map = summary[:, :3]
+    last_weight = summary[:, 4]
+    return {
+        "rgb_map": rgb_map,
+        "acc_map": summary[:, 3],
+        "last_weight": last_weight,
+        "depth": summary[:, 5],
+        "weights": weights[:R],
+        # composite excluding the forced bg sample (torso compositor input):
+        # the last sample's color IS bc_rgb, so subtract its contribution
+        "rgb_fg": rgb_map - last_weight[:, None] * bc_rgb,
+    }
+
+
+def render_rays_fused(
+    coarse_params: Dict,
+    coarse_folded: Dict,
+    cfg,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    bc_rgb: jnp.ndarray,
+    near,
+    far,
+    n_samples: int,
+    n_importance: int = 0,
+    fine_params: Optional[Dict] = None,
+    fine_folded: Optional[Dict] = None,
+    lindisp: bool = False,
+    point_tile: int = 4096,
+    interpret: Optional[bool] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Hierarchical render with both passes in the fused per-ray kernel.
+
+    Deterministic (eval) semantics — the fused counterpart of
+    core.render.render_rays with perturb=0 (render_kwargs_test). Returns
+    the renderer's output dict keys (rgb_map/acc_map/last_weight/rgb_fg/
+    weights, plus rgb0/acc0 when hierarchical).
+    """
+    from idealnerf_tpu.core.sampling import sample_pdf, stratified_sample
+
+    n_rays = rays_o.shape[0]
+    z_vals = stratified_sample(near, far, n_samples, n_rays,
+                               key=None, lindisp=lindisp)
+    # measured on v5e: small-S (coarse) prefers bigger point tiles
+    # (88 TF/s @ 8192 vs 69 @ 4096); large-S (fine) prefers 4096 (105 TF/s)
+    coarse_tile = point_tile * 2 if n_samples <= 96 else point_tile
+    coarse = fused_render_rays(
+        coarse_params, coarse_folded, cfg, rays_o, rays_d, z_vals, bc_rgb,
+        point_tile=coarse_tile, interpret=interpret,
+    )
+    if n_importance <= 0:
+        return coarse
+
+    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+    z_samples = sample_pdf(z_mid, coarse["weights"][..., 1:-1], n_importance)
+    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
+
+    fine = fused_render_rays(
+        fine_params if fine_params is not None else coarse_params,
+        fine_folded if fine_folded is not None else coarse_folded,
+        cfg, rays_o, rays_d, z_all, bc_rgb,
+        point_tile=point_tile, interpret=interpret,
+    )
+    fine = dict(fine)
+    fine.update(
+        rgb0=coarse["rgb_map"], acc0=coarse["acc_map"],
+        rgb_fg0=coarse["rgb_fg"], last_weight0=coarse["last_weight"],
+    )
+    return fine

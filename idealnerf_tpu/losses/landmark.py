@@ -59,3 +59,18 @@ class LandmarkLoss:
                 "are not bundled and cannot be downloaded in this environment)"
             )
         return heatmap_landmark_loss(self.detector(fake), self.detector(target))
+
+
+def make_fan_landmark_loss(fan_params) -> "LandmarkLoss":
+    """LandmarkLoss backed by the in-repo FAN port (pipeline/fan.py):
+    the constructible counterpart of the reference's
+    ``LandmarkLoss(device)`` (loss/landmark_loss.py:142-161). Pass a
+    converted 2DFAN-4 state dict (or init_fan output for tests).
+
+    Differentiable: the detector runs on BOTH the render and the target
+    crop and L1-compares the final-stack heatmaps — so the second-stage
+    trainer optimizes landmarks in effect, matching
+    distribute_nerf.py:487-491."""
+    from idealnerf_tpu.pipeline.fan import make_heatmap_detector
+
+    return LandmarkLoss(make_heatmap_detector(fan_params))

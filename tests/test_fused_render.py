@@ -1,0 +1,78 @@
+"""Equivalence of the per-ray fused render kernel vs the XLA path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.core.composite import raw2outputs
+from idealnerf_tpu.core.sampling import stratified_sample
+from idealnerf_tpu.kernels.fused_render import fused_render_rays
+from idealnerf_tpu.models.face_nerf import (
+    fold_conditioning, init_face_nerf, make_field_fn,
+)
+
+
+@pytest.mark.parametrize("n_rays,n_samples", [(64, 32), (100, 64)])
+def test_fused_render_matches_xla(n_rays, n_samples):
+    cfg = ExperimentConfig(dim_aud=16, dim_expr=8, dim_latent=4,
+                           N_samples=n_samples, N_importance=0)
+    nerf_cfg = cfg.face_nerf_config()
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    params = init_face_nerf(ks[0], nerf_cfg)
+    aud = jax.random.normal(ks[1], (16,))
+    expr = jax.random.normal(ks[2], (8,))
+    latent = jax.random.normal(ks[3], (4,)) * 0.1
+    folded = fold_conditioning(params, nerf_cfg, aud, expr, latent)
+
+    rays_o = jnp.zeros((n_rays, 3)) + jnp.array([0.0, 0.0, 1.5])
+    rays_d = (jax.random.normal(ks[4], (n_rays, 3)) * 0.08
+              + jnp.array([0.0, 0.0, -1.0]))
+    bc = jax.random.uniform(ks[5], (n_rays, 3))
+    near, far = 0.6, 2.2
+    z_vals = stratified_sample(near, far, n_samples, n_rays, key=None)
+
+    out = fused_render_rays(params, folded, nerf_cfg, rays_o, rays_d,
+                            z_vals, bc, point_tile=512)
+
+    # XLA reference: bf16 compute to match the kernel's MXU dtype
+    field_fn = make_field_fn(params, nerf_cfg, aud, expr, latent,
+                             compute_dtype=jnp.bfloat16)
+    pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    raw = field_fn(pts, viewdirs)
+    ref = raw2outputs(raw, z_vals, rays_d, bc)
+
+    np.testing.assert_allclose(out["rgb_map"], ref.rgb, atol=3e-2)
+    np.testing.assert_allclose(out["acc_map"], ref.acc, atol=3e-2)
+    np.testing.assert_allclose(out["weights"], ref.weights, atol=3e-2)
+    np.testing.assert_allclose(out["last_weight"], ref.last_weight, atol=3e-2)
+    np.testing.assert_allclose(out["rgb_fg"], ref.rgb_fg, atol=3e-2)
+    # correlation check: bf16 tolerances above must not hide structure loss
+    c = np.corrcoef(np.asarray(out["rgb_map"]).ravel(),
+                    np.asarray(ref.rgb).ravel())[0, 1]
+    assert c > 0.999
+
+
+def test_fused_render_bg_ray_is_plate():
+    """A ray that misses all density must composite exactly to the plate."""
+    cfg = ExperimentConfig(dim_aud=8, dim_expr=0, dim_latent=0,
+                           N_samples=32, N_importance=0)
+    nerf_cfg = cfg.face_nerf_config()
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    params = init_face_nerf(ks[0], nerf_cfg)
+    # force density head to strongly negative -> alpha ~ 0 everywhere
+    params["alpha"]["b"] = params["alpha"]["b"] - 100.0
+    aud = jax.random.normal(ks[1], (8,))
+    folded = fold_conditioning(params, nerf_cfg, aud)
+
+    n = 16
+    rays_o = jnp.zeros((n, 3))
+    rays_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    bc = jax.random.uniform(ks[2], (n, 3))
+    z_vals = stratified_sample(0.5, 1.5, 32, n, key=None)
+    out = fused_render_rays(params, folded, nerf_cfg, rays_o, rays_d,
+                            z_vals, bc, point_tile=512)
+    np.testing.assert_allclose(out["rgb_map"], bc, atol=1e-3)
+    np.testing.assert_allclose(out["rgb_fg"], jnp.zeros((n, 3)), atol=1e-3)

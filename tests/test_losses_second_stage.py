@@ -113,3 +113,34 @@ def test_second_stage_finetune_improves():
     trainer.run(n_steps=31, log_every=30, on_metrics=lambda s, m: hist.append(m))
     assert hist[-1]["psnr"] > hist[0]["psnr"], hist
     assert hist[-1]["aux_loss"] > 0  # aux loss participated
+
+
+def test_second_stage_with_fan_landmark_loss():
+    """The FAN-backed landmark loss is traceable end-to-end inside the
+    second-stage train step and contributes gradient — the effect parity
+    with the reference's distribute_nerf.py:487-491."""
+    import idealnerf_tpu.pipeline.fan as fan_mod
+    from idealnerf_tpu.losses.landmark import make_fan_landmark_loss
+    from idealnerf_tpu.pipeline.fan import init_fan
+
+    cfg = ExperimentConfig(**TINY)
+    identity = make_synthetic_dataset(n_frames=2, H=32, W=32, dim_expr=8, seed=0)
+    driving = make_synthetic_dataset(n_frames=2, H=32, W=32, dim_expr=8, seed=7)
+
+    fan_params = init_fan(jax.random.PRNGKey(3), num_modules=1)
+    old = fan_mod.NUM_MODULES
+    fan_mod.NUM_MODULES = 1
+    try:
+        lm_loss = make_fan_landmark_loss(fan_params)
+        aux = lambda pred, target: 0.1 * lm_loss(pred, target)
+        trainer = SecondStageTrainer(
+            cfg, identity, driving.auds, driving.exprs,
+            crop=24, seed=1, aux_loss=aux,
+        )
+        hist = []
+        trainer.run(n_steps=2, log_every=1,
+                    on_metrics=lambda s, m: hist.append(m))
+        assert np.isfinite(hist[-1]["loss"])
+        assert hist[-1]["aux_loss"] > 0
+    finally:
+        fan_mod.NUM_MODULES = old
