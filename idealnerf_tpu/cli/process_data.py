@@ -56,6 +56,10 @@ def main(argv=None):
     parser.add_argument("--fan_weights", default=None,
                         help="FAN 2DFAN-4 weights (torch .pth state dict or "
                              "a converted .npz) — enables the landmarks step")
+    parser.add_argument("--deepspeech_pb", default=None,
+                        help="DeepSpeech 0.1.0 frozen graph (output_graph.pb)"
+                             " — real acoustic-model logits for the audio "
+                             "step (parsed natively, no TensorFlow needed)")
     args = parser.parse_args(argv)
 
     import imageio.v2 as imageio
@@ -82,7 +86,15 @@ def main(argv=None):
         wav = args.wav or os.path.join(d, "aud.wav")
         if os.path.exists(wav):
             audio, sr = _read_wav(wav)
-            aud = extract_deepspeech_features(audio, sr, num_frames=len(ids))
+            logits_fn = None
+            if args.deepspeech_pb:
+                from idealnerf_tpu.pipeline.deepspeech import (
+                    make_logits_fn_from_graph,
+                )
+
+                logits_fn = make_logits_fn_from_graph(args.deepspeech_pb)
+            aud = extract_deepspeech_features(audio, sr, num_frames=len(ids),
+                                              logits_fn=logits_fn)
             np.save(os.path.join(d, "aud.npy"), aud)
             logger.info("audio features %s -> aud.npy", aud.shape)
         else:

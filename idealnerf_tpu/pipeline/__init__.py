@@ -13,6 +13,11 @@ from idealnerf_tpu.pipeline.audio import (
     mfcc, deepspeech_input_vector, interpolate_features,
     make_audio_windows, extract_deepspeech_features,
 )
+from idealnerf_tpu.pipeline.deepspeech import (
+    deepspeech_logits, load_params as load_deepspeech_params,
+    make_logits_fn, make_logits_fn_from_graph, random_params
+    as random_deepspeech_params,
+)
 from idealnerf_tpu.pipeline.process import (
     extract_background_plate, decouple_images, write_transforms,
     parse_color_map,
