@@ -28,7 +28,8 @@ def main(argv=None):
     parser.add_argument("--head_ckpt", type=str, required=False)
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--pruned", type=int, default=0,
-                        help="use the foreground-pruned fast eval path")
+                        help="foreground-pruned fast eval path; a value "
+                             ">1 is the keep percentage (e.g. 40)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -50,13 +51,27 @@ def main(argv=None):
 
     H, W = ds.hw
     head_cfg = variant_nerf_config(cfg)
-    render = make_frame_renderer(
-        head_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
-        cx=ds.cx, cy=ds.cy,
-        tile=min(8192, H * W),
-        compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else None,
-        use_pallas=jax.default_backend() == "tpu",
-    )
+    on_tpu = jax.default_backend() == "tpu"
+    compute_dtype = jnp.bfloat16 if on_tpu else None
+    if args.pruned:
+        # foreground-pruned fast path (fine pass on the top rays by
+        # coarse opacity) — used by the quality-delta measurements
+        from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
+
+        render = make_pruned_frame_renderer(
+            head_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
+            cx=ds.cx, cy=ds.cy, tile=min(8192, H * W),
+            keep_fraction=args.pruned / 100.0 if args.pruned > 1 else 0.4,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        render = make_frame_renderer(
+            head_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
+            cx=ds.cx, cy=ds.cy,
+            tile=min(8192, H * W),
+            compute_dtype=compute_dtype,
+            use_pallas="ray" if on_tpu else False,
+        )
     data = ds.to_device()
     bc = data["bc_img"].astype(jnp.float32) / 255.0
     smooth = cfg.dim_aud > 29 and int(state.step) >= cfg.nosmo_iters

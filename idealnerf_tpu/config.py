@@ -65,6 +65,8 @@ class ExperimentConfig:
     density_activation: str = "relu"  # "relu" (reference parity) | "softplus"
 
     # optimization
+    train_fused: int = 0     # 1: custom-VJP fused MLP kernel in the train
+                             # step (TPU; kernels/fused_mlp_grad.py)
     lrate: float = 8e-4
     lrate_decay: int = 500
     lc_weight: float = 0.0005

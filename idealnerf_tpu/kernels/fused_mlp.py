@@ -41,6 +41,21 @@ _PED_PAD = 32  # 27 dir-PE channels + 5 zero lanes
 DEFAULT_TILE = 2048
 
 
+def _f32dot_hi(a, b):
+    """f32 dot at HIGHEST precision — REQUIRED for the PE phase matmuls.
+
+    Default-precision f32 dot is a single bf16×bf16 pass on the MXU (and
+    oneDNN on CPU): at multires=10 the phase 512·x reaches ~300 rad, and
+    bf16's ~0.4% relative error is ~1 rad — sin() of that is garbage.
+    HIGHEST forces the multi-pass f32 decomposition; the phase matmuls
+    are (T, 8)@(8, 64), so the extra passes cost nothing."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _pad_rows(w: jnp.ndarray, rows: int) -> jnp.ndarray:
     return jnp.pad(w, ((0, rows - w.shape[0]), (0, 0)))
 
@@ -141,7 +156,7 @@ def _kernel_fused_pe(cfg, n_views: int, accum_dtype, *refs):
         )
 
     def make_pe(x_ref, F, is_id):
-        z = f32dot(x_ref[:], F)
+        z = _f32dot_hi(x_ref[:], F)   # HIGHEST: see _f32dot_hi docstring
         return jnp.where(is_id > 0, z, jnp.sin(z)).astype(cd)
 
     pe = make_pe(pts_ref, F_p, id_p)

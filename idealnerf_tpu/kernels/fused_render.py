@@ -38,6 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 from idealnerf_tpu.kernels.fused_mlp import (
     _PE_PAD,
     _PED_PAD,
+    _f32dot_hi,
     _pack_weights,
     _pe_operands,
 )
@@ -71,13 +72,15 @@ def _render_kernel(cfg, n_views: int, S: int, *refs):
     z = z_ref[:]  # (R, S) f32
 
     # --- positional encoding from ray packets (no points in memory) ---
-    A = f32dot(o8[:], F_p)            # (R, PE_PAD) incl. phase lanes
-    B = f32dot(d8[:], F_p)            # (R, PE_PAD) no phase
+    # HIGHEST-precision dots: the default f32 dot is one bf16 MXU pass,
+    # which corrupts the 512·x phases by ~1 rad (see _f32dot_hi)
+    A = _f32dot_hi(o8[:], F_p)        # (R, PE_PAD) incl. phase lanes
+    B = _f32dot_hi(d8[:], F_p)        # (R, PE_PAD) no phase
     phases = A[:, None, :] + z[:, :, None] * B[:, None, :]   # (R, S, PE)
     pe = jnp.where(id_p[None] > 0, phases, jnp.sin(phases))
     pe = pe.reshape(R * S, pe.shape[-1]).astype(cd)
 
-    zd = f32dot(vd8[:], F_d)          # (R, PED_PAD)
+    zd = _f32dot_hi(vd8[:], F_d)      # (R, PED_PAD)
     ped = jnp.where(id_d > 0, zd, jnp.sin(zd)).astype(cd)    # per-ray
 
     # --- trunk (same packed-operand layout as fused_mlp._mlp_body) ---

@@ -237,6 +237,19 @@ def make_field_fn(
     def field_fn(pts, viewdirs):
         R, S, _ = pts.shape
         flat = pts.reshape(R * S, 3)
+        if use_pallas in ("train", "train_bf16") and cfg.use_viewdirs:
+            # differentiable fused path: custom-VJP kernel with a
+            # rematerializing Pallas backward (kernels/fused_mlp_grad);
+            # "train" = exact f32 backward, "train_bf16" = MXU-native
+            from idealnerf_tpu.kernels.fused_mlp_grad import (
+                TRAIN_TILE, fused_point_mlp_train,
+            )
+
+            gd = jnp.bfloat16 if use_pallas == "train_bf16" else jnp.float32
+            dirs = jnp.broadcast_to(viewdirs[:, None, :], (R, S, 3)).reshape(R * S, 3)
+            raw = fused_point_mlp_train(cfg, params, folded, flat, dirs,
+                                        TRAIN_TILE, None, gd)
+            return raw.reshape(R, S, 4).astype(jnp.float32)
         if use_pallas and cfg.use_viewdirs:
             # the fused kernel computes PE in-kernel — hand it raw coords
             from idealnerf_tpu.kernels.fused_mlp import fused_point_mlp

@@ -96,7 +96,12 @@ def make_frame_loss(cfg: ExperimentConfig, dataset: FrameDataset,
         target = image[coords[:, 0], coords[:, 1]]
         bc_rgb = bc[coords[:, 0], coords[:, 1]]
 
-        coarse_fn, fine_fn = build_field_fns(params, cfg, aud, expr, latent)
+        use_pallas = False
+        if cfg.train_fused and jax.default_backend() == "tpu":
+            # 1 = exact f32 backward, 2 = bf16 backward (faster)
+            use_pallas = "train_bf16" if cfg.train_fused >= 2 else "train"
+        coarse_fn, fine_fn = build_field_fns(params, cfg, aud, expr, latent,
+                                             use_pallas=use_pallas)
         out = render_rays(
             coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
             key=key, fine_fn=fine_fn,

@@ -1,0 +1,106 @@
+"""Full-resolution convergence rehearsal (round-1 review item #7).
+
+Generates a disk-format synthetic subject at the reference's 450² paper
+scale through the repo's own exporter, trains the head model through the
+real CLI at paper config (N_rand 3072, 64+128 samples), then renders the
+val split full-fidelity / foreground-pruned / prior-masked on the
+converged checkpoint and reports PSNR/SSIM + the pruned-mode quality
+deltas. Results land in <out>/results.json for BASELINE.md.
+
+Usage:
+  python scripts/rehearsal.py --out runs/rehearsal [--hw 450]
+      [--frames 110] [--epochs 140] [--phase all|make|train|eval]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PAPER = dict(N_rand=3072, N_samples=64, N_importance=128, dim_aud=64,
+             dim_latent=32, mouth_rays=512, torso_rays=512,
+             lrate=3e-4, lc_weight=0.005, i_weights=2000, i_print=200)
+
+
+def phase_make(args):
+    from idealnerf_tpu.data.export import write_reference_format
+    from idealnerf_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(
+        n_frames=args.frames, H=args.hw, W=args.hw, dim_expr=args.dim_expr,
+        seed=7)
+    cfg_path = write_reference_format(ds, args.out, subject="rehearsal")
+    print("wrote subject:", cfg_path)
+    return cfg_path
+
+
+def phase_train(args):
+    from idealnerf_tpu.cli import train_head
+
+    cfg_path = os.path.join(args.out, "HeadNeRF_config.txt")
+    argv = ["--config", cfg_path, "--epochs", str(args.epochs)]
+    for k, v in PAPER.items():
+        argv += [f"--{k}", str(v)]
+    t0 = time.time()
+    train_head.main(argv)
+    print(f"training wall time: {time.time() - t0:.0f}s")
+
+
+def phase_eval(args):
+    from idealnerf_tpu.cli import render_val
+
+    cfg_path = os.path.join(args.out, "HeadNeRF_config.txt")
+    ckpt = os.path.join(args.out, "logs", "rehearsal_head", "ckpt")
+    base = ["--config", cfg_path, "--head_ckpt", ckpt,
+            "--save_path", os.path.join(args.out, "renders")]
+    for k, v in PAPER.items():
+        base += [f"--{k}", str(v)]
+    results = {}
+    for name, extra in (("full", []), ("pruned_40", ["--pruned", "40"]),
+                        ("pruned_60", ["--pruned", "60"])):
+        t0 = time.time()
+        results[name] = {"psnr": render_val.main(base + extra),
+                         "wall_s": round(time.time() - t0, 1)}
+        print(name, results[name])
+    results["delta_psnr_pruned_40"] = round(
+        results["full"]["psnr"] - results["pruned_40"]["psnr"], 3)
+    results["delta_psnr_pruned_60"] = round(
+        results["full"]["psnr"] - results["pruned_60"]["psnr"], 3)
+    with open(os.path.join(args.out, "results.json"), "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--out", default="runs/rehearsal")
+    p.add_argument("--hw", type=int, default=450)
+    p.add_argument("--frames", type=int, default=110)
+    p.add_argument("--dim_expr", type=int, default=79)
+    p.add_argument("--epochs", type=int, default=140,
+                   help="epochs over the train split (~100 steps each)")
+    p.add_argument("--phase", default="all")
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny CPU wiring check (small frames/budgets)")
+    args = p.parse_args()
+    if args.smoke:
+        args.hw, args.frames, args.dim_expr = 66, 12, 8
+        args.epochs = min(args.epochs, 3)
+        PAPER.update(N_rand=256, mouth_rays=32, torso_rays=32,
+                     N_samples=16, N_importance=16, i_weights=20, i_print=10)
+    os.makedirs(args.out, exist_ok=True)
+    if args.phase in ("all", "make"):
+        phase_make(args)
+    if args.phase in ("all", "train"):
+        phase_train(args)
+    if args.phase in ("all", "eval"):
+        phase_eval(args)
+
+
+if __name__ == "__main__":
+    main()
