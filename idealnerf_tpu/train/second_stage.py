@@ -62,6 +62,43 @@ def make_cross_identity_dataset(
     )
 
 
+def make_aux_loss(fan_params=None, vgg16_params=None, vggface_params=None,
+                  w_landmark: float = 1.0, w_vgg: float = 0.0,
+                  w_vggface: float = 0.0) -> Optional[Callable]:
+    """Compose the reference second-stage aux losses into one traceable
+    ``(pred_crop, target_crop) -> scalar`` (crops HWC in [0, 1]).
+
+    distribute_nerf.py:433-491 instantiates LandmarkLoss + VGGLOSS +
+    VGGFaceLoss but only actively optimizes the landmark term (:487-491;
+    the VGG applications are commented out) — hence the zero default
+    weights for the perceptual terms. All three run the native JAX nets
+    (pipeline/fan.py, losses/vgg.py)."""
+    terms = []
+    if fan_params is not None and w_landmark:
+        from idealnerf_tpu.losses.landmark import make_fan_landmark_loss
+
+        lm = make_fan_landmark_loss(fan_params)
+        terms.append(lambda p, t: w_landmark * lm(p, t))
+    if vgg16_params is not None and w_vgg:
+        from idealnerf_tpu.losses.vgg import make_vgg16_loss
+
+        v = make_vgg16_loss(vgg16_params)     # expects [-1, 1] inputs
+        terms.append(
+            lambda p, t: w_vgg * v(2.0 * p[None] - 1.0, 2.0 * t[None] - 1.0))
+    if vggface_params is not None and w_vggface:
+        from idealnerf_tpu.losses.vgg import make_vggface_loss
+
+        vf = make_vggface_loss(vggface_params)
+        terms.append(lambda p, t: w_vggface * vf(p[None], t[None]))
+    if not terms:
+        return None
+
+    def aux(pred_crop, target_crop):
+        return sum(t(pred_crop, target_crop) for t in terms)
+
+    return aux
+
+
 def make_second_stage_step(
     cfg: ExperimentConfig,
     dataset: FrameDataset,

@@ -144,3 +144,32 @@ def test_second_stage_with_fan_landmark_loss():
         assert hist[-1]["aux_loss"] > 0
     finally:
         fan_mod.NUM_MODULES = old
+
+
+def test_make_aux_loss_composes_all_terms():
+    """make_aux_loss composes landmark + VGG16 + VGGFace (native nets)
+    into one traceable term (distribute_nerf.py:433-491 loss stack)."""
+    import idealnerf_tpu.pipeline.fan as fan_mod
+    from idealnerf_tpu.losses.vgg import init_vgg16, init_vggface
+    from idealnerf_tpu.pipeline.fan import init_fan
+    from idealnerf_tpu.train.second_stage import make_aux_loss
+
+    assert make_aux_loss() is None
+    fan_params = init_fan(jax.random.PRNGKey(0), num_modules=1)
+    old = fan_mod.NUM_MODULES
+    fan_mod.NUM_MODULES = 1
+    try:
+        aux = make_aux_loss(
+            fan_params=fan_params,
+            vgg16_params=init_vgg16(jax.random.PRNGKey(1)),
+            vggface_params=init_vggface(jax.random.PRNGKey(2)),
+            w_landmark=0.1, w_vgg=0.05, w_vggface=0.05,
+        )
+        pred = jax.random.uniform(jax.random.PRNGKey(3), (24, 24, 3))
+        target = jax.random.uniform(jax.random.PRNGKey(4), (24, 24, 3))
+        val, grad = jax.jit(jax.value_and_grad(
+            lambda p: aux(p, target)))(pred)
+        assert np.isfinite(float(val)) and float(val) > 0
+        assert float(jnp.abs(grad).max()) > 0
+    finally:
+        fan_mod.NUM_MODULES = old
