@@ -327,7 +327,9 @@ def make_pruned_frame_renderer(
     ``prior_mask``/``k_coarse``: when given, the coarse pass runs only on
     the static prior rays (render_frame_prior_masked semantics).
     """
-    from idealnerf_tpu.kernels.fused_render import fused_render_rays
+    from idealnerf_tpu.kernels.fused_render import (
+        fused_render_coarse_hier, fused_render_rays,
+    )
     from idealnerf_tpu.models.face_nerf import fold_conditioning
 
     cfg = cfg.eval_mode()
@@ -604,32 +606,17 @@ def make_frame_renderer(
             rays_o = rays_o.reshape(-1, 3)
             rays_d = rays_d.reshape(-1, 3)
             bc = bc_img.reshape(-1, 3)
-            n = rays_o.shape[0]
-            n_pad = (-n) % tile
-            if n_pad:
-                rays_o = jnp.concatenate(
-                    [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
-                rays_d = jnp.concatenate(
-                    [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]],
-                                                rays_d.dtype), (n_pad, 1))], 0)
-                bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
-
-            def render_tile(args):
-                o, d, b = args
-                out = render_rays_fused(
-                    p["coarse"], folded_c, nerf_cfg, o, d, b, near, far,
-                    cfg.n_samples, cfg.n_importance,
-                    fine_params=p.get("fine"), fine_folded=folded_f,
-                    lindisp=cfg.lindisp,
-                )
-                return out["rgb_map"]
-
-            rgb = jax.lax.map(
-                render_tile,
-                (rays_o.reshape(-1, tile, 3), rays_d.reshape(-1, tile, 3),
-                 bc.reshape(-1, tile, 3)),
-            ).reshape(-1, 3)[:n]
-            return rgb.reshape(H, W, 3)
+            # no host-side tiling: the pallas grid streams ray tiles
+            # itself, and one whole-frame launch pair measures ~115 ms
+            # less than 12 lax.map tiles (fewer dispatches + no
+            # per-tile intermediate materialization)
+            out = render_rays_fused(
+                p["coarse"], folded_c, nerf_cfg, rays_o, rays_d, bc,
+                near, far, cfg.n_samples, cfg.n_importance,
+                fine_params=p.get("fine"), fine_folded=folded_f,
+                lindisp=cfg.lindisp,
+            )
+            return out["rgb_map"].reshape(H, W, 3)
 
         return _render_fused
 

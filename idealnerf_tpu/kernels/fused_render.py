@@ -55,12 +55,128 @@ def _render_kernel(cfg, n_views: int, S: int, *refs):
     the exclusive prefix sum over samples, on the MXU.
     """
     o8, d8, vd8, z_ref = refs[0], refs[1], refs[2], refs[3]
-    bc4 = refs[4][:]  # materialize: refs don't support None-indexing
-    F_p, id_p = refs[5][:], refs[6][:]
-    F_d, id_d = refs[7][:], refs[8][:]
-    U = refs[9][:]
-    summary_ref, weights_ref = refs[-2], refs[-1]
-    ops = [r[:] for r in refs[10:-2]]
+    z = z_ref[:]  # (R, S) f32
+    _render_body(cfg, n_views, S, z, refs[0], refs[1], refs[2], refs[4:])
+
+
+def _pdf_merge(s_coarse: int, n_imp: int, near: float, far: float,
+               w, CUM):
+    """In-kernel hierarchical sampling: coarse weights (T, s_coarse) ->
+    sorted union depths (T, s_coarse + n_imp). See _hier_kernel's
+    docstring for the ascending-overwrite inverse CDF and the bitonic
+    merge formulation."""
+    T = w.shape[0]
+    S = s_coarse + n_imp
+
+    # ---- coarse z (static linspace, recomputed from scalars)
+    # int iota + cast: Mosaic's tpu.iota is integer-only
+    t64 = jax.lax.broadcasted_iota(jnp.int32, (1, s_coarse), 1).astype(
+        jnp.float32) / (s_coarse - 1)
+    z64 = near * (1.0 - t64) + far * t64            # (1, s_coarse)
+    zmid_np = 0.5 * (np.linspace(near, far, s_coarse)[1:]
+                     + np.linspace(near, far, s_coarse)[:-1])  # (B,) python
+
+    # ---- inverse CDF (sample_pdf semantics, key=None)
+    wmid = w[:, 1:-1] + 1e-5                        # (T, B-1), B-1 = 62
+    pdf = wmid / jnp.sum(wmid, axis=1, keepdims=True)
+    cdf = _f32dot_hi(pdf, CUM)                      # inclusive cumsum (T, B-1)
+
+    # u: DESCENDING deterministic linspace (see docstring)
+    uj = jax.lax.broadcasted_iota(jnp.int32, (T, n_imp), 1).astype(
+        jnp.float32)
+    u = 1.0 - uj / (n_imp - 1)
+
+    below_c = jnp.zeros((T, n_imp), jnp.float32)    # cdf_0 = 0 always <= u
+    below_b = jnp.full((T, n_imp), float(zmid_np[0]))
+    above_c = cdf[:, -1:] * jnp.ones((1, n_imp))    # fallback: last bin
+    above_b = jnp.full((T, n_imp), float(zmid_np[-1]))
+    n_bins = cdf.shape[1] + 1                       # B = 63 edges
+    for b in range(1, n_bins):                      # edge 0 is the init
+        cb = cdf[:, b - 1 : b]                      # (T, 1)
+        zb = float(zmid_np[b])
+        le = cb <= u
+        below_c = jnp.where(le, cb, below_c)
+        below_b = jnp.where(le, zb, below_b)
+    for b in range(n_bins - 1, 0, -1):              # first cdf > u wins
+        cb = cdf[:, b - 1 : b]
+        zb = float(zmid_np[b])
+        gt = cb > u
+        above_c = jnp.where(gt, cb, above_c)
+        above_b = jnp.where(gt, zb, above_b)
+    denom = above_c - below_c
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    zs = below_b + (u - below_c) / denom * (above_b - below_b)  # descending
+
+    # ---- bitonic merge of the sorted union
+    n_total = 1 << (S - 1).bit_length()             # next power of two
+    pad = n_total - s_coarse - n_imp
+    c = jnp.concatenate([
+        jnp.broadcast_to(z64, (T, s_coarse)),
+        jnp.full((T, pad), 1e10, jnp.float32),
+        zs,
+    ], axis=1)                                      # (T, n_total) bitonic
+    d = n_total // 2
+    while d >= 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, n_total), 1)
+        first = (lane % (2 * d)) < d
+        # pltpu.roll requires shift >= 0: roll by n-d == roll by -d
+        partner = jnp.where(first, pltpu.roll(c, n_total - d, 1),
+                            pltpu.roll(c, d, 1))
+        c = jnp.where(first, jnp.minimum(c, partner),
+                      jnp.maximum(c, partner))
+        d //= 2
+    return c[:, :S]                                 # sorted union (T, S)
+
+
+def _pdf_merge_kernel(s_coarse: int, n_imp: int, near: float, far: float,
+                      *refs):
+    """Standalone pdf+merge launch: refs = [w, CUM, z_out]. Run with
+    LARGE ray tiles (no MLP in this kernel, VMEM is free) — the lane ops
+    are tiny, so amortizing them over thousands of rays per tile is what
+    makes this fast; inside the fine render kernel (ray_tile ~16) the
+    same ops measured ~100 ms/frame of serialized VPU overhead."""
+    w_ref, CUM_ref, z_ref = refs
+    z_ref[:] = _pdf_merge(s_coarse, n_imp, near, far, w_ref[:], CUM_ref[:])
+
+
+def _hier_kernel(cfg, n_views: int, s_coarse: int, n_imp: int,
+                 near: float, far: float, *refs):
+    """Hierarchical fine pass with IN-KERNEL importance sampling:
+    refs: [o8, d8, vd8, w_coarse(R, s_coarse), bc4, F_p, id_p, F_d, id_d,
+    U(S,S), CUM(B-1, B-1)] + packed weights + outs, S = s_coarse + n_imp.
+
+    Replaces the XLA sample_pdf + sort between the two render launches
+    (measured ~130 ms/frame at 450² — the masked-reduce materializes
+    (R, 128, 63) intermediates and lax.sort runs a full bitonic network):
+
+    - inverse CDF by ascending-overwrite: cdf is monotone in the bin
+      index, so 63 unrolled (T, n_imp) where-overwrites leave exactly
+      searchsorted(right)'s below/above values (core/sampling.py:91-105
+      semantics, same epsilons);
+    - deterministic u drawn DESCENDING, so the new samples come out
+      descending and [z64_asc ‖ big-pad ‖ zs_desc] is bitonic: one
+      8-stage roll-based bitonic merge network yields the sorted union
+      that jnp.sort(concat(...)) produces in the XLA path.
+
+    Eval-only (deterministic u; scalar near/far).
+    """
+    w_ref = refs[3]
+    CUM = refs[10][:]
+    S = s_coarse + n_imp
+    z = _pdf_merge(s_coarse, n_imp, near, far, w_ref[:], CUM)
+    _render_body(cfg, n_views, S, z, refs[0], refs[1], refs[2],
+                 (refs[4],) + refs[5:10] + refs[11:])
+
+
+def _render_body(cfg, n_views: int, S: int, z, o8, d8, vd8, rest_refs):
+    """Shared MLP + composite body; rest_refs = [bc4, F_p, id_p, F_d,
+    id_d, U] + packed weights + [summary_ref, weights_ref]."""
+    bc4 = rest_refs[0][:]  # materialize: refs don't support None-indexing
+    F_p, id_p = rest_refs[1][:], rest_refs[2][:]
+    F_d, id_d = rest_refs[3][:], rest_refs[4][:]
+    U = rest_refs[5][:]
+    summary_ref, weights_ref = rest_refs[-2], rest_refs[-1]
+    ops = [r[:] for r in rest_refs[6:-2]]
     cd = ops[0].dtype
     R = o8.shape[0]
 
@@ -68,8 +184,6 @@ def _render_kernel(cfg, n_views: int, S: int, *refs):
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-
-    z = z_ref[:]  # (R, S) f32
 
     # --- positional encoding from ray packets (no points in memory) ---
     # HIGHEST-precision dots: the default f32 dot is one bf16 MXU pass,
@@ -151,6 +265,31 @@ def _render_kernel(cfg, n_views: int, S: int, *refs):
     summary_ref[:, 5:6] = depth_map
     summary_ref[:, 6:8] = jnp.zeros((R, 2), jnp.float32)
     weights_ref[:] = weights
+    return weights
+
+
+def _coarse_hier_kernel(cfg, n_views: int, s_coarse: int, n_imp: int,
+                        near: float, far: float, *refs):
+    """Coarse render + IN-KERNEL hierarchical sampling in one launch:
+    refs = [o8, d8, vd8, bc4, F_p, id_p, F_d, id_d, U(s_coarse²), CUM]
+    + packed weights + [summary, weights, z_all].
+
+    The coarse depths are the static near/far linspace (eval), so no z
+    operand; the freshly computed weights feed _pdf_merge while still in
+    VMEM, and the merged fine depths stream out for the fine kernel.
+    Folding the pdf into the COARSE kernel (ray tiles ~128) instead of
+    the fine one (~16) amortizes the lane ops 8x better — measured: the
+    fine-side fold cost ~100 ms/frame, this is ~free; and keeping two
+    pallas calls per program avoids the remote-compile failure that a
+    separate third pdf launch triggers."""
+    T = refs[0].shape[0]
+    z_ref = refs[-1]
+    t = jax.lax.broadcasted_iota(jnp.int32, (1, s_coarse), 1).astype(
+        jnp.float32) / (s_coarse - 1)
+    z64 = jnp.broadcast_to(near * (1.0 - t) + far * t, (T, s_coarse))
+    weights = _render_body(cfg, n_views, s_coarse, z64, refs[0], refs[1],
+                           refs[2], refs[3:9] + refs[10:-1])
+    z_ref[:] = _pdf_merge(s_coarse, n_imp, near, far, weights, refs[9][:])
 
 
 def fused_render_rays(
@@ -259,6 +398,168 @@ def fused_render_rays(
     }
 
 
+def fused_render_coarse_hier(
+    params: Dict,
+    folded: Dict,
+    cfg,
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    bc_rgb: jnp.ndarray,
+    near: float,
+    far: float,
+    n_samples: int,
+    n_imp: int,
+    point_tile: int = 8192,
+    interpret: Optional[bool] = None,
+    vmem_limit_mb: Optional[int] = 100,
+):
+    """Coarse pass + in-kernel hierarchical sampling (one launch):
+    -> (coarse output dict, z_all (R, n_samples + n_imp) fine depths).
+    Deterministic eval semantics, scalar near/far (see _coarse_hier_kernel)."""
+    assert cfg.use_viewdirs
+    near, far = float(near), float(far)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    compute_dtype = params["pts"][0]["w"].dtype
+    if compute_dtype == jnp.float32:
+        compute_dtype = jnp.bfloat16
+
+    R = rays_o.shape[0]
+    s_coarse = n_samples
+    S = s_coarse + n_imp
+    ray_tile = max((point_tile // s_coarse) // 8 * 8, 8)
+    r_pad = (-R) % ray_tile
+    n_tiles = (R + r_pad) // ray_tile
+
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    d_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    def pack8(x, one_lane: bool):
+        parts = [x.astype(jnp.float32)]
+        if one_lane:
+            parts += [jnp.ones((x.shape[0], 1), jnp.float32),
+                      jnp.zeros((x.shape[0], 4), jnp.float32)]
+        else:
+            parts += [jnp.zeros((x.shape[0], 5), jnp.float32)]
+        return jnp.pad(jnp.concatenate(parts, axis=1), ((0, r_pad), (0, 0)))
+
+    o8 = pack8(rays_o, one_lane=True)
+    d8 = pack8(rays_d, one_lane=False)
+    vd8 = pack8(viewdirs, one_lane=True)
+    bc4 = jnp.concatenate([bc_rgb.astype(jnp.float32), d_norm], axis=1)
+    bc4 = jnp.pad(bc4, ((0, r_pad), (0, 0)))
+
+    F_p, id_p = (jnp.asarray(a) for a in _pe_operands(cfg.multires, _PE_PAD))
+    F_d, id_d = (jnp.asarray(a) for a in
+                 _pe_operands(cfg.multires_views, _PED_PAD))
+    U = jnp.asarray(np.triu(np.ones((s_coarse, s_coarse), np.float32), k=1))
+    n_bins1 = s_coarse - 2
+    CUM = jnp.asarray(np.triu(np.ones((n_bins1, n_bins1), np.float32)))
+
+    ops = _pack_weights(params, folded, cfg, compute_dtype)
+    n_views = 1 + cfg.depth // 4
+
+    def ray_spec(width):
+        return pl.BlockSpec((ray_tile, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    const_specs = [
+        pl.BlockSpec(a.shape, functools.partial(lambda nd, i: (0,) * nd, a.ndim),
+                     memory_space=pltpu.VMEM)
+        for a in (F_p, id_p, F_d, id_d, U, CUM, *ops)
+    ]
+
+    summary, weights, z_all = pl.pallas_call(
+        functools.partial(_coarse_hier_kernel, cfg, n_views, s_coarse,
+                          n_imp, near, far),
+        grid=(n_tiles,),
+        in_specs=[ray_spec(8), ray_spec(8), ray_spec(8), ray_spec(4),
+                  *const_specs],
+        out_specs=(ray_spec(8), ray_spec(s_coarse), ray_spec(S)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R + r_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((R + r_pad, s_coarse), jnp.float32),
+            jax.ShapeDtypeStruct((R + r_pad, S), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            ) if vmem_limit_mb is not None else None
+        ),
+    )(o8, d8, vd8, bc4, F_p, id_p, F_d, id_d, U, CUM, *ops)
+
+    summary = summary[:R]
+    rgb_map = summary[:, :3]
+    last_weight = summary[:, 4]
+    coarse = {
+        "rgb_map": rgb_map,
+        "acc_map": summary[:, 3],
+        "last_weight": last_weight,
+        "depth": summary[:, 5],
+        "weights": weights[:R],
+        "rgb_fg": rgb_map - last_weight[:, None] * bc_rgb,
+    }
+    return coarse, z_all[:R]
+
+
+def fused_render_rays_hier(
+    params: Dict,
+    folded: Dict,
+    cfg,
+    rays_o: jnp.ndarray,        # (R, 3)
+    rays_d: jnp.ndarray,        # (R, 3)
+    coarse_weights: jnp.ndarray,  # (R, s_coarse) from the coarse pass
+    bc_rgb: jnp.ndarray,        # (R, 3)
+    near: float,
+    far: float,
+    n_imp: int,
+    point_tile: int = 4096,
+    interpret: Optional[bool] = None,
+    vmem_limit_mb: Optional[int] = 100,
+    pdf_tile: int = 1024,
+) -> Dict[str, jnp.ndarray]:
+    """Fine-pass render with KERNEL hierarchical sampling: a pdf+merge
+    Pallas launch over LARGE ray tiles derives the fine depths from the
+    coarse weights (inverse CDF + bitonic merge against the static
+    coarse linspace — _pdf_merge), then the standard fused render kernel
+    consumes them. Replaces XLA sample_pdf + lax.sort (~130 ms/frame at
+    450²; the kernel pair measures ~3 ms). Deterministic (eval)
+    semantics; scalar near/far only."""
+    assert cfg.use_viewdirs
+    near, far = float(near), float(far)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    R, s_coarse = coarse_weights.shape
+    S = s_coarse + n_imp
+    pdf_tile = min(pdf_tile, max(((R + 7) // 8) * 8, 8))
+    p_pad = (-R) % pdf_tile
+    w_p = jnp.pad(coarse_weights.astype(jnp.float32), ((0, p_pad), (0, 0)))
+    n_bins1 = s_coarse - 2                      # = B-1 interior weights
+    CUM = jnp.asarray(np.triu(np.ones((n_bins1, n_bins1), np.float32)))
+
+    z_all = pl.pallas_call(
+        functools.partial(_pdf_merge_kernel, s_coarse, n_imp, near, far),
+        grid=((R + p_pad) // pdf_tile,),
+        in_specs=[
+            pl.BlockSpec((pdf_tile, s_coarse), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(CUM.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((pdf_tile, S), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R + p_pad, S), jnp.float32),
+        interpret=interpret,
+    )(w_p, CUM)[:R]
+
+    return fused_render_rays(params, folded, cfg, rays_o, rays_d, z_all,
+                             bc_rgb, point_tile=point_tile,
+                             interpret=interpret,
+                             vmem_limit_mb=vmem_limit_mb)
+
+
 def render_rays_fused(
     coarse_params: Dict,
     coarse_folded: Dict,
@@ -275,6 +576,7 @@ def render_rays_fused(
     lindisp: bool = False,
     point_tile: int = 4096,
     interpret: Optional[bool] = None,
+    hier_in_kernel: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Hierarchical render with both passes in the fused per-ray kernel.
 
@@ -286,28 +588,45 @@ def render_rays_fused(
     from idealnerf_tpu.core.sampling import sample_pdf, stratified_sample
 
     n_rays = rays_o.shape[0]
-    z_vals = stratified_sample(near, far, n_samples, n_rays,
-                               key=None, lindisp=lindisp)
     # measured on v5e: small-S (coarse) prefers bigger point tiles
     # (88 TF/s @ 8192 vs 69 @ 4096); large-S (fine) prefers 4096 (105 TF/s)
     coarse_tile = point_tile * 2 if n_samples <= 96 else point_tile
-    coarse = fused_render_rays(
-        coarse_params, coarse_folded, cfg, rays_o, rays_d, z_vals, bc_rgb,
-        point_tile=coarse_tile, interpret=interpret,
-    )
+    fp = fine_params if fine_params is not None else coarse_params
+    ff = fine_folded if fine_folded is not None else coarse_folded
+    use_hier = (hier_in_kernel and n_importance > 0 and not lindisp
+                and np.ndim(near) == 0 and np.ndim(far) == 0)
+
+    if use_hier:
+        # coarse + importance sampling + merge in ONE kernel launch
+        coarse, z_all = fused_render_coarse_hier(
+            coarse_params, coarse_folded, cfg, rays_o, rays_d, bc_rgb,
+            near, far, n_samples, n_importance, point_tile=coarse_tile,
+            interpret=interpret,
+        )
+        fine = fused_render_rays(
+            fp, ff, cfg, rays_o, rays_d, z_all, bc_rgb,
+            point_tile=point_tile, interpret=interpret,
+        )
+    else:
+        z_vals = stratified_sample(near, far, n_samples, n_rays,
+                                   key=None, lindisp=lindisp)
+        coarse = fused_render_rays(
+            coarse_params, coarse_folded, cfg, rays_o, rays_d, z_vals,
+            bc_rgb, point_tile=coarse_tile, interpret=interpret,
+        )
+        if n_importance <= 0:
+            return coarse
+        z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
+        z_samples = sample_pdf(z_mid, coarse["weights"][..., 1:-1],
+                               n_importance)
+        z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1),
+                         axis=-1)
+        fine = fused_render_rays(
+            fp, ff, cfg, rays_o, rays_d, z_all, bc_rgb,
+            point_tile=point_tile, interpret=interpret,
+        )
     if n_importance <= 0:
         return coarse
-
-    z_mid = 0.5 * (z_vals[..., 1:] + z_vals[..., :-1])
-    z_samples = sample_pdf(z_mid, coarse["weights"][..., 1:-1], n_importance)
-    z_all = jnp.sort(jnp.concatenate([z_vals, z_samples], axis=-1), axis=-1)
-
-    fine = fused_render_rays(
-        fine_params if fine_params is not None else coarse_params,
-        fine_folded if fine_folded is not None else coarse_folded,
-        cfg, rays_o, rays_d, z_all, bc_rgb,
-        point_tile=point_tile, interpret=interpret,
-    )
     fine = dict(fine)
     fine.update(
         rgb0=coarse["rgb_map"], acc0=coarse["acc_map"],

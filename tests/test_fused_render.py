@@ -76,3 +76,44 @@ def test_fused_render_bg_ray_is_plate():
                             z_vals, bc, point_tile=512)
     np.testing.assert_allclose(out["rgb_map"], bc, atol=1e-3)
     np.testing.assert_allclose(out["rgb_fg"], jnp.zeros((n, 3)), atol=1e-3)
+
+
+def test_hier_in_kernel_matches_xla_pdf_path():
+    """Coarse+importance-sampling-in-kernel (fused_render_coarse_hier:
+    ascending-overwrite inverse CDF + bitonic merge) reproduces the XLA
+    sample_pdf + sort path bit-for-bit at f32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.kernels.fused_render import render_rays_fused
+    from idealnerf_tpu.models.face_nerf import (
+        fold_conditioning, init_face_nerf,
+    )
+
+    cfg = ExperimentConfig(dim_aud=16, dim_expr=8, dim_latent=4)
+    ncfg = cfg.face_nerf_config()
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    params = init_face_nerf(ks[0], ncfg)
+    folded = fold_conditioning(params, ncfg,
+                               jax.random.normal(ks[1], (16,)),
+                               jax.random.normal(ks[2], (8,)),
+                               jnp.ones((4,)))
+    R = 64
+    ro = jax.random.uniform(ks[3], (R, 3), minval=-0.2, maxval=0.2)
+    rd = jax.random.normal(ks[4], (R, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    bc = jax.random.uniform(ks[5], (R, 3))
+    kw = dict(near=0.5772, far=1.1772, n_samples=64, n_importance=128,
+              point_tile=1024)
+    out_h = render_rays_fused(params, folded, cfg=ncfg, rays_o=ro,
+                              rays_d=rd, bc_rgb=bc, hier_in_kernel=True,
+                              **kw)
+    out_x = render_rays_fused(params, folded, cfg=ncfg, rays_o=ro,
+                              rays_d=rd, bc_rgb=bc, hier_in_kernel=False,
+                              **kw)
+    for k in ("rgb_map", "acc_map", "last_weight", "depth", "rgb0",
+              "acc0"):
+        np.testing.assert_allclose(np.asarray(out_h[k]),
+                                   np.asarray(out_x[k]), atol=2e-6), k
