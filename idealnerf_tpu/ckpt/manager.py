@@ -130,7 +130,40 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._ckptr.restore(self._step_dir(step), like)
+        try:
+            return self._ckptr.restore(self._step_dir(step), like)
+        except Exception as e:
+            # structure mismatch (e.g. checkpoint from another
+            # model_variant or conditioning dims): name the differing
+            # subtrees instead of surfacing orbax's tree error
+            try:
+                raw = self._ckptr.restore(self._step_dir(step))
+            except Exception:
+                raise e
+            ck = {"/".join(p): tuple(np.shape(v))
+                  for p, v in _tree_flatten_with_paths(raw)}
+            want = {"/".join(p): tuple(np.shape(v))
+                    for p, v in _tree_flatten_with_paths(like)}
+            only_ck = sorted(set(ck) - set(want))[:8]
+            only_want = sorted(set(want) - set(ck))[:8]
+            shapes = sorted(k for k in set(ck) & set(want)
+                            if ck[k] != want[k])[:8]
+            detail = []
+            if only_ck:
+                detail.append(f"only in checkpoint: {only_ck}")
+            if only_want:
+                detail.append(f"missing from checkpoint: {only_want}")
+            if shapes:
+                detail.append(
+                    "shape mismatches: "
+                    + ", ".join(f"{k} {ck[k]} vs {want[k]}" for k in shapes))
+            raise ValueError(
+                f"checkpoint at {self._step_dir(step)} does not match the "
+                f"target structure ({'; '.join(detail) or 'unknown diff'}). "
+                "If this checkpoint came from a different model_variant or "
+                "conditioning dims, use restore_partial() (shape-mismatch "
+                "surgery) or restore_raw()."
+            ) from e
 
     def restore_raw(self, step: Optional[int] = None) -> Any:
         """Restore without a structure target — whatever was saved.

@@ -65,8 +65,12 @@ class ExperimentConfig:
     density_activation: str = "relu"  # "relu" (reference parity) | "softplus"
 
     # optimization
-    train_fused: int = 0     # 1: custom-VJP fused MLP kernel in the train
-                             # step (TPU; kernels/fused_mlp_grad.py)
+    train_fused: int = 2     # TPU train-step MLP path: 0 = XLA autodiff,
+                             # 1 = fused kernel w/ exact f32 backward,
+                             # 2 = fused kernel w/ bf16 backward (default:
+                             # 1.7x faster than XLA, convergence-parity
+                             # verified — kernels/fused_mlp_grad.py;
+                             # ignored off-TPU)
     lrate: float = 8e-4
     lrate_decay: int = 500
     lc_weight: float = 0.0005

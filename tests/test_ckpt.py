@@ -86,3 +86,20 @@ def test_ckpt_with_surgery_roundtrip(tmp_path):
         np.asarray(merged["coarse"]["pts"][3]["w"]),
         np.asarray(old["pts"][3]["w"]),
     )
+
+
+def test_restore_variant_mismatch_error_names_subtrees(tmp_path):
+    """A structure-mismatched restore names the differing subtrees and
+    points at restore_partial (ROADMAP #8 ergonomics)."""
+    import pytest
+
+    from idealnerf_tpu.ckpt import CheckpointManager
+
+    m = CheckpointManager(str(tmp_path))
+    m.save(5, {"params": {"a": np.zeros((2, 3)), "extra": np.ones(4)}})
+    like = {"params": {"a": np.zeros((2, 3)), "b": np.zeros(7)}}
+    with pytest.raises(ValueError) as ei:
+        m.restore(like)
+    msg = str(ei.value)
+    assert "restore_partial" in msg
+    assert "params/extra" in msg and "params/b" in msg
