@@ -156,6 +156,44 @@ def main():
 
     fps_masked = timed(render_masked)
 
+    # 4. head+torso composite at full fidelity — the north-star workload
+    # (test_torso.py:513-534: head rays from the frame pose, torso rays
+    # from the fixed first-frame pose, layered composite). Two full
+    # hierarchical field renders per frame.
+    from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
+
+    torso_cfg = ExperimentConfig(
+        dim_aud=cfg.dim_aud_body + 42, dim_expr=0, dim_latent=0,
+        N_samples=64, N_importance=128,
+    ).face_nerf_config()
+    torso_params = {
+        "coarse": init_face_nerf(jax.random.PRNGKey(7), torso_cfg),
+        "fine": init_face_nerf(jax.random.PRNGKey(8), torso_cfg),
+    }
+    signal = jax.random.normal(ks[5], (cfg.dim_aud_body + 42,))
+    render_comp = make_composite_frame_renderer(
+        nerf_cfg, torso_cfg, H, W, focal, near, far, cfg.render_config(),
+        cx=cx, cy=cy, compute_dtype=compute_dtype,
+        use_pallas="ray" if on_tpu else False, tile=(H * W) // 12,
+    )
+
+    def timed_comp():
+        def call():
+            return render_comp(params, torso_params, pose, pose, bc,
+                               aud=aud, signal=signal, expr=expr,
+                               latent=latent)
+        for _ in range(3):
+            float(call().mean())
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(n_frames):
+            f = call()
+            acc = f if acc is None else acc + f
+        float(acc.mean())
+        return n_frames / (time.perf_counter() - t0)
+
+    fps_comp = timed_comp()
+
     fps = max(fps_full, fps_pruned, fps_masked)
     rays_per_sec = fps * H * W
     baseline_fps = 25.0
@@ -171,6 +209,7 @@ def main():
                     "full_mode_pallas": str(use_pallas),
                     "fps_fg_pruned": round(fps_pruned, 3),
                     "fps_prior_masked_45pct": round(fps_masked, 3),
+                    "fps_head_torso_composite_full": round(fps_comp, 3),
                     "keep_fraction": keep,
                     "rays_per_sec": int(rays_per_sec),
                     "frame_hw": H,

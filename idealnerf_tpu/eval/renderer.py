@@ -116,9 +116,47 @@ def make_composite_frame_renderer(
     """jit-compiled full-frame head+torso composite:
     ``render(head_params, torso_params, pose, pose0, bc_img, aud, signal,
     expr, latent) -> (H, W, 3)`` — head rays from ``pose``, torso rays
-    from the fixed ``pose0``, layered per test_torso.py:513-534."""
+    from the fixed ``pose0``, layered per test_torso.py:513-534.
+
+    ``use_pallas="ray"``: both fields render through the per-ray fused
+    kernel pipeline (whole-frame launches) — the path behind the
+    head+torso fps headline."""
     from idealnerf_tpu.core.composite import layered_composite
     from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    if use_pallas == "ray":
+        from idealnerf_tpu.kernels.fused_render import render_rays_fused
+        from idealnerf_tpu.models.face_nerf import fold_conditioning
+
+        @jax.jit
+        def _render_fused(head_params, torso_params, pose, pose0, bc_img,
+                          aud=None, signal=None, expr=None, latent=None):
+            cd = compute_dtype or jnp.float32
+            hp = jax.tree.map(lambda x: x.astype(cd), head_params)
+            tp = jax.tree.map(lambda x: x.astype(cd), torso_params)
+            bc = bc_img.reshape(-1, 3)
+
+            def run(params, nerf_cfg, rays_pose, a, e, l):
+                f_c = fold_conditioning(params["coarse"], nerf_cfg, a, e, l)
+                f_f = (fold_conditioning(params["fine"], nerf_cfg, a, e, l)
+                       if "fine" in params else None)
+                ro, rd = get_rays(H, W, focal, rays_pose, cx, cy)
+                return render_rays_fused(
+                    params["coarse"], f_c, nerf_cfg, ro.reshape(-1, 3),
+                    rd.reshape(-1, 3), bc, near, far, cfg.n_samples,
+                    cfg.n_importance, fine_params=params.get("fine"),
+                    fine_folded=f_f, lindisp=cfg.lindisp,
+                )
+
+            head = run(hp, head_cfg, pose, aud, expr, latent)
+            torso = run(tp, torso_cfg, pose0, signal, None, None)
+            return layered_composite(
+                head["rgb_map"].reshape(H, W, 3),
+                torso["last_weight"].reshape(H, W),
+                torso["rgb_fg"].reshape(H, W, 3),
+            )
+
+        return _render_fused
 
     @jax.jit
     def _render(head_params, torso_params, pose, pose0, bc_img,
