@@ -52,7 +52,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
             ctypes.c_int,
         ]
-        assert lib.fl_version() == 1
+        lib.fl_stream_open.restype = ctypes.c_void_p
+        lib.fl_stream_open.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.fl_stream_next.restype = ctypes.c_int
+        lib.fl_stream_next.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.fl_stream_close.restype = None
+        lib.fl_stream_close.argtypes = [ctypes.c_void_p]
+        assert lib.fl_version() >= 2
         _lib = lib
     except Exception as exc:
         logger.warning("native frameloader load failed (%s)", exc)
@@ -85,3 +97,44 @@ def decode_jpeg_batch(
     import imageio.v2 as imageio
 
     return np.stack([np.asarray(imageio.imread(p)) for p in paths])
+
+
+def stream_decode_chunks(
+    paths: List[str], h: int, w: int, chunk: int = 256,
+    n_threads: Optional[int] = None,
+):
+    """Generator of ``(chunk_index, frames (n, h, w, 3) uint8)`` with
+    double-buffered native read-ahead: while the consumer stages chunk k
+    (e.g. ``jax.device_put``), the background pool is already decoding
+    chunk k+1 into the other buffer half — the ingest path for subjects
+    larger than HBM/host RAM. The yielded array is a VIEW of the ring
+    buffer, valid only until the next iteration (copy to retain).
+
+    Falls back to chunked ``decode_jpeg_batch`` (no read-ahead) when the
+    native library is unavailable."""
+    lib = get_lib()
+    n = len(paths)
+    if lib is None:
+        for c in range(0, n, chunk):
+            yield c // chunk, decode_jpeg_batch(paths[c : c + chunk], h, w)
+        return
+
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 1, 16)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    handle = lib.fl_stream_open(arr, n, h, w, chunk, n_threads)
+    if not handle:
+        raise RuntimeError("fl_stream_open failed")
+    try:
+        while True:
+            buf = ctypes.POINTER(ctypes.c_ubyte)()
+            cnt = ctypes.c_int()
+            idx = lib.fl_stream_next(handle, ctypes.byref(buf),
+                                     ctypes.byref(cnt))
+            if idx < 0:
+                return
+            frames = np.ctypeslib.as_array(
+                buf, shape=(cnt.value, h, w, 3))
+            yield idx, frames
+    finally:
+        lib.fl_stream_close(handle)
