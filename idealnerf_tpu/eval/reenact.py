@@ -96,7 +96,9 @@ def reenact(
     the driving sequence (clamped at its end, like aud_id clamping in
     GetData — audio_exp_nerf.py:81)."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # "ray": whole-frame per-ray fused pipeline (the per-point kernel
+        # inside the frame loop exceeds scoped VMEM at 450²)
+        use_pallas = "ray" if jax.default_backend() == "tpu" else False
     if compute_dtype is None and jax.default_backend() == "tpu":
         compute_dtype = jnp.bfloat16
 
