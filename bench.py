@@ -133,10 +133,13 @@ def main():
     k_coarse = ((int(mask.sum()) + 255) // 256) * 256
     mask_dev = jnp.asarray(mask)
 
+    # keep 0.4 within the prior: the 50k-step converged-model rehearsal
+    # measured the keep-0.4 quality delta at +0.005 dB (runs/rehearsal2)
+    keep_masked = float(os.environ.get("BENCH_KEEP_MASKED", "0.4"))
     if on_tpu:
         render_masked = make_pruned_frame_renderer(
             nerf_cfg, H, W, focal, near, far, cfg.render_config(),
-            cx=cx, cy=cy, tile=(H * W) // 12, keep_fraction=0.6,
+            cx=cx, cy=cy, tile=(H * W) // 12, keep_fraction=keep_masked,
             compute_dtype=compute_dtype,
             prior_mask=mask_dev, k_coarse=k_coarse,
         )
@@ -151,7 +154,7 @@ def main():
             return render_frame_prior_masked(
                 cf, ff, H, W, focal, pose, bc_img, near, far,
                 cfg.render_config(), mask_dev, k_coarse, cx=cx, cy=cy,
-                keep_fraction=0.6,
+                keep_fraction=keep_masked,
             )
 
     fps_masked = timed(render_masked)
