@@ -69,29 +69,18 @@ def main():
 
         pts_sweep = [int(s) for s in
                      os.environ.get("KB_TILES", "4096,8192").split(",")]
-        ref_rgb = None
         for pt in pts_sweep:
-            for acc in (jnp.float32, jnp.bfloat16):
-                @jax.jit
-                def run(z=z, pt=pt, acc=acc):
-                    return fused_render_rays(
-                        params, folded, ncfg, rays_o, rays_d, z, bc,
-                        point_tile=pt, accum_dtype=acc)["rgb_map"]
-                try:
-                    dt = timed(lambda: run())
-                    tf = R * S * fpp / dt / 1e12
-                    rgb = run()
-                    if ref_rgb is None:
-                        ref_rgb = rgb
-                        delta = 0.0
-                    else:
-                        delta = float(jnp.abs(rgb - ref_rgb).max())
-                    print(f"S={S} pt={pt} acc={acc.__name__}: "
-                          f"{1e3*dt:7.1f} ms  {tf:6.1f} TF/s  "
-                          f"max|drgb|={delta:.5f}")
-                except Exception as e:
-                    print(f"S={S} pt={pt} acc={acc.__name__}: "
-                          f"FAIL {str(e)[:100]}")
+            @jax.jit
+            def run(z=z, pt=pt):
+                return fused_render_rays(
+                    params, folded, ncfg, rays_o, rays_d, z, bc,
+                    point_tile=pt)["rgb_map"]
+            try:
+                dt = timed(lambda: run())
+                tf = R * S * fpp / dt / 1e12
+                print(f"S={S} pt={pt}: {1e3*dt:7.1f} ms  {tf:6.1f} TF/s")
+            except Exception as e:
+                print(f"S={S} pt={pt}: FAIL {str(e)[:100]}")
 
     # non-kernel overhead: sample_pdf + sort at frame scale
     z64 = jnp.broadcast_to(jnp.linspace(0.58, 1.18, 64)[None], (R, 64))
