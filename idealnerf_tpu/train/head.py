@@ -71,6 +71,15 @@ def compute_aud_feature(
     return apply_audio_att_net(params["aud_att"], feats)
 
 
+def train_use_pallas(cfg: ExperimentConfig):
+    """The train-step MLP path selected by cfg.train_fused (TPU only):
+    0 = XLA autodiff, 1 = fused kernel with exact f32 backward,
+    2 = fused kernel with bf16 backward (kernels/fused_mlp_grad.py)."""
+    if cfg.train_fused and jax.default_backend() == "tpu":
+        return "train_bf16" if cfg.train_fused >= 2 else "train"
+    return False
+
+
 def make_frame_loss(cfg: ExperimentConfig, dataset: FrameDataset,
                     smooth_audio: bool):
     """Single-frame loss ``loss_fn((params, latents), data, index, coords,
@@ -96,10 +105,7 @@ def make_frame_loss(cfg: ExperimentConfig, dataset: FrameDataset,
         target = image[coords[:, 0], coords[:, 1]]
         bc_rgb = bc[coords[:, 0], coords[:, 1]]
 
-        use_pallas = False
-        if cfg.train_fused and jax.default_backend() == "tpu":
-            # 1 = exact f32 backward, 2 = bf16 backward (faster)
-            use_pallas = "train_bf16" if cfg.train_fused >= 2 else "train"
+        use_pallas = train_use_pallas(cfg)
         coarse_fn, fine_fn = build_field_fns(params, cfg, aud, expr, latent,
                                              use_pallas=use_pallas)
         out = render_rays(

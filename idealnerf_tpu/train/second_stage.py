@@ -141,7 +141,11 @@ def make_second_stage_step(
         target = image[coords[:, 0], coords[:, 1]]
         bc_rgb = bc[coords[:, 0], coords[:, 1]]
 
-        coarse_fn, fine_fn = build_field_fns(params, cfg, aud, expr, latent)
+        from idealnerf_tpu.train.head import train_use_pallas
+
+        coarse_fn, fine_fn = build_field_fns(
+            params, cfg, aud, expr, latent,
+            use_pallas=train_use_pallas(cfg))
         out = render_rays(
             coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
             key=key, fine_fn=fine_fn,

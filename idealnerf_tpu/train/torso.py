@@ -115,17 +115,23 @@ def make_torso_train_step(
             if head_params.get("latent_codes") is not None else None
         )
         k_h, k_t = (jax.random.split(key) if key is not None else (None, None))
+        from idealnerf_tpu.train.head import train_use_pallas
+
+        fused = train_use_pallas(cfg)
         # head fields are variant-aware: the frozen head may be any of the
         # face_nerf / agg / attention variants (models/variants.py)
-        head_coarse, head_fine = build_field_fns(head_params, cfg, aud, expr, latent)
+        head_coarse, head_fine = build_field_fns(head_params, cfg, aud, expr,
+                                                 latent, use_pallas=fused)
         head_out = render_rays(
             head_coarse, rays_o, rays_d, bc_rgb, near, far, render_cfg,
             key=k_h, fine_fn=head_fine,
         )
         torso_out = render_rays(
-            make_field_fn(torso_params["coarse"], tcfg, aud=signal),
+            make_field_fn(torso_params["coarse"], tcfg, aud=signal,
+                          use_pallas=fused),
             rays_o_t, rays_d_t, bc_rgb, near, far, render_cfg, key=k_t,
-            fine_fn=make_field_fn(torso_params["fine"], tcfg, aud=signal),
+            fine_fn=make_field_fn(torso_params["fine"], tcfg, aud=signal,
+                                  use_pallas=fused),
         )
 
         rgb_com = layered_composite(
