@@ -129,3 +129,30 @@ def test_eval_frame_renderer_runs_and_composites_background():
     )
     assert frame.shape == (32, 32, 3)
     assert jnp.isfinite(frame).all()
+
+
+def test_export_roundtrip_through_loader(tmp_path):
+    """write_reference_format -> load_transforms_dataset roundtrip: the
+    on-disk subject reproduces poses/exprs/landmarks/audio and the
+    images within jpg tolerance (the rehearsal pipeline's data path)."""
+    from idealnerf_tpu.data.export import write_reference_format
+    from idealnerf_tpu.data.dataset import load_transforms_dataset
+
+    ds = make_synthetic_dataset(n_frames=6, H=48, W=48, dim_expr=5, seed=2)
+    out = str(tmp_path / "subj")
+    cfg_path = write_reference_format(ds, out, subject="t")
+    assert cfg_path.endswith("HeadNeRF_config.txt")
+
+    loaded = load_transforms_dataset(out, mode="train", gt_dirs="head_imgs")
+    split = int(6 * 10 / 11)  # 5 train frames
+    assert loaded.size == split
+    np.testing.assert_allclose(loaded.poses, ds.poses[:split], atol=1e-5)
+    np.testing.assert_allclose(loaded.exprs, ds.exprs[:split], atol=1e-5)
+    np.testing.assert_allclose(loaded.landmarks, ds.landmarks[:split],
+                               atol=0.01)
+    np.testing.assert_array_equal(loaded.auds, ds.auds)
+    err = np.abs(loaded.images.astype(np.int16)
+                 - ds.images[:split].astype(np.int16)).mean()
+    assert err < 6.0, f"jpg roundtrip error {err}"
+    val = load_transforms_dataset(out, mode="val", gt_dirs="head_imgs")
+    assert val.size == 6 - split
