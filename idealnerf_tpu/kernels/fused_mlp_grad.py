@@ -113,7 +113,11 @@ def _grad_kernel(cfg, n_views: int, *refs):
     w_alpha, w_rgb = rest[idx], rest[idx + 1]
 
     # ---- backward
-    g = g_ref[:]                                   # (T, 128), lanes 0..3 live
+    # g arrives 8 lanes wide (HBM thrift: a 128-lane cotangent array is
+    # 8.6 GB at second-stage crop scale); widen to the packed heads'
+    # 128 lanes in VMEM
+    g = jnp.concatenate(
+        [g_ref[:], jnp.zeros((g_ref.shape[0], 120), jnp.float32)], axis=1)
     gb = g.astype(cd)
 
     step0 = pl.program_id(0) == 0
@@ -189,7 +193,7 @@ def _run_grad_kernel(cfg, pts, dirs, g, ops, tile, interpret):
 
     pts8 = pad8(pts, one_lane=True)
     dirs8 = pad8(dirs, one_lane=True)
-    g128 = jnp.pad(g.astype(jnp.float32), ((0, n_pad), (0, 124)))
+    g8 = jnp.pad(g.astype(jnp.float32), ((0, n_pad), (0, 4)))
 
     F_p, id_p = (jnp.asarray(a) for a in _pe_operands(cfg.multires, _PE_PAD))
     F_d, id_d = (jnp.asarray(a) for a in
@@ -211,7 +215,7 @@ def _run_grad_kernel(cfg, pts, dirs, g, ops, tile, interpret):
         in_specs=[
             pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 8), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *(const_spec(a) for a in (F_p, id_p, F_d, id_d)),
             *(const_spec(op) for op in ops),
         ],
@@ -220,7 +224,7 @@ def _run_grad_kernel(cfg, pts, dirs, g, ops, tile, interpret):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
-    )(pts8, dirs8, g128, F_p, id_p, F_d, id_d, *ops)
+    )(pts8, dirs8, g8, F_p, id_p, F_d, id_d, *ops)
     return grads
 
 

@@ -146,10 +146,40 @@ def make_second_stage_step(
         coarse_fn, fine_fn = build_field_fns(
             params, cfg, aud, expr, latent,
             use_pallas=train_use_pallas(cfg))
-        out = render_rays(
-            coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
-            key=key, fine_fn=fine_fn,
-        )
+        n_rays = crop * crop
+        tile = min(n_rays, 8192)
+        if n_rays > tile:
+            # tiled + REMATERIALIZED crop render: a single 256² crop
+            # program holds (65536, 192, 4)-shaped backward temps whose
+            # minor dim pads 32x under the TPU (8,128) layout — 24 GB of
+            # HBM. Checkpointed tiles bound live temps to one tile and
+            # recompute in the backward (the reference instead shards
+            # this render over GPUs — distribute_nerf.py:457-462).
+            n_tiles = n_rays // tile
+            keys = (jax.random.split(key, n_tiles) if key is not None
+                    else jnp.zeros((n_tiles, 2), jnp.uint32))
+
+            @jax.checkpoint
+            def tile_fn(args):
+                o, d, b, k = args
+                o_ = render_rays(coarse_fn, o, d, b, near, far, render_cfg,
+                                 key=k if key is not None else None,
+                                 fine_fn=fine_fn)
+                return o_["rgb_map"], o_["rgb0"]
+
+            rgb, rgb0 = jax.lax.map(
+                tile_fn,
+                (rays_o.reshape(n_tiles, tile, 3),
+                 rays_d.reshape(n_tiles, tile, 3),
+                 bc_rgb.reshape(n_tiles, tile, 3), keys),
+            )
+            out = {"rgb_map": rgb.reshape(-1, 3),
+                   "rgb0": rgb0.reshape(-1, 3)}
+        else:
+            out = render_rays(
+                coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
+                key=key, fine_fn=fine_fn,
+            )
         img_loss = jnp.mean((out["rgb_map"] - target) ** 2)
         loss = img_loss + jnp.mean((out["rgb0"] - target) ** 2)
         aux = 0.0
