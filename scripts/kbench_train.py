@@ -44,7 +44,8 @@ def main():
     base = dict(dim_aud=64, dim_expr=79, dim_latent=32, N_rand=3072,
                 N_samples=64, N_importance=128, mouth_rays=512,
                 torso_rays=512, lrate=3e-4)
-    r_xla = bench(ExperimentConfig(**base), ds, "xla-autodiff")
+    r_xla = bench(ExperimentConfig(train_fused=0, **base), ds,
+                  "xla-autodiff")
     r_fused = bench(ExperimentConfig(train_fused=1, **base), ds,
                     "fused-vjp(f32-bwd)")
     r_f16 = bench(ExperimentConfig(train_fused=2, **base), ds,
