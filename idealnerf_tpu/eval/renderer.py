@@ -365,9 +365,7 @@ def make_pruned_frame_renderer(
     ``prior_mask``/``k_coarse``: when given, the coarse pass runs only on
     the static prior rays (render_frame_prior_masked semantics).
     """
-    from idealnerf_tpu.kernels.fused_render import (
-        fused_render_coarse_hier, fused_render_rays,
-    )
+    from idealnerf_tpu.kernels.fused_render import fused_render_rays
     from idealnerf_tpu.models.face_nerf import fold_conditioning
 
     cfg = cfg.eval_mode()

@@ -62,9 +62,22 @@ def _render_kernel(cfg, n_views: int, S: int, *refs):
 def _pdf_merge(s_coarse: int, n_imp: int, near: float, far: float,
                w, CUM):
     """In-kernel hierarchical sampling: coarse weights (T, s_coarse) ->
-    sorted union depths (T, s_coarse + n_imp). See _hier_kernel's
-    docstring for the ascending-overwrite inverse CDF and the bitonic
-    merge formulation."""
+    sorted union depths (T, s_coarse + n_imp).
+
+    Replaces the XLA sample_pdf + sort between the two render launches
+    (measured ~130 ms/frame at 450² — the masked-reduce materializes
+    (R, 128, 63) intermediates and lax.sort runs a full bitonic network):
+
+    - inverse CDF by ascending-overwrite: cdf is monotone in the bin
+      index, so 63 unrolled (T, n_imp) where-overwrites leave exactly
+      searchsorted(right)'s below/above values (core/sampling.py:91-105
+      semantics, same epsilons);
+    - deterministic u drawn DESCENDING, so the new samples come out
+      descending and [z64_asc ‖ big-pad ‖ zs_desc] is bitonic: one
+      8-stage roll-based bitonic merge network yields the sorted union
+      that jnp.sort(concat(...)) produces in the XLA path.
+
+    Eval-only (deterministic u; scalar near/far)."""
     T = w.shape[0]
     S = s_coarse + n_imp
 
@@ -126,46 +139,6 @@ def _pdf_merge(s_coarse: int, n_imp: int, near: float, far: float,
                       jnp.maximum(c, partner))
         d //= 2
     return c[:, :S]                                 # sorted union (T, S)
-
-
-def _pdf_merge_kernel(s_coarse: int, n_imp: int, near: float, far: float,
-                      *refs):
-    """Standalone pdf+merge launch: refs = [w, CUM, z_out]. Run with
-    LARGE ray tiles (no MLP in this kernel, VMEM is free) — the lane ops
-    are tiny, so amortizing them over thousands of rays per tile is what
-    makes this fast; inside the fine render kernel (ray_tile ~16) the
-    same ops measured ~100 ms/frame of serialized VPU overhead."""
-    w_ref, CUM_ref, z_ref = refs
-    z_ref[:] = _pdf_merge(s_coarse, n_imp, near, far, w_ref[:], CUM_ref[:])
-
-
-def _hier_kernel(cfg, n_views: int, s_coarse: int, n_imp: int,
-                 near: float, far: float, *refs):
-    """Hierarchical fine pass with IN-KERNEL importance sampling:
-    refs: [o8, d8, vd8, w_coarse(R, s_coarse), bc4, F_p, id_p, F_d, id_d,
-    U(S,S), CUM(B-1, B-1)] + packed weights + outs, S = s_coarse + n_imp.
-
-    Replaces the XLA sample_pdf + sort between the two render launches
-    (measured ~130 ms/frame at 450² — the masked-reduce materializes
-    (R, 128, 63) intermediates and lax.sort runs a full bitonic network):
-
-    - inverse CDF by ascending-overwrite: cdf is monotone in the bin
-      index, so 63 unrolled (T, n_imp) where-overwrites leave exactly
-      searchsorted(right)'s below/above values (core/sampling.py:91-105
-      semantics, same epsilons);
-    - deterministic u drawn DESCENDING, so the new samples come out
-      descending and [z64_asc ‖ big-pad ‖ zs_desc] is bitonic: one
-      8-stage roll-based bitonic merge network yields the sorted union
-      that jnp.sort(concat(...)) produces in the XLA path.
-
-    Eval-only (deterministic u; scalar near/far).
-    """
-    w_ref = refs[3]
-    CUM = refs[10][:]
-    S = s_coarse + n_imp
-    z = _pdf_merge(s_coarse, n_imp, near, far, w_ref[:], CUM)
-    _render_body(cfg, n_views, S, z, refs[0], refs[1], refs[2],
-                 (refs[4],) + refs[5:10] + refs[11:])
 
 
 def _render_body(cfg, n_views: int, S: int, z, o8, d8, vd8, rest_refs):
@@ -503,63 +476,6 @@ def fused_render_coarse_hier(
     return coarse, z_all[:R]
 
 
-def fused_render_rays_hier(
-    params: Dict,
-    folded: Dict,
-    cfg,
-    rays_o: jnp.ndarray,        # (R, 3)
-    rays_d: jnp.ndarray,        # (R, 3)
-    coarse_weights: jnp.ndarray,  # (R, s_coarse) from the coarse pass
-    bc_rgb: jnp.ndarray,        # (R, 3)
-    near: float,
-    far: float,
-    n_imp: int,
-    point_tile: int = 4096,
-    interpret: Optional[bool] = None,
-    vmem_limit_mb: Optional[int] = 100,
-    pdf_tile: int = 1024,
-) -> Dict[str, jnp.ndarray]:
-    """Fine-pass render with KERNEL hierarchical sampling: a pdf+merge
-    Pallas launch over LARGE ray tiles derives the fine depths from the
-    coarse weights (inverse CDF + bitonic merge against the static
-    coarse linspace — _pdf_merge), then the standard fused render kernel
-    consumes them. Replaces XLA sample_pdf + lax.sort (~130 ms/frame at
-    450²; the kernel pair measures ~3 ms). Deterministic (eval)
-    semantics; scalar near/far only."""
-    assert cfg.use_viewdirs
-    near, far = float(near), float(far)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    R, s_coarse = coarse_weights.shape
-    S = s_coarse + n_imp
-    pdf_tile = min(pdf_tile, max(((R + 7) // 8) * 8, 8))
-    p_pad = (-R) % pdf_tile
-    w_p = jnp.pad(coarse_weights.astype(jnp.float32), ((0, p_pad), (0, 0)))
-    n_bins1 = s_coarse - 2                      # = B-1 interior weights
-    CUM = jnp.asarray(np.triu(np.ones((n_bins1, n_bins1), np.float32)))
-
-    z_all = pl.pallas_call(
-        functools.partial(_pdf_merge_kernel, s_coarse, n_imp, near, far),
-        grid=((R + p_pad) // pdf_tile,),
-        in_specs=[
-            pl.BlockSpec((pdf_tile, s_coarse), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(CUM.shape, lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((pdf_tile, S), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R + p_pad, S), jnp.float32),
-        interpret=interpret,
-    )(w_p, CUM)[:R]
-
-    return fused_render_rays(params, folded, cfg, rays_o, rays_d, z_all,
-                             bc_rgb, point_tile=point_tile,
-                             interpret=interpret,
-                             vmem_limit_mb=vmem_limit_mb)
-
-
 def render_rays_fused(
     coarse_params: Dict,
     coarse_folded: Dict,
@@ -593,7 +509,9 @@ def render_rays_fused(
     coarse_tile = point_tile * 2 if n_samples <= 96 else point_tile
     fp = fine_params if fine_params is not None else coarse_params
     ff = fine_folded if fine_folded is not None else coarse_folded
-    use_hier = (hier_in_kernel and n_importance > 0 and not lindisp
+    # n_importance > 1: _pdf_merge draws u over a (n_imp-1) denominator,
+    # so a single importance sample must take the XLA fallback below
+    use_hier = (hier_in_kernel and n_importance > 1 and not lindisp
                 and np.ndim(near) == 0 and np.ndim(far) == 0)
 
     if use_hier:

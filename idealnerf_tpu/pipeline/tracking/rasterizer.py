@@ -173,16 +173,22 @@ def _signed_dist2(p, v0, v1, v2, bary):
 # ------------------------------------------------------------- rasterize
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
+@functools.partial(jax.jit, static_argnums=(3, 5))
 def rasterize_soft(verts_pix: jnp.ndarray, tris: jnp.ndarray,
                    attrs: jnp.ndarray, cfg: RasterConfig,
-                   background: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                   background: Optional[jnp.ndarray] = None,
+                   return_overflow: bool = False) -> jnp.ndarray:
     """Soft-rasterize one mesh.
 
     verts_pix (V, 3): x_pixel, y_pixel, depth (positive in front; the
       tracker projection proj_pts gives z<0 in front — pass -z).
     tris (F, 3) int32, attrs (V, C) per-vertex attributes (e.g. RGB).
-    Returns (H, W, C+1): softmax-blended attributes + alpha.
+    Returns (H, W, C+1): softmax-blended attributes + alpha; with
+    ``return_overflow`` also the scalar count of (tile, face) pairs
+    dropped because a bin exceeded ``cfg.max_faces_per_tile``. A nonzero
+    count means silently missing geometry in dense regions — callers at
+    a new mesh/image scale should check it and bump the capacity (tests
+    assert 0 at BFM scale).
     """
     v_xy = verts_pix[:, :2]
     v_z = verts_pix[:, 2]
@@ -192,8 +198,8 @@ def rasterize_soft(verts_pix: jnp.ndarray, tris: jnp.ndarray,
     blur_pix2 = cfg.blur_radius / (s_ndc * s_ndc)
     pad_px = float(np.sqrt(max(blur_pix2, 0.0))) + 1.0
 
-    bins, _ = bin_faces(jax.lax.stop_gradient(face_xy),
-                        jax.lax.stop_gradient(face_z), cfg, pad_px)
+    bins, overflow = bin_faces(jax.lax.stop_gradient(face_xy),
+                               jax.lax.stop_gradient(face_z), cfg, pad_px)
 
     f = tris.shape[0]
     ty = -(-cfg.height // cfg.tile)
@@ -275,7 +281,10 @@ def rasterize_soft(verts_pix: jnp.ndarray, tris: jnp.ndarray,
         background = jnp.zeros((c,), attrs.dtype)
     pix = (jnp.sum(weights_num[..., None] * feat, -2)
            + delta[..., None] * background) / denom[..., None]
-    return jnp.concatenate([pix, alpha[..., None]], -1)
+    img = jnp.concatenate([pix, alpha[..., None]], -1)
+    if return_overflow:
+        return img, overflow
+    return img
 
 
 # ------------------------------------------------- normals / illumination
@@ -358,8 +367,13 @@ class Render3DMM:
         self.cfg = cfg or RasterConfig(height=img_h, width=img_w)
 
     def __call__(self, rott_geo: jnp.ndarray, texture: jnp.ndarray,
-                 gamma: jnp.ndarray) -> jnp.ndarray:
-        """(B, V, 3), (B, V, 3) tex in [0,255], (B, 27) -> (B, H, W, 4)."""
+                 gamma: jnp.ndarray,
+                 return_overflow: bool = False) -> jnp.ndarray:
+        """(B, V, 3), (B, V, 3) tex in [0,255], (B, 27) -> (B, H, W, 4).
+
+        ``return_overflow``: also return the max bin-overflow count over
+        the batch (must be 0 for a trustworthy render — see
+        rasterize_soft)."""
         normals = compute_vertex_normals(rott_geo, self.tris)
         color = sh9_illumination(texture, normals, gamma)
         x, y, z = rott_geo[..., 0], rott_geo[..., 1], rott_geo[..., 2]
@@ -369,7 +383,11 @@ class Render3DMM:
 
         def one(args):
             v, c = args
-            return rasterize_soft(v, self.tris, c, self.cfg)
+            return rasterize_soft(v, self.tris, c, self.cfg,
+                                  return_overflow=True)
 
-        img = jax.lax.map(one, (verts, color))
-        return jnp.clip(img, 0.0, 255.0)   # alpha <= 1, unaffected (:190)
+        img, overflow = jax.lax.map(one, (verts, color))
+        img = jnp.clip(img, 0.0, 255.0)    # alpha <= 1, unaffected (:190)
+        if return_overflow:
+            return img, jnp.max(overflow)
+        return img

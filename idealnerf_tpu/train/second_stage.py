@@ -155,9 +155,19 @@ def make_second_stage_step(
             # HBM. Checkpointed tiles bound live temps to one tile and
             # recompute in the backward (the reference instead shards
             # this render over GPUs — distribute_nerf.py:457-462).
-            n_tiles = n_rays // tile
+            # crop*crop need not divide the tile (e.g. crop=200 on a
+            # 200-px dataset): pad the ray set to a whole tile count and
+            # slice the outputs back to n_rays
+            n_tiles = -(-n_rays // tile)
+            pad = n_tiles * tile - n_rays
             keys = (jax.random.split(key, n_tiles) if key is not None
                     else jnp.zeros((n_tiles, 2), jnp.uint32))
+
+            def padr(x, fill):
+                if not pad:
+                    return x
+                return jnp.concatenate(
+                    [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], 0)
 
             @jax.checkpoint
             def tile_fn(args):
@@ -169,12 +179,12 @@ def make_second_stage_step(
 
             rgb, rgb0 = jax.lax.map(
                 tile_fn,
-                (rays_o.reshape(n_tiles, tile, 3),
-                 rays_d.reshape(n_tiles, tile, 3),
-                 bc_rgb.reshape(n_tiles, tile, 3), keys),
+                (padr(rays_o, 1.0).reshape(n_tiles, tile, 3),
+                 padr(rays_d, -1.0).reshape(n_tiles, tile, 3),
+                 padr(bc_rgb, 0.0).reshape(n_tiles, tile, 3), keys),
             )
-            out = {"rgb_map": rgb.reshape(-1, 3),
-                   "rgb0": rgb0.reshape(-1, 3)}
+            out = {"rgb_map": rgb.reshape(-1, 3)[:n_rays],
+                   "rgb0": rgb0.reshape(-1, 3)[:n_rays]}
         else:
             out = render_rays(
                 coarse_fn, rays_o, rays_d, bc_rgb, near, far, render_cfg,
