@@ -121,16 +121,46 @@ def main():
     fps_pruned = timed(render_pruned)
 
     # 3. subject-prior masked eval: rays outside the subject's foreground
-    # prior (union of face rects + torso parse masks, computed once per
-    # subject) skip all network work. Representative talking-head prior:
-    # a centered box covering 45% of the frame.
+    # prior (union of face rects + torso parse masks — the quantities the
+    # offline pipeline produces, audio_exp_nerf.py:163-187) skip all
+    # network work. The mask is DERIVED FROM DATA via
+    # eval.renderer.foreground_prior: from the on-disk rehearsal subject
+    # when present (real parse maps, runs/rehearsal2), else from a
+    # 450² synthetic subject's parse masks/face rects.
     import numpy as np
 
-    from idealnerf_tpu.eval.renderer import render_frame_prior_masked
+    from idealnerf_tpu.eval.renderer import (
+        foreground_prior, render_frame_prior_masked,
+    )
 
-    mask = np.zeros((H, W), bool)
-    mask[int(0.13 * H) : int(0.98 * H), int(0.2 * W) : int(0.73 * W)] = True  # ~45%
-    k_coarse = ((int(mask.sum()) + 255) // 256) * 256
+    mask = None
+    mask_src = None
+    rehearsal_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "runs", "rehearsal2"
+    )
+    if on_tpu_backend and os.path.isdir(
+        os.path.join(rehearsal_dir, "parsing")
+    ):
+        try:
+            from idealnerf_tpu.data.dataset import load_transforms_dataset
+
+            ds_prior = load_transforms_dataset(
+                rehearsal_dir, mode="train", skip=10, max_frames=24
+            )
+            if ds_prior.hw == (H, W):
+                mask, k_coarse = foreground_prior(ds_prior)
+                mask_src = "rehearsal2_parse"
+        except Exception as e:  # missing/partial run dir: fall through
+            print(f"# prior from rehearsal2 failed: {e}", file=sys.stderr)
+    if mask is None:
+        from idealnerf_tpu.data.synthetic import make_synthetic_dataset
+
+        ds_prior = make_synthetic_dataset(
+            n_frames=6, H=H, W=W, dim_expr=8, with_torso=True
+        )
+        mask, k_coarse = foreground_prior(ds_prior)
+        mask_src = "synthetic_parse"
+    mask_coverage = float(np.asarray(mask).mean())
     mask_dev = jnp.asarray(mask)
 
     # keep 0.4 within the prior: the 50k-step converged-model rehearsal
@@ -180,11 +210,11 @@ def main():
         use_pallas="ray" if on_tpu else False, tile=(H * W) // 12,
     )
 
-    def timed_comp():
+    def timed_comp(render):
         def call():
-            return render_comp(params, torso_params, pose, pose, bc,
-                               aud=aud, signal=signal, expr=expr,
-                               latent=latent)
+            return render(params, torso_params, pose, pose, bc,
+                          aud=aud, signal=signal, expr=expr,
+                          latent=latent)
         for _ in range(3):
             float(call().mean())
         t0 = time.perf_counter()
@@ -195,7 +225,27 @@ def main():
         float(acc.mean())
         return n_frames / (time.perf_counter() - t0)
 
-    fps_comp = timed_comp()
+    fps_comp = timed_comp(render_comp)
+
+    # 5. composite FAST mode — prior-masked + per-field pruned, with the
+    # head ranking occlusion-weighted by the torso's coarse transmittance
+    # (eval/renderer.make_composite_fast_renderer). Same data-derived
+    # prior as mode 3.
+    from idealnerf_tpu.eval.renderer import make_composite_fast_renderer
+
+    if on_tpu:
+        render_comp_fast = make_composite_fast_renderer(
+            nerf_cfg, torso_cfg, H, W, focal, near, far,
+            cfg.render_config(), cx=cx, cy=cy,
+            compute_dtype=compute_dtype,
+            prior_mask=mask_dev, k_coarse=k_coarse,
+            keep_head=keep_masked, keep_torso=keep_masked,
+        )
+        fps_comp_fast = timed_comp(render_comp_fast)
+    else:
+        # the fused kernels only run in (slow) interpret mode off-TPU;
+        # the fast mode is meaningless there
+        fps_comp_fast = fps_comp
 
     fps = max(fps_full, fps_pruned, fps_masked)
     rays_per_sec = fps * H * W
@@ -211,8 +261,11 @@ def main():
                     "fps_full_fidelity": round(fps_full, 3),
                     "full_mode_pallas": str(use_pallas),
                     "fps_fg_pruned": round(fps_pruned, 3),
-                    "fps_prior_masked_45pct": round(fps_masked, 3),
+                    "fps_prior_masked": round(fps_masked, 3),
                     "fps_head_torso_composite_full": round(fps_comp, 3),
+                    "fps_head_torso_composite_best": round(fps_comp_fast, 3),
+                    "prior_mask_source": mask_src,
+                    "prior_mask_coverage": round(mask_coverage, 4),
                     "keep_fraction": keep,
                     "rays_per_sec": int(rays_per_sec),
                     "frame_hw": H,

@@ -27,6 +27,13 @@ def main(argv=None):
     parser.add_argument("--head_ckpt", type=str, required=False)
     parser.add_argument("--torso_ckpt", type=str, default=None)
     parser.add_argument("--max_frames", type=int, default=None)
+    parser.add_argument("--fast", type=int, default=0,
+                        help="pruned fast eval: keep percentage for the "
+                             "fine pass (e.g. 40); 0 = full fidelity")
+    parser.add_argument("--prior", type=int, default=0,
+                        help="with --fast: restrict all network work to "
+                             "the identity subject's foreground prior "
+                             "(face rects + torso parse union)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -75,6 +82,8 @@ def main(argv=None):
         latent_codes=state.latent_codes, torso_params=torso_params,
         out_path=out, max_frames=args.max_frames,
         smooth_audio=cfg.nosmo_iters <= int(state.step),
+        fast_keep=args.fast / 100.0 if args.fast else None,
+        use_prior=bool(args.prior),
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

@@ -30,6 +30,11 @@ def main(argv=None):
     parser.add_argument("--pruned", type=int, default=0,
                         help="foreground-pruned fast eval path; a value "
                              ">1 is the keep percentage (e.g. 40)")
+    parser.add_argument("--prior_masked", type=int, default=0,
+                        help="with --pruned: restrict all network work "
+                             "to the subject's foreground prior (union "
+                             "of train-split face rects + torso parse "
+                             "masks, eval/renderer.foreground_prior)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -58,11 +63,23 @@ def main(argv=None):
         # coarse opacity) — used by the quality-delta measurements
         from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
 
+        prior_mask = k_coarse = None
+        if args.prior_masked:
+            # the prior is a train-time subject statistic (face rects ∪
+            # torso parse union over the training frames)
+            from idealnerf_tpu.eval.renderer import foreground_prior
+
+            ds_train = resolve_dataset(args, cfg, mode="train")
+            mask_np, k_coarse = foreground_prior(ds_train)
+            prior_mask = jnp.asarray(mask_np)
+            logger.info("subject prior: %.1f%% coverage, k_coarse %d",
+                        100.0 * float(mask_np.mean()), k_coarse)
         render = make_pruned_frame_renderer(
             head_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
             cx=ds.cx, cy=ds.cy, tile=min(8192, H * W),
             keep_fraction=args.pruned / 100.0 if args.pruned > 1 else 0.4,
             compute_dtype=compute_dtype,
+            prior_mask=prior_mask, k_coarse=k_coarse,
         )
     else:
         render = make_frame_renderer(

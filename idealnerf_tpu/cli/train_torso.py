@@ -27,6 +27,12 @@ def main(argv=None):
                         help="torso optimization steps")
     parser.add_argument("--smooth_audio", dest="cli_smooth_audio", type=int,
                         default=1)
+    parser.add_argument("--data_devices", type=int, default=0,
+                        help="multi-chip: frames per step over the "
+                             "'data' mesh axis; 0 = single-chip trainer")
+    parser.add_argument("--ray_devices", type=int, default=0,
+                        help="multi-chip: chips each frame's ray budget "
+                             "shards over")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
     if args.synthetic:
@@ -50,11 +56,28 @@ def main(argv=None):
     summary = make_summary(cfg, run_dir)
     ckpt_dir = args.ckpt_dir or os.path.join(run_dir, "ckpt")
 
-    trainer = TorsoTrainer(
-        cfg, dataset, state.params, latent_codes=state.latent_codes,
-        seed=args.seed, smooth_audio=bool(args.cli_smooth_audio),
-        ckpt_dir=ckpt_dir,
-    )
+    if args.data_devices or args.ray_devices:
+        from idealnerf_tpu.parallel import ShardedTorsoTrainer, make_mesh
+
+        devs = jax.devices()
+        if args.data_devices and args.ray_devices:
+            devs = devs[: args.data_devices * args.ray_devices]
+        mesh = make_mesh(n_data=args.data_devices or None,
+                         n_ray=args.ray_devices or None, devices=devs)
+        logger.info("mesh %s over %d devices",
+                    dict(zip(mesh.axis_names, mesh.devices.shape)),
+                    mesh.devices.size)
+        trainer = ShardedTorsoTrainer(
+            cfg, dataset, state.params, mesh,
+            latent_codes=state.latent_codes, seed=args.seed,
+            smooth_audio=bool(args.cli_smooth_audio), ckpt_dir=ckpt_dir,
+        )
+    else:
+        trainer = TorsoTrainer(
+            cfg, dataset, state.params, latent_codes=state.latent_codes,
+            seed=args.seed, smooth_audio=bool(args.cli_smooth_audio),
+            ckpt_dir=ckpt_dir,
+        )
 
     def on_metrics(step, m):
         summary.scalars(step, m, prefix="torso")

@@ -89,12 +89,21 @@ def reenact(
     compute_dtype=None,
     use_pallas: Optional[bool] = None,
     tile: int = 8192,
+    fast_keep: Optional[float] = None,
+    use_prior: bool = False,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
 
     Identity poses cycle through subject A's frames; expr index follows
     the driving sequence (clamped at its end, like aud_id clamping in
-    GetData — audio_exp_nerf.py:81)."""
+    GetData — audio_exp_nerf.py:81).
+
+    ``fast_keep``: route through the pruned fast renderers (fine pass on
+    the top fraction of rays by coarse foreground opacity; the composite
+    additionally skips torso-occluded head work). ``use_prior``
+    additionally restricts ALL network work to the identity subject's
+    foreground prior (union of face rects + torso parse masks —
+    eval/renderer.foreground_prior)."""
     if use_pallas is None:
         # "ray": whole-frame per-ray fused pipeline (the per-point kernel
         # inside the frame loop exceeds scoped VMEM at 450²)
@@ -118,19 +127,52 @@ def reenact(
     bc = jnp.asarray(identity.bc_img, jnp.float32) / 255.0
     latent = latent_codes[0] if latent_codes is not None else None
 
+    prior_mask = k_coarse = None
+    if use_prior:
+        from idealnerf_tpu.eval.renderer import foreground_prior
+
+        mask_np, k_coarse = foreground_prior(identity)
+        prior_mask = jnp.asarray(mask_np)
+        logger.info("subject prior: %.1f%% coverage, k_coarse %d",
+                    100.0 * float(mask_np.mean()), k_coarse)
+
     if torso_params is None:
-        render = make_frame_renderer(
-            head_cfg, H, W, identity.focal, identity.near, identity.far,
-            render_cfg, cx=identity.cx, cy=identity.cy, tile=tile,
-            compute_dtype=compute_dtype, use_pallas=use_pallas,
-        )
+        if fast_keep is not None:
+            from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
+
+            render = make_pruned_frame_renderer(
+                head_cfg, H, W, identity.focal, identity.near,
+                identity.far, render_cfg, cx=identity.cx, cy=identity.cy,
+                keep_fraction=fast_keep, compute_dtype=compute_dtype,
+                prior_mask=prior_mask, k_coarse=k_coarse,
+            )
+        else:
+            render = make_frame_renderer(
+                head_cfg, H, W, identity.focal, identity.near, identity.far,
+                render_cfg, cx=identity.cx, cy=identity.cy, tile=tile,
+                compute_dtype=compute_dtype, use_pallas=use_pallas,
+            )
     else:
-        render = make_composite_frame_renderer(
-            head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
-            identity.near, identity.far, render_cfg,
-            cx=identity.cx, cy=identity.cy, tile=tile,
-            compute_dtype=compute_dtype, use_pallas=use_pallas,
-        )
+        if fast_keep is not None:
+            from idealnerf_tpu.eval.renderer import (
+                make_composite_fast_renderer,
+            )
+
+            render = make_composite_fast_renderer(
+                head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
+                identity.near, identity.far, render_cfg,
+                cx=identity.cx, cy=identity.cy,
+                compute_dtype=compute_dtype,
+                prior_mask=prior_mask, k_coarse=k_coarse,
+                keep_head=fast_keep, keep_torso=fast_keep,
+            )
+        else:
+            render = make_composite_frame_renderer(
+                head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
+                identity.near, identity.far, render_cfg,
+                cx=identity.cx, cy=identity.cy, tile=tile,
+                compute_dtype=compute_dtype, use_pallas=use_pallas,
+            )
     pose0 = jnp.asarray(identity.poses[0])
 
     writer = VideoWriter(out_path) if out_path else None

@@ -10,6 +10,7 @@ working set), everything else fused by XLA. Deterministic sampling
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional
 
 import jax
@@ -184,6 +185,154 @@ def make_composite_frame_renderer(
         )
 
     return _render
+
+
+def make_composite_fast_renderer(
+    head_cfg, torso_cfg,
+    H: int, W: int, focal, near, far, cfg: RenderConfig,
+    cx=None, cy=None, compute_dtype=None,
+    prior_mask=None, k_coarse: Optional[int] = None,
+    keep_head: float = 0.4, keep_torso: float = 0.4,
+):
+    """Pruned + prior-masked head+torso composite — the fast mode for the
+    north-star workload (reference: test_torso.py:513-534 renders BOTH
+    fields at full 64+192 fidelity on every pixel).
+
+    Three structural cuts, all exact-by-construction outside their masks:
+
+    1. **Shared subject prior**: rays outside the subject prior see no
+       network at all. There the trained torso field is empty
+       (last_weight→1, rgb_fg→0) and the head composites the plate, so
+       the layered composite IS the plate pixel.
+    2. **Per-field opacity pruning**: each field's fine pass runs only on
+       the top ``keep_*`` fraction of prior rays ranked by that field's
+       coarse foreground opacity (acc − last_weight); elsewhere the fine
+       result would reproduce the coarse composite (both transmit to the
+       plate / to the other layer).
+    3. **Cross-field occlusion**: the composite is
+       ``rgb_head·last_weight_torso + rgb_fg_torso`` (run_nerf.py:610),
+       so where the TORSO is already opaque at coarse
+       (last_weight_torso≈0) the head's fine color is multiplied by ~0 —
+       the head ranking is weighted by the torso's coarse transmittance,
+       skipping head fine work the torso will hide.
+
+    Torso rays are cast from the fixed first-frame pose (run_nerf.py:499)
+    but the pixel grid is shared, so one prior/selection index set serves
+    both fields.
+
+    Split into several small jitted programs, each holding at most ONE
+    pallas launch and never gathering pallas outputs by a same-program
+    top_k (the two axon failure patterns make_pruned_frame_renderer
+    documents); the extra dispatches cost ~nothing at frame scale.
+
+    Returns ``render(head_params, torso_params, pose, pose0, bc_img,
+    aud=None, signal=None, expr=None, latent=None) -> (H, W, 3)`` —
+    drop-in for make_composite_frame_renderer's signature.
+    """
+    from idealnerf_tpu.kernels.fused_render import (
+        fused_render_coarse_hier, fused_render_rays,
+    )
+    from idealnerf_tpu.models.face_nerf import fold_conditioning
+
+    cfg = cfg.eval_mode()
+    cd = compute_dtype or jnp.float32
+    n = H * W
+    masked = prior_mask is not None
+    if masked:
+        n_coarse = k_coarse
+        prior_flat = prior_mask.reshape(-1).astype(jnp.float32)
+    else:
+        n_coarse = n
+        prior_flat = None
+
+    def _k(frac):
+        k = int(n_coarse * frac)
+        return max(k - k % 256, 256)
+
+    k_h, k_t = _k(keep_head), _k(keep_torso)
+
+    # the prior is static -> the selection index is a compile-time
+    # constant (no in-program top_k feeding gathers)
+    if masked:
+        import numpy as _np
+
+        pf = _np.asarray(prior_flat)
+        sel_np = _np.argsort(-pf, kind="stable")[:n_coarse].astype(_np.int32)
+        sel_const = jnp.asarray(sel_np)
+    else:
+        sel_const = None
+
+    @functools.partial(jax.jit, static_argnames=("is_torso",))
+    def stage_coarse(params, pose_f, bc_img, cond, is_torso=False):
+        """One field's coarse pass + in-kernel hierarchical sampling on
+        the prior rays (one pallas launch)."""
+        ncfg = torso_cfg if is_torso else head_cfg
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["coarse"], ncfg, *cond)
+        o, d = get_rays(H, W, focal, pose_f, cx, cy)
+        o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+        b = bc_img.reshape(-1, 3)
+        if masked:
+            o, d, b = o[sel_const], d[sel_const], b[sel_const]
+        c, z = fused_render_coarse_hier(
+            p["coarse"], folded, ncfg, o, d, b, near, far,
+            cfg.n_samples, cfg.n_importance, point_tile=4096,
+        )
+        return dict(rgb=c["rgb_map"], acc=c["acc_map"],
+                    lw=c["last_weight"], fg=c["rgb_fg"], z=z,
+                    o=o, d=d, b=b)
+
+    @jax.jit
+    def stage_keep(acc_h, lw_h, acc_t, lw_t):
+        """Fine-ray selection (no pallas in this program). The head's
+        foreground score is weighted by the torso's coarse transmittance:
+        fine head work the torso will hide (last_weight_torso ~ 0) is
+        skipped."""
+        _, keep_h = jax.lax.top_k((acc_h - lw_h) * lw_t, k_h)
+        _, keep_t = jax.lax.top_k(acc_t - lw_t, k_t)
+        return keep_h, keep_t
+
+    @functools.partial(jax.jit, static_argnames=("is_torso",))
+    def stage_fine(params, st, keep, cond, is_torso=False):
+        """One field's fine pass on its kept rays (one pallas launch;
+        gathers read materialized stage outputs by a materialized index)."""
+        ncfg = torso_cfg if is_torso else head_cfg
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["fine"], ncfg, *cond)
+        out = fused_render_rays(
+            p["fine"], folded, ncfg, st["o"][keep], st["d"][keep],
+            st["z"][keep], st["b"][keep],
+        )
+        return out["rgb_map"], out["last_weight"], out["rgb_fg"]
+
+    @jax.jit
+    def stage_composite(sh, st_, keep_h, keep_t, head_f, torso_f, bc_img):
+        rgb_h = sh["rgb"].at[keep_h].set(head_f[0])
+        lw_t = st_["lw"].at[keep_t].set(torso_f[1])
+        fg_t = st_["fg"].at[keep_t].set(torso_f[2])
+        comp = rgb_h * lw_t[:, None] + fg_t
+        if masked:
+            img = bc_img.reshape(-1, 3).at[sel_const].set(comp)
+        else:
+            img = comp
+        return img.reshape(H, W, 3)
+
+    def render(head_params, torso_params, pose, pose0, bc_img,
+               aud=None, signal=None, expr=None, latent=None):
+        cond_h = (aud, expr, latent)
+        cond_t = (signal, None, None)
+        sh = stage_coarse(head_params, pose, bc_img, cond_h)
+        st_ = stage_coarse(torso_params, pose0, bc_img, cond_t,
+                           is_torso=True)
+        keep_h, keep_t = stage_keep(sh["acc"], sh["lw"], st_["acc"],
+                                    st_["lw"])
+        head_f = stage_fine(head_params, sh, keep_h, cond_h)
+        torso_f = stage_fine(torso_params, st_, keep_t, cond_t,
+                             is_torso=True)
+        return stage_composite(sh, st_, keep_h, keep_t, head_f, torso_f,
+                               bc_img)
+
+    return render
 
 
 def _tile_fns(coarse_fn, fine_fn, near, far, cfg, fused=None):

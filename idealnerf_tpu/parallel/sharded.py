@@ -108,3 +108,65 @@ def make_sharded_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_sharded_torso_train_step(
+    cfg: ExperimentConfig,
+    dataset: FrameDataset,
+    mesh: Mesh,
+    smooth_audio: bool = True,
+    remat: bool = False,
+):
+    """Multi-chip torso step: ``step(torso_params, opt_state, head_params,
+    step, data, indices (B,), key) -> (torso_params, opt_state, metrics)``
+    — the sharded counterpart of train.torso.make_torso_train_step (same
+    frame loss, frames batched over 'data', rays over 'ray'). The frozen
+    head replicates with the rest of the params."""
+    from idealnerf_tpu.train.torso import (
+        make_torso_frame_loss, torso_ray_budget,
+    )
+
+    H, W = dataset.hw
+    lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
+    optimizer = optax.adam(lr_sched, b1=0.9, b2=0.999)
+    budget, bottom_rect, zero_box = torso_ray_budget(cfg, H, W)
+    frame_loss = make_torso_frame_loss(cfg, dataset, smooth_audio)
+    if remat:
+        frame_loss = jax.checkpoint(frame_loss)
+
+    coords_sharding = NamedSharding(mesh, P("data", "ray", None))
+    replicated = NamedSharding(mesh, P())
+    zero_mask = jnp.zeros((H, W), jnp.uint8)
+
+    def batched_loss(torso_params, head_params, data, indices, coords, keys):
+        losses, aux = jax.vmap(
+            frame_loss, in_axes=(None, None, None, 0, 0, 0)
+        )(torso_params, head_params, data, indices, coords, keys)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, aux)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(torso_params, opt_state, head_params, step, data,
+                   indices, key):
+        batch = indices.shape[0]
+        keys = jax.random.split(key, 2 * batch)
+        coords = jax.vmap(
+            lambda k: sample_ray_coords(
+                k, H, W, bottom_rect, zero_box, zero_mask, budget
+            )
+        )(keys[:batch])
+        coords = jax.lax.with_sharding_constraint(coords, coords_sharding)
+
+        (loss, aux), grads = jax.value_and_grad(
+            batched_loss, has_aux=True
+        )(torso_params, head_params, data, indices, coords, keys[batch:])
+        grads = jax.lax.with_sharding_constraint(grads, replicated)
+        updates, opt_state = optimizer.update(grads, opt_state, torso_params)
+        torso_params = optax.apply_updates(torso_params, updates)
+        metrics = {
+            "loss": loss,
+            "psnr": -10.0 * jnp.log(aux["img_loss"]) / jnp.log(10.0),
+            "lr": lr_sched(step),
+        }
+        return torso_params, opt_state, metrics
+
+    return train_step

@@ -69,29 +69,27 @@ def init_torso_params(key, cfg: ExperimentConfig) -> Dict[str, Any]:
     return {"coarse": init_face_nerf(ks[0], tcfg), "fine": init_face_nerf(ks[1], tcfg)}
 
 
-def make_torso_train_step(
-    cfg: ExperimentConfig,
-    dataset: FrameDataset,
-    smooth_audio: bool = True,
-):
-    """Jitted ``step(torso_params, opt_state, head_params, step, data,
-    index, key)``. ``head_params`` (frozen head nerfs + audio encoders +
-    optional latent_codes) is a runtime argument, not a baked constant, so
-    the same executable serves any head checkpoint."""
-    H, W = dataset.hw
-    focal, cx, cy = dataset.focal, dataset.cx, dataset.cy
-    near, far = dataset.near, dataset.far
-    tcfg = torso_nerf_config(cfg)
-    render_cfg = cfg.render_config()
-    lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
-    optimizer = optax.adam(lr_sched, b1=0.9, b2=0.999)
-
-    # bottom-half rect, area-proportional budget (run_nerf.py:559-583)
+def torso_ray_budget(cfg: ExperimentConfig, H: int, W: int):
+    """Bottom-half rect, area-proportional budget (run_nerf.py:559-583):
+    (budget, rect, zero_mouth_box) for sample_ray_coords."""
     rect_rays = int(cfg.N_rand * 0.5)
     budget = RayBudget(face=rect_rays, background=cfg.N_rand - rect_rays,
                        mouth=0, torso=0)
     bottom_rect = jnp.array([0, H // 2, W - 1, H - H // 2 - 1], jnp.int32)
     zero_box = jnp.array([-1.0, -1.0, -1.0, -1.0])
+    return budget, bottom_rect, zero_box
+
+
+def make_torso_frame_loss(cfg: ExperimentConfig, dataset: FrameDataset,
+                          smooth_audio: bool = True):
+    """Single-frame composite loss ``loss_fn(torso_params, head_params,
+    data, index, coords, key) -> (loss, aux)`` — shared by the
+    single-chip step and the multi-chip sharded step
+    (parallel/sharded.make_sharded_torso_train_step)."""
+    focal, cx, cy = dataset.focal, dataset.cx, dataset.cy
+    near, far = dataset.near, dataset.far
+    tcfg = torso_nerf_config(cfg)
+    render_cfg = cfg.render_config()
 
     def loss_fn(torso_params, head_params, data, index, coords, key):
         aud = compute_aud_feature(
@@ -145,6 +143,24 @@ def make_torso_train_step(
             )
             loss = loss + jnp.mean((rgb_com0 - target) ** 2)
         return loss, {"img_loss": img_loss}
+
+    return loss_fn
+
+
+def make_torso_train_step(
+    cfg: ExperimentConfig,
+    dataset: FrameDataset,
+    smooth_audio: bool = True,
+):
+    """Jitted ``step(torso_params, opt_state, head_params, step, data,
+    index, key)``. ``head_params`` (frozen head nerfs + audio encoders +
+    optional latent_codes) is a runtime argument, not a baked constant, so
+    the same executable serves any head checkpoint."""
+    H, W = dataset.hw
+    lr_sched = exponential_lr(cfg.lrate, cfg.lrate_decay)
+    optimizer = optax.adam(lr_sched, b1=0.9, b2=0.999)
+    budget, bottom_rect, zero_box = torso_ray_budget(cfg, H, W)
+    loss_fn = make_torso_frame_loss(cfg, dataset, smooth_audio)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(torso_params, opt_state, head_params, step, data, index, key):

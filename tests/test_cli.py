@@ -69,3 +69,46 @@ def test_cli_process_data_missing_inputs(tmp_path):
     os.makedirs(tmp_path / "subj" / "ori_imgs")
     # no frames at all -> clean error path, no exception
     main(["--id_dir", str(tmp_path / "subj")])
+
+
+def test_cli_train_head_sharded_mesh(tmp_path):
+    """--data_devices/--ray_devices route train_head through the
+    ('data','ray') GSPMD mesh (parallel/trainers.ShardedHeadTrainer) on
+    the virtual 8-device CPU mesh, and render_val consumes the produced
+    checkpoint."""
+    import jax
+
+    from idealnerf_tpu.cli.render_val import main as val_main
+    from idealnerf_tpu.cli.train_head import main as train_main
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    train_main(_args(tmp_path, "mesh", ["--epochs", "2",
+                                        "--data_devices", "2",
+                                        "--ray_devices", "4",
+                                        "--i_weights", "2"]))
+    ckpt = str(tmp_path / "mesh" / "ckpt")
+    assert os.path.isdir(ckpt)
+    # the sharded trainer logs through the same metrics file
+    assert os.path.exists(tmp_path / "mesh" / "metrics.jsonl")
+    out = str(tmp_path / "out_mesh")
+    mean_psnr = val_main(_args(tmp_path, "mesh",
+                               ["--head_ckpt", ckpt, "--max_frames", "1",
+                                "--save_path", out]))
+    assert np.isfinite(mean_psnr)
+
+
+def test_cli_train_torso_sharded_mesh(tmp_path):
+    import jax
+
+    from idealnerf_tpu.cli.train_head import main as train_main
+    from idealnerf_tpu.cli.train_torso import main as torso_main
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    train_main(_args(tmp_path, "mesh2", ["--epochs", "1"]))
+    torso_main(_args(tmp_path, "mesh2",
+                     ["--head_ckpt", str(tmp_path / "mesh2" / "ckpt"),
+                      "--steps", "2", "--smooth_audio", "0",
+                      "--data_devices", "2", "--ray_devices", "4"]))
+    assert os.path.isdir(tmp_path / "mesh2_torso" / "ckpt")

@@ -97,3 +97,69 @@ def test_torso_trainer_learns_composite():
     gt = ds_com.images[0].astype(np.float32) / 255.0
     psnr = -10 * np.log10(float(jnp.mean((frame - gt) ** 2)))
     assert psnr > 14.0, psnr
+
+
+def test_composite_fast_renderer_matches_full():
+    """make_composite_fast_renderer at keep=1.0 (unmasked and all-true
+    prior) must reproduce the full fused composite exactly; pruned +
+    partial-prior output stays finite and equals the plate outside the
+    prior (the trained-field assumption the fast mode rests on)."""
+    from idealnerf_tpu.eval.renderer import make_composite_fast_renderer
+    from idealnerf_tpu.models.face_nerf import init_face_nerf
+
+    H = W = 32
+    focal, cx, cy = 48.0, 16.0, 16.0
+    near, far = 0.5, 1.5
+    cfg = ExperimentConfig(dim_aud=16, dim_expr=8, dim_latent=4,
+                           N_samples=16, N_importance=16)
+    ncfg = cfg.face_nerf_config()
+    tcfg = ExperimentConfig(dim_aud=20, dim_expr=0, dim_latent=0,
+                            N_samples=16, N_importance=16).face_nerf_config()
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    hp = {"coarse": init_face_nerf(ks[0], ncfg),
+          "fine": init_face_nerf(ks[1], ncfg)}
+    tp = {"coarse": init_face_nerf(ks[2], tcfg),
+          "fine": init_face_nerf(ks[3], tcfg)}
+    pose = jnp.concatenate([jnp.eye(3), jnp.array([[0.], [0.], [0.9]])], 1)
+    pose0 = jnp.concatenate([jnp.eye(3), jnp.array([[0.05], [0.], [0.95]])], 1)
+    bc = jax.random.uniform(ks[4], (H, W, 3))
+    aud = jax.random.normal(ks[5], (16,))
+    expr = jax.random.normal(ks[6], (8,))
+    sig = jax.random.normal(ks[7], (20,))
+    lat = jnp.ones((4,))
+    rc = cfg.render_config()
+    kw = dict(cx=cx, cy=cy)
+    call = dict(aud=aud, signal=sig, expr=expr, latent=lat)
+
+    full = make_composite_frame_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, use_pallas="ray", **kw)
+    ref = full(hp, tp, pose, pose0, bc, **call)
+
+    exact = make_composite_fast_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc,
+        keep_head=1.0, keep_torso=1.0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(exact(hp, tp, pose, pose0, bc, **call)),
+        np.asarray(ref), atol=2e-5)
+
+    exact_m = make_composite_fast_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc,
+        prior_mask=jnp.ones((H, W), bool), k_coarse=H * W,
+        keep_head=1.0, keep_torso=1.0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(exact_m(hp, tp, pose, pose0, bc, **call)),
+        np.asarray(ref), atol=2e-5)
+
+    mask = np.zeros((H, W), bool)
+    mask[4:30, 6:26] = True
+    kc = ((int(mask.sum()) + 255) // 256) * 256
+    fast = make_composite_fast_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc,
+        prior_mask=jnp.asarray(mask), k_coarse=kc,
+        keep_head=0.5, keep_torso=0.5, **kw)
+    out = np.asarray(fast(hp, tp, pose, pose0, bc, **call))
+    assert np.isfinite(out).all()
+    outside = ~mask
+    n_padded = kc - int(mask.sum())
+    eq_plate = np.abs(out[outside] - np.asarray(bc)[outside]).max(-1) < 1e-6
+    assert (~eq_plate).sum() <= n_padded, ((~eq_plate).sum(), n_padded)
