@@ -222,3 +222,96 @@ def test_tracker_recovers_synthetic_pose():
     # reprojection error in pixels
     assert result.loss < 2.0, result.loss
     np.testing.assert_allclose(result.euler, gt_euler, atol=0.05)
+
+
+# ------------------------------------------- full-pipeline composition
+
+def test_process_data_cli_end_to_end_then_train(tmp_path):
+    """The L0 wiring composes: cli/process_data.py runs wav -> audio
+    features -> FAN landmarks -> BiSeNet parsing -> background plate ->
+    decoupling -> 3DMM tracking -> transforms on a tiny synthetic video
+    with RANDOM-INIT network weights (the released weight files are
+    env-blocked — converters are activation-match-tested separately),
+    and a head trainer runs from the produced directory. Reference flow:
+    data_util/process_data.py:330-349."""
+    import struct
+    import wave
+
+    import imageio.v2 as imageio
+    import jax
+
+    from idealnerf_tpu.cli.process_data import main as process_main
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.data.dataset import load_transforms_dataset
+    from idealnerf_tpu.pipeline.fan import init_fan
+    from idealnerf_tpu.pipeline.parsing_net import init_bisenet
+    from idealnerf_tpu.train import HeadTrainer
+
+    d = tmp_path / "subj"
+    ori = d / "ori_imgs"
+    os.makedirs(ori)
+    # tiny "video": a bright face-like disk drifting over a dark bg
+    rng = np.random.RandomState(0)
+    n_frames, H, W = 6, 64, 64
+    yy, xx = np.mgrid[0:H, 0:W]
+    for i in range(n_frames):
+        cx, cy = 32 + i, 28 + (i % 2)
+        disk = ((xx - cx) ** 2 + (yy - cy) ** 2) < 14 ** 2
+        img = np.full((H, W, 3), 30, np.uint8)
+        img[disk] = [200, 170, 150]
+        img = np.clip(
+            img.astype(int) + rng.randint(-8, 8, img.shape), 0, 255
+        ).astype(np.uint8)
+        imageio.imwrite(ori / f"{i}.jpg", img)
+
+    # 0.5 s sine wav @16 kHz
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    samples = (np.sin(2 * np.pi * 330 * t) * 8000).astype(np.int16)
+    with wave.open(str(d / "aud.wav"), "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sr)
+        wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+
+    fan_npz = tmp_path / "fan.npz"
+    np.savez(fan_npz, **{
+        k: np.asarray(v)
+        for k, v in init_fan(jax.random.PRNGKey(0)).items()
+    })
+    bise_npz = tmp_path / "bisenet.npz"
+    np.savez(bise_npz, **{
+        k: np.asarray(v)
+        for k, v in init_bisenet(jax.random.PRNGKey(1)).items()
+    })
+
+    process_main(["--id_dir", str(d),
+                  "--fan_weights", str(fan_npz),
+                  "--parse_weights", str(bise_npz)])
+
+    # every stage's artifact exists
+    aud = np.load(d / "aud.npy")
+    assert aud.shape == (n_frames, 16, 29)
+    for i in range(n_frames):
+        assert os.path.exists(ori / f"{i}.lms")
+        assert os.path.exists(d / "parsing" / f"{i}.png")
+    assert os.path.exists(d / "bc.jpg")
+    assert os.path.exists(d / "com_imgs" / "0.jpg")
+    assert os.path.exists(d / "head_imgs" / "0.jpg")
+    assert os.path.exists(d / "track_params.npz")
+    assert os.path.exists(d / "transforms_exp_train.json")
+    assert os.path.exists(d / "transforms_exp_val.json")
+
+    # the produced directory loads and trains
+    ds = load_transforms_dataset(str(d), mode="train", gt_dirs="head_imgs")
+    assert ds.size >= 1 and ds.hw == (H, W)
+    cfg = ExperimentConfig(
+        dim_aud=64, dim_expr=ds.exprs.shape[1], dim_latent=16,
+        N_rand=64, mouth_rays=8, torso_rays=0, N_samples=6,
+        N_importance=6, nosmo_iters=10 ** 9,
+    )
+    trainer = HeadTrainer(cfg, ds, seed=0)
+    hist = []
+    trainer.run(n_epochs=2, log_every=1,
+                on_metrics=lambda s, m: hist.append(m))
+    assert hist and np.isfinite(hist[-1]["loss"])
