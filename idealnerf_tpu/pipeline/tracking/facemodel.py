@@ -190,14 +190,75 @@ class Face3DMM:
     @classmethod
     def synthetic(cls, n_vertices: int = 300, n_id: int = 20, n_exp: int = 10,
                   n_tex: int = 8, seed: int = 0,
-                  with_contours: bool = False) -> "Face3DMM":
+                  with_contours: bool = False,
+                  n_lat: int = 15, n_lon: int = 20,
+                  shell: bool = False) -> "Face3DMM":
         """A random-basis stand-in with the BFM structure, for tests: a
         face-like ellipsoid mean with smooth random deformation bases,
         optional texture model, triangulation, and silhouette contour
-        candidate rows (lat/long grid mesh when with_contours)."""
+        candidate rows (lat/long grid mesh when with_contours).
+
+        ``shell=True`` builds an OPEN front-facing dome over a regular
+        (n_lat, n_lon) grid instead of the closed ellipsoid — the
+        topology of the real BFM (a face shell, no back surface, no
+        polar density singularities). Reference scale
+        (face_tracker.py:37-53, convert_BFM output):
+        ``synthetic(n_id=100, n_exp=79, n_lat=150, n_lon=230,
+        shell=True, with_contours=True)`` — 34 500 vertices / 68 206
+        triangles, matching the BFM's 34 650 / ~69k."""
         rng = np.random.RandomState(seed)
-        n_lat, n_lon = 15, 20
         grid = n_lat * n_lon
+        if shell:
+            n_vertices = grid
+            v, u = np.meshgrid(np.linspace(-1.0, 1.0, n_lat),
+                               np.linspace(-1.0, 1.0, n_lon),
+                               indexing="ij")
+            u, v = u.reshape(-1), v.reshape(-1)
+            dome = np.sqrt(np.maximum(1.0 - 0.5 * (u * u + v * v), 0.0))
+            mu = np.stack([0.8 * u, 1.0 * v, 0.6 * dome], -1).reshape(-1)
+
+            def smooth_basis(n_modes, scale):
+                # SPATIALLY SMOOTH random bases (the real BFM's are):
+                # iid-per-vertex noise would make neighboring vertices
+                # independent, i.e. a shaggy mesh whose triangle bboxes
+                # blow up with vertex count — low-frequency sinusoid
+                # fields keep triangle size ~grid spacing at any V
+                freq = rng.uniform(0.5, 3.0, (n_modes, 2))
+                phase = rng.uniform(0, 2 * np.pi, (n_modes, 3))
+                amp = rng.randn(n_modes, 3) * scale
+                arg = (freq[:, 0, None] * u[None] +
+                       freq[:, 1, None] * v[None])        # (K, V)
+                b = (amp[:, None, :] *
+                     np.sin(arg[:, :, None] + phase[:, None, :]))  # (K,V,3)
+                return b.reshape(n_modes, -1).T.astype(np.float32)
+
+            base_id = smooth_basis(n_id, 0.02)
+            base_exp = smooth_basis(n_exp, 0.01)
+            # landmarks in the central face region
+            rows = (n_lat // 4 + rng.choice(n_lat // 2, 68)) * n_lon
+            keypoints = rows + n_lon // 4 + rng.choice(n_lon // 2, 68)
+            tris = []
+            for i in range(n_lat - 1):
+                for j in range(n_lon - 1):
+                    a = i * n_lon + j
+                    b = a + 1
+                    c = a + n_lon
+                    d = c + 1
+                    tris += [[a, b, c], [b, d, c]]
+            kw = {"tris": np.asarray(tris, np.int32)}
+            if n_tex:
+                kw["mu_tex"] = np.full(3 * n_vertices, 128.0, np.float32)
+                kw["base_tex"] = (
+                    rng.randn(3 * n_vertices, n_tex).astype(np.float32) * 20.0
+                )
+            if with_contours:
+                rows = np.linspace(n_lat // 2, n_lat - 1, 8).astype(int)
+                ring = lambda r: r * n_lon + np.arange(n_lon)
+                kw["left_contour"] = np.stack([ring(r) for r in rows])
+                kw["right_contour"] = np.stack([ring(r) for r in rows])
+                kw["rigid_ids"] = rng.choice(n_vertices, 20, replace=False)
+            return cls(mu.astype(np.float32), base_id, base_exp,
+                       keypoints, **kw)
         use_grid = with_contours or n_vertices == grid
         if use_grid:
             n_vertices = grid

@@ -70,6 +70,10 @@ def landmark_loss(proj_lan: jnp.ndarray, gt_lan: jnp.ndarray) -> jnp.ndarray:
 def lap_loss(series: jnp.ndarray, weight: float = 1.0) -> jnp.ndarray:
     """Temporal Laplacian smoothness: conv [-0.5, 1, -0.5] along the
     leading (time) axis (util.py:48-57). series (T, ...) -> scalar."""
+    if series.shape[0] < 3:
+        # a <3-frame trajectory has no interior point: the Laplacian is
+        # empty and mean([]) would poison the loss with NaN
+        return jnp.asarray(0.0, series.dtype)
     flat = series.reshape(series.shape[0], -1)
     lap = flat[1:-1] - 0.5 * flat[:-2] - 0.5 * flat[2:]
     return jnp.mean(lap**2) * weight

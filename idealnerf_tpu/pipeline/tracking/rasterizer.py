@@ -61,6 +61,17 @@ class RasterConfig(NamedTuple):
     znear: float = 0.01
     zfar: float = 20.0
 
+    @classmethod
+    def bfm(cls, height: int, width: int) -> "RasterConfig":
+        """Tuning for BFM-scale tracking (34.5k vertices / ~69k
+        triangles at 450-512² — face_tracker.py:37-53): ~1 face/pixel
+        density puts ~220 blur-padded faces in a 16-px-padded 8-px
+        tile; cap 256 measures overflow==0 with headroom, span 3 covers
+        the ≤8-px padded bboxes (asserted in tests/test_rasterizer.py's
+        BFM-scale case)."""
+        return cls(height=height, width=width, tile=8,
+                   max_faces_per_tile=256, span=3)
+
 
 def _ndc_scale(cfg: RasterConfig) -> float:
     """Pixel -> NDC unit conversion (pytorch3d: short side spans 2)."""

@@ -279,3 +279,106 @@ def test_photometric_refinement_improves_recovery():
     assert refined.light.shape == (n, 27)
     assert e_ref < e_base * 0.95, (
         f"photometric should cut render error: {e_base} -> {e_ref}")
+
+
+def test_bfm_scale_raster_and_tracking():
+    """Reference-scale validation (face_tracker.py:37-53 workload): a
+    34.5k-vertex / 68k-triangle open face shell with id 100 / exp 79
+    smooth bases at 450². Asserts (a) RasterConfig.bfm bins with ZERO
+    overflow through the surfaced API, (b) the landmark stages recover
+    the pose, and (c) the photometric sliding-window refinement (the
+    tracker's real _photometric_refine) cuts render error against a
+    fixed texture — the geometry-polish role it plays in the reference
+    (face_tracker.py:248-343).
+
+    The full fit() improvement-over-noise semantics are asserted at
+    small scale in test_photometric_refinement_improves_recovery; at
+    450² each photometric step renders the whole batch, so this test
+    drives the window stage directly from a perturbed landmark-fit
+    state to keep CPU time bounded.
+    """
+    from idealnerf_tpu.pipeline.tracking.tracker import FaceTracker
+
+    rng = np.random.RandomState(0)
+    model = Face3DMM.synthetic(n_id=100, n_exp=79, n_lat=150, n_lon=230,
+                               shell=True, with_contours=True, seed=5)
+    n_id, n_exp = model.dims
+    assert (n_id, n_exp) == (100, 79)
+    assert model.mu.shape[0] // 3 == 34500
+    assert model.tris.shape[0] > 65000
+    n = 4
+    h = w = 450
+    focal = 1200.0
+
+    def smooth(a, b):
+        t = np.linspace(0.0, 1.0, n)[:, None]
+        return jnp.asarray((1 - t) * a + t * b, jnp.float32)
+
+    gt = {
+        "id": jnp.asarray(rng.randn(n_id) * 0.3, jnp.float32),
+        "exp": smooth(rng.randn(n_exp) * 0.3, rng.randn(n_exp) * 0.3),
+        "euler": smooth(rng.uniform(-0.1, 0.1, 3), rng.uniform(-0.1, 0.1, 3)),
+        "trans": np.array([0.0, 0.0, -7.0])
+        + smooth(rng.uniform(-0.05, 0.05, 3), rng.uniform(-0.05, 0.05, 3)),
+    }
+    tex_gt = jnp.asarray(rng.randn(model.n_tex) * 0.5, jnp.float32)
+    light_gt = jnp.zeros((n, 27)).at[:, ::9].add(0.3)
+
+    cfg = RasterConfig.bfm(h, w)
+    renderer = Render3DMM(focal, h, w, model.tris, cfg)
+    geo = model.geometry(gt["id"][None], gt["exp"])
+    rott = rot_trans_pts(geo, euler2rot(gt["euler"]), gt["trans"])
+    texture = jnp.broadcast_to(model.texture(tex_gt[None]), geo.shape)
+    gt_out, overflow = renderer(rott, texture, light_gt,
+                                return_overflow=True)
+    # the load-bearing assertion: NO silently dropped faces at BFM scale
+    assert int(overflow) == 0
+    gt_imgs = np.asarray(gt_out[..., :3])
+    # the mesh actually covers a face-sized frame region
+    assert 0.2 < float(gt_out[0, ..., 3].mean()) < 0.6
+
+    lan3d = model.get_3dlandmarks(gt["id"][None], gt["exp"], gt["euler"],
+                                  gt["trans"], focal, (w / 2, h / 2))
+    lms = np.asarray(forward_transform(lan3d, gt["euler"], gt["trans"],
+                                       focal, (w / 2, h / 2))[..., :2])
+    lms_noisy = lms + rng.randn(*lms.shape).astype(np.float32) * 4.0
+
+    tracker = FaceTracker(model, h, w, focal_candidates=[focal],
+                          raster_cfg=cfg)
+    base = tracker.fit(lms_noisy, steps_focal=1, steps_global=150,
+                       steps_refine=40)
+    # (b) landmark stages recover the pose at this scale: projected
+    # landmarks land within the injected noise of the TRUE ones
+    lan3d_fit = model.get_3dlandmarks(
+        jnp.asarray(base.id_coef)[None], jnp.asarray(base.exp),
+        jnp.asarray(base.euler), jnp.asarray(base.trans),
+        focal, (w / 2, h / 2))
+    proj_fit = np.asarray(forward_transform(
+        jnp.asarray(lan3d_fit), jnp.asarray(base.euler),
+        jnp.asarray(base.trans), focal, (w / 2, h / 2))[..., :2])
+    err_px = np.linalg.norm(proj_fit - lms, axis=-1).mean()
+    assert err_px < 4.0, err_px
+
+    # (c) the sliding-window photometric stage polishes geometry: start
+    # from a perturbed state (a coarse landmark fit) with the texture
+    # held fixed (its role in fit(): tex comes stop_gradiented from the
+    # initial photometric stage)
+    def render_err(exp, euler, trans):
+        g = model.geometry(gt["id"][None], exp)
+        rt = rot_trans_pts(g, euler2rot(euler), trans)
+        img = renderer(rt, texture, light_gt)[..., :3]
+        return float(jnp.mean((img - jnp.asarray(gt_imgs)) ** 2))
+
+    params = {
+        "id": gt["id"],
+        "exp": gt["exp"] + 0.08,
+        "euler": gt["euler"] + jnp.asarray([[0.006, -0.004, 0.003]] * n),
+        "trans": gt["trans"] + jnp.asarray([[0.015, -0.01, 0.03]] * n),
+    }
+    e0 = render_err(params["exp"], params["euler"], params["trans"])
+    refined, _ = tracker._photometric_refine(
+        params, tex_gt, light_gt, gt_imgs, lms_noisy, focal,
+        batch=n, steps=40)
+    e1 = render_err(refined["exp"], refined["euler"], refined["trans"])
+    assert e1 < e0 * 0.93, (
+        f"window refine should cut render error at BFM scale: {e0} -> {e1}")
