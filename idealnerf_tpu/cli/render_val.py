@@ -117,7 +117,7 @@ def main(argv=None):
                         i + 1, n, psnrs[-1], ssims[-1])
     logger.info("val set: mean PSNR %.2f, mean SSIM %.3f -> %s",
                 float(np.mean(psnrs)), float(np.mean(ssims)), out)
-    return float(np.mean(psnrs))
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims))}
 
 
 if __name__ == "__main__":

@@ -98,13 +98,18 @@ class ShardedHeadTrainer:
         size = self.dataset.size
         metrics: Dict[str, float] = {}
         t0 = time.time()
+        # host-side step mirror (see train/head.py run): fetching
+        # state.step per iteration is a blocking device round trip that
+        # serializes the loop; keep the loop free of device reads so
+        # dispatches pipeline.
+        step = int(self.state.step)
         with self.mesh:
             for epoch in range(n_epochs):
                 for start in range(0, size, self.batch):
                     idx = (np.arange(start, start + self.batch) % size)
                     smooth = (
                         self.cfg.dim_aud > 29
-                        and self.global_step >= self.cfg.nosmo_iters
+                        and step >= self.cfg.nosmo_iters
                     )
                     step_fn = self._step_fn(smooth)
                     self.key, k = jax.random.split(self.key)
@@ -112,18 +117,19 @@ class ShardedHeadTrainer:
                         self.state, self.data,
                         jnp.asarray(idx, jnp.int32), k,
                     )
-                    if self.global_step % log_every == 0:
+                    step += 1
+                    if step % log_every == 0:
                         metrics = {k2: float(v) for k2, v in m.items()}
-                        metrics["steps_per_sec"] = self.global_step / max(
+                        metrics["steps_per_sec"] = step / max(
                             time.time() - t0, 1e-9
                         )
                         metrics["frames_per_step"] = float(self.batch)
                         if on_metrics is not None:
-                            on_metrics(self.global_step, metrics)
+                            on_metrics(step, metrics)
                     if (
                         self.ckpt is not None
-                        and self.global_step > 0
-                        and self.global_step % self.cfg.i_weights == 0
+                        and step > 0
+                        and step % self.cfg.i_weights == 0
                     ):
                         self.save()
         return metrics

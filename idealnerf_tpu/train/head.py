@@ -247,6 +247,14 @@ class HeadTrainer:
         metrics = {}
         t0 = time.time()
         rng = np.random.RandomState(0)
+        # host-side step mirror: ``self.global_step`` fetches
+        # ``state.step`` from the device, which through a remote-TPU
+        # tunnel is a blocking round trip that serializes the step loop
+        # (measured 11.5 steps/s vs 23.6 for the bare step). The loop
+        # must never touch device data between log points so dispatches
+        # pipeline ahead of execution.
+        step = int(self.state.step)
+        t_log, s_log = t0, step
         for epoch in range(n_epochs):
             if frame_order == "random":
                 # baseline.py:578 — one random train frame per iteration
@@ -256,30 +264,37 @@ class HeadTrainer:
             for index in order:
                 index = int(index)
                 smooth = (
-                    self.cfg.dim_aud > 29
-                    and self.global_step >= self.cfg.nosmo_iters
+                    self.cfg.dim_aud > 29 and step >= self.cfg.nosmo_iters
                 )
-                precrop = self.global_step < self.cfg.precrop_iters
+                precrop = step < self.cfg.precrop_iters
                 step_fn = self._step_fn(smooth, precrop)
                 self.key, k = jax.random.split(self.key)
                 self.state, m = step_fn(self.state, self.data, index, k)
-                if self.global_step % log_every == 0:
+                step += 1
+                if step % log_every == 0:
                     metrics = {k2: float(v) for k2, v in m.items()}
+                    now = time.time()
                     metrics["steps_per_sec"] = (
-                        self.global_step / max(time.time() - t0, 1e-9)
+                        step / max(now - t0, 1e-9)
                     )
+                    # sustained rate since the previous log point
+                    # (excludes compile/restore stalls before t_log)
+                    metrics["steps_per_sec_rolling"] = (
+                        (step - s_log) / max(now - t_log, 1e-9)
+                    )
+                    t_log, s_log = now, step
                     if on_metrics is not None:
-                        on_metrics(self.global_step, metrics)
+                        on_metrics(step, metrics)
                     else:
                         logger.info(
                             "[TRAIN] epoch %d step %d loss %.5f psnr %.2f lr %.2e",
-                            epoch, self.global_step, metrics["loss"],
+                            epoch, step, metrics["loss"],
                             metrics["psnr"], metrics["lr"],
                         )
                 if (
                     self.ckpt is not None
-                    and self.global_step > 0
-                    and self.global_step % self.cfg.i_weights == 0
+                    and step > 0
+                    and step % self.cfg.i_weights == 0
                 ):
                     self.save()
         return metrics

@@ -62,15 +62,17 @@ def phase_eval(args):
         base += [f"--{k}", str(v)]
     results = {}
     for name, extra in (("full", []), ("pruned_40", ["--pruned", "40"]),
-                        ("pruned_60", ["--pruned", "60"])):
+                        ("pruned_60", ["--pruned", "60"]),
+                        ("masked_40", ["--pruned", "40",
+                                       "--prior_masked", "1"])):
         t0 = time.time()
-        results[name] = {"psnr": render_val.main(base + extra),
+        m = render_val.main(base + extra)
+        results[name] = {"psnr": m["psnr"], "ssim": m["ssim"],
                          "wall_s": round(time.time() - t0, 1)}
         print(name, results[name])
-    results["delta_psnr_pruned_40"] = round(
-        results["full"]["psnr"] - results["pruned_40"]["psnr"], 3)
-    results["delta_psnr_pruned_60"] = round(
-        results["full"]["psnr"] - results["pruned_60"]["psnr"], 3)
+    for mode in ("pruned_40", "pruned_60", "masked_40"):
+        results[f"delta_psnr_{mode}"] = round(
+            results["full"]["psnr"] - results[mode]["psnr"], 3)
     with open(os.path.join(args.out, "results.json"), "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2))

@@ -39,10 +39,11 @@ def test_cli_train_head_then_eval_chain(tmp_path):
                      "--save_path", out]))
     assert os.path.getsize(os.path.join(out, "smoke.avi")) > 0
 
-    mean_psnr = val_main(_args(tmp_path, "smoke",
-                               ["--head_ckpt", ckpt, "--max_frames", "1",
-                                "--save_path", out]))
-    assert np.isfinite(mean_psnr)
+    val_metrics = val_main(_args(tmp_path, "smoke",
+                                 ["--head_ckpt", ckpt, "--max_frames", "1",
+                                  "--save_path", out]))
+    assert np.isfinite(val_metrics["psnr"])
+    assert np.isfinite(val_metrics["ssim"])
 
 
 def test_cli_train_torso_against_head(tmp_path):
@@ -92,10 +93,10 @@ def test_cli_train_head_sharded_mesh(tmp_path):
     # the sharded trainer logs through the same metrics file
     assert os.path.exists(tmp_path / "mesh" / "metrics.jsonl")
     out = str(tmp_path / "out_mesh")
-    mean_psnr = val_main(_args(tmp_path, "mesh",
-                               ["--head_ckpt", ckpt, "--max_frames", "1",
-                                "--save_path", out]))
-    assert np.isfinite(mean_psnr)
+    val_metrics = val_main(_args(tmp_path, "mesh",
+                                 ["--head_ckpt", ckpt, "--max_frames", "1",
+                                  "--save_path", out]))
+    assert np.isfinite(val_metrics["psnr"])
 
 
 def test_cli_train_torso_sharded_mesh(tmp_path):
