@@ -142,7 +142,7 @@ def kernel_C(cfg, n_views, S, o8_ref, d8_ref, vd8_ref, z_ref, *refs):
     w_ref[:] = weights
 
 
-def timed(fn, reps=4):
+def timed(fn, reps=8):
     for _ in range(3):
         out = fn()
         float(jax.tree.leaves(out)[0].mean())
@@ -238,19 +238,25 @@ def main():
             cp = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
             if "A" in which:
-                # pe precomputed on host side of the launch (excluded
-                # from the timed kernel's work, included in wall time via
-                # jit — so compute it once outside jit)
-                A_ = _f32dot_hi(o8, F_p)
-                B_ = _f32dot_hi(d8, F_p)
-                phases = A_[:, None, :] + z_p[:, :, None] * B_[:, None, :]
-                pe_full = jnp.where(
-                    id_p[None] > 0, phases, jnp.sin(phases)
-                ).reshape(Rp * S, _PE_PAD).astype(cd)
-                zd = _f32dot_hi(vd8, F_d)
-                ped_full = jnp.where(id_d > 0, zd, jnp.sin(zd)).astype(cd)
-                pe_full, ped_full = jax.device_put((pe_full, ped_full))
+                # pe precomputed once, outside the timed region; jitted —
+                # the eager per-op chain was pathologically slow through
+                # the axon remote-compile tunnel (>20 min, killed)
+                @jax.jit
+                def _pe_precompute(o8, d8, vd8, z_p):
+                    A_ = _f32dot_hi(o8, F_p)
+                    B_ = _f32dot_hi(d8, F_p)
+                    phases = A_[:, None, :] + z_p[:, :, None] * B_[:, None, :]
+                    pe_full = jnp.where(
+                        id_p[None] > 0, phases, jnp.sin(phases)
+                    ).reshape(Rp * S, _PE_PAD).astype(cd)
+                    zd = _f32dot_hi(vd8, F_d)
+                    ped_full = jnp.where(id_d > 0, zd, jnp.sin(zd)).astype(cd)
+                    return pe_full, ped_full
+
+                print(f"A S={S} pt={pt}: precomputing pe...", flush=True)
+                pe_full, ped_full = _pe_precompute(o8, d8, vd8, z_p)
                 jax.block_until_ready((pe_full, ped_full))
+                print(f"A S={S} pt={pt}: pe done, launching", flush=True)
 
                 pe_spec = pl.BlockSpec((ray_tile * S, _PE_PAD),
                                        lambda i: (i, 0),
