@@ -227,18 +227,29 @@ def main():
 
     fps_comp = timed_comp(render_comp)
 
-    # 5. composite FAST mode — prior-masked + per-field pruned, with the
-    # head ranking occlusion-weighted by the torso's coarse transmittance
-    # (eval/renderer.make_composite_fast_renderer). Same data-derived
-    # prior as mode 3.
-    from idealnerf_tpu.eval.renderer import make_composite_fast_renderer
+    # 5. composite FAST mode — per-FIELD priors (head: face rects;
+    # torso: parse silhouette — foreground_prior_fields on the same
+    # data-derived subject as mode 3) + per-field pruning, with the
+    # head ranking occlusion-weighted by the torso's coarse
+    # transmittance (eval/renderer.make_composite_fast_renderer).
+    from idealnerf_tpu.eval.renderer import (
+        foreground_prior_fields, make_composite_fast_renderer,
+    )
+
+    try:
+        mask_h, mask_t = foreground_prior_fields(ds_prior)
+    except Exception:
+        mask_h = mask_t = np.asarray(mask)
+    cov_h = float(np.asarray(mask_h).mean())
+    cov_t = float(np.asarray(mask_t).mean())
 
     if on_tpu:
         render_comp_fast = make_composite_fast_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg.render_config(), cx=cx, cy=cy,
             compute_dtype=compute_dtype,
-            prior_mask=mask_dev, k_coarse=k_coarse,
+            prior_mask_head=jnp.asarray(mask_h),
+            prior_mask_torso=jnp.asarray(mask_t),
             keep_head=keep_masked, keep_torso=keep_masked,
         )
         fps_comp_fast = timed_comp(render_comp_fast)
@@ -266,6 +277,8 @@ def main():
                     "fps_head_torso_composite_best": round(fps_comp_fast, 3),
                     "prior_mask_source": mask_src,
                     "prior_mask_coverage": round(mask_coverage, 4),
+                    "prior_coverage_head": round(cov_h, 4),
+                    "prior_coverage_torso": round(cov_t, 4),
                     "keep_fraction": keep,
                     "rays_per_sec": int(rays_per_sec),
                     "frame_hw": H,

@@ -158,13 +158,27 @@ def reenact(
                 make_composite_fast_renderer,
             )
 
+            pf = {}
+            if use_prior:
+                # per-field supports (head: face rects, torso: parse
+                # silhouette) — each field renders only its own rays
+                from idealnerf_tpu.eval.renderer import (
+                    foreground_prior_fields,
+                )
+
+                mh, mt = foreground_prior_fields(identity)
+                pf = dict(prior_mask_head=jnp.asarray(mh),
+                          prior_mask_torso=jnp.asarray(mt))
+                logger.info(
+                    "per-field priors: head %.1f%%, torso %.1f%%",
+                    100.0 * float(mh.mean()), 100.0 * float(mt.mean()))
             render = make_composite_fast_renderer(
                 head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
                 identity.near, identity.far, render_cfg,
                 cx=identity.cx, cy=identity.cy,
                 compute_dtype=compute_dtype,
                 prior_mask=prior_mask, k_coarse=k_coarse,
-                keep_head=fast_keep, keep_torso=fast_keep,
+                keep_head=fast_keep, keep_torso=fast_keep, **pf,
             )
         else:
             render = make_composite_frame_renderer(

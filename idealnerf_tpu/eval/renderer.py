@@ -193,6 +193,7 @@ def make_composite_fast_renderer(
     cx=None, cy=None, compute_dtype=None,
     prior_mask=None, k_coarse: Optional[int] = None,
     keep_head: float = 0.4, keep_torso: float = 0.4,
+    prior_mask_head=None, prior_mask_torso=None,
 ):
     """Pruned + prior-masked head+torso composite — the fast mode for the
     north-star workload (reference: test_torso.py:513-534 renders BOTH
@@ -220,6 +221,15 @@ def make_composite_fast_renderer(
     but the pixel grid is shared, so one prior/selection index set serves
     both fields.
 
+    4. **Per-field priors** (round 3): pass ``prior_mask_head`` /
+       ``prior_mask_torso`` (eval.renderer.foreground_prior_fields) and
+       each field runs only on its OWN support — the head on the face
+       rects, the torso on the torso-parse silhouette. Outside its
+       support a trained field is exactly the identity layer (head →
+       plate, torso → transparent), so the composite is unchanged while
+       each field's coarse AND fine ray counts shrink to its own
+       coverage. All cross-field index maps are compile-time constants.
+
     Split into several small jitted programs, each holding at most ONE
     pallas launch and never gathering pallas outputs by a same-program
     top_k (the two axon failure patterns make_pruned_frame_renderer
@@ -234,38 +244,62 @@ def make_composite_fast_renderer(
     )
     from idealnerf_tpu.models.face_nerf import fold_conditioning
 
+    import numpy as _np
+
     cfg = cfg.eval_mode()
     cd = compute_dtype or jnp.float32
     n = H * W
-    masked = prior_mask is not None
-    if masked:
-        n_coarse = k_coarse
-        prior_flat = prior_mask.reshape(-1).astype(jnp.float32)
+    per_field = (prior_mask_head is not None and
+                 prior_mask_torso is not None)
+    masked = per_field or prior_mask is not None
+
+    # All selections and cross-field alignment maps are compile-time
+    # numpy constants (no in-program top_k feeding gathers — the axon
+    # failure pattern make_pruned_frame_renderer documents).
+    def _sel(m_np):
+        k = int(m_np.sum())
+        k = min(n, ((k + 255) // 256) * 256)
+        return _np.argsort(~m_np, kind="stable")[:k].astype(_np.int32)
+
+    if per_field:
+        mh = _np.asarray(prior_mask_head).reshape(-1).astype(bool)
+        mt = _np.asarray(prior_mask_torso).reshape(-1).astype(bool)
+        sel_h_np, sel_t_np, sel_u_np = _sel(mh), _sel(mt), _sel(mh | mt)
+    elif masked:
+        mu = _np.asarray(prior_mask).reshape(-1).astype(bool)
+        if k_coarse is not None:
+            sel_u_np = _np.argsort(~mu, kind="stable")[
+                :min(n, k_coarse)].astype(_np.int32)
+        else:
+            sel_u_np = _sel(mu)
+        sel_h_np = sel_t_np = sel_u_np
     else:
-        n_coarse = n
-        prior_flat = None
+        sel_h_np = sel_t_np = sel_u_np = _np.arange(n, dtype=_np.int32)
 
-    def _k(frac):
-        k = int(n_coarse * frac)
-        return max(k - k % 256, 256)
+    def _k(count, frac):
+        k = int(count * frac)
+        return max(k - k % 256, min(256, count))
 
-    k_h, k_t = _k(keep_head), _k(keep_torso)
+    k_h = _k(len(sel_h_np), keep_head)
+    k_t = _k(len(sel_t_np), keep_torso)
 
-    # the prior is static -> the selection index is a compile-time
-    # constant (no in-program top_k feeding gathers)
-    if masked:
-        import numpy as _np
+    def _pos(sel_np):
+        p = _np.full(n, -1, _np.int32)
+        p[sel_np] = _np.arange(len(sel_np), dtype=_np.int32)
+        return p
 
-        pf = _np.asarray(prior_flat)
-        sel_np = _np.argsort(-pf, kind="stable")[:n_coarse].astype(_np.int32)
-        sel_const = jnp.asarray(sel_np)
-    else:
-        sel_const = None
+    pos_h, pos_t = _pos(sel_h_np), _pos(sel_t_np)
+    u2h = jnp.asarray(pos_h[sel_u_np])   # union ray -> head-set pos | -1
+    u2t = jnp.asarray(pos_t[sel_u_np])   # union ray -> torso-set pos | -1
+    h2t = jnp.asarray(pos_t[sel_h_np])   # head ray -> torso-set pos | -1
+    sel_h = jnp.asarray(sel_h_np)
+    sel_t = jnp.asarray(sel_t_np)
+    sel_u = jnp.asarray(sel_u_np)
 
     @functools.partial(jax.jit, static_argnames=("is_torso",))
-    def stage_coarse(params, pose_f, bc_img, cond, is_torso=False):
+    def stage_coarse(params, pose_f, bc_img, cond, sel, is_torso=False):
         """One field's coarse pass + in-kernel hierarchical sampling on
-        the prior rays (one pallas launch)."""
+        that field's own prior rays (one pallas launch)."""
         ncfg = torso_cfg if is_torso else head_cfg
         p = jax.tree.map(lambda x: x.astype(cd), params)
         folded = fold_conditioning(p["coarse"], ncfg, *cond)
@@ -273,7 +307,7 @@ def make_composite_fast_renderer(
         o, d = o.reshape(-1, 3), d.reshape(-1, 3)
         b = bc_img.reshape(-1, 3)
         if masked:
-            o, d, b = o[sel_const], d[sel_const], b[sel_const]
+            o, d, b = o[sel], d[sel], b[sel]
         c, z = fused_render_coarse_hier(
             p["coarse"], folded, ncfg, o, d, b, near, far,
             cfg.n_samples, cfg.n_importance, point_tile=4096,
@@ -285,10 +319,12 @@ def make_composite_fast_renderer(
     @jax.jit
     def stage_keep(acc_h, lw_h, acc_t, lw_t):
         """Fine-ray selection (no pallas in this program). The head's
-        foreground score is weighted by the torso's coarse transmittance:
-        fine head work the torso will hide (last_weight_torso ~ 0) is
-        skipped."""
-        _, keep_h = jax.lax.top_k((acc_h - lw_h) * lw_t, k_h)
+        foreground score is weighted by the torso's coarse transmittance
+        at the same pixel (h2t map; 1.0 where the pixel has no torso
+        support): fine head work the torso will hide (last_weight_torso
+        ~ 0) is skipped."""
+        lw_t_on_h = jnp.where(h2t >= 0, lw_t[jnp.clip(h2t, 0)], 1.0)
+        _, keep_h = jax.lax.top_k((acc_h - lw_h) * lw_t_on_h, k_h)
         _, keep_t = jax.lax.top_k(acc_t - lw_t, k_t)
         return keep_h, keep_t
 
@@ -307,12 +343,27 @@ def make_composite_fast_renderer(
 
     @jax.jit
     def stage_composite(sh, st_, keep_h, keep_t, head_f, torso_f, bc_img):
-        rgb_h = sh["rgb"].at[keep_h].set(head_f[0])
-        lw_t = st_["lw"].at[keep_t].set(torso_f[1])
-        fg_t = st_["fg"].at[keep_t].set(torso_f[2])
-        comp = rgb_h * lw_t[:, None] + fg_t
+        """Layered composite over the union set via the constant maps.
+
+        A union pixel outside the head support composites the plate (an
+        empty head field IS the plate there); outside the torso support
+        the torso layer is the identity (last_weight 1, rgb_fg 0)."""
+        rgb_h = sh["rgb"].at[keep_h].set(head_f[0])      # (n_h, 3)
+        lw_t = st_["lw"].at[keep_t].set(torso_f[1])      # (n_t,)
+        fg_t = st_["fg"].at[keep_t].set(torso_f[2])      # (n_t, 3)
+        plate = bc_img.reshape(-1, 3)
+        if per_field:
+            in_h = (u2h >= 0)[:, None]
+            rgb_h_u = jnp.where(in_h, rgb_h[jnp.clip(u2h, 0)],
+                                plate[sel_u])
+            lw_t_u = jnp.where(u2t >= 0, lw_t[jnp.clip(u2t, 0)], 1.0)
+            fg_t_u = jnp.where((u2t >= 0)[:, None],
+                               fg_t[jnp.clip(u2t, 0)], 0.0)
+            comp = rgb_h_u * lw_t_u[:, None] + fg_t_u
+        else:
+            comp = rgb_h * lw_t[:, None] + fg_t
         if masked:
-            img = bc_img.reshape(-1, 3).at[sel_const].set(comp)
+            img = plate.at[sel_u].set(comp)
         else:
             img = comp
         return img.reshape(H, W, 3)
@@ -321,8 +372,8 @@ def make_composite_fast_renderer(
                aud=None, signal=None, expr=None, latent=None):
         cond_h = (aud, expr, latent)
         cond_t = (signal, None, None)
-        sh = stage_coarse(head_params, pose, bc_img, cond_h)
-        st_ = stage_coarse(torso_params, pose0, bc_img, cond_t,
+        sh = stage_coarse(head_params, pose, bc_img, cond_h, sel_h)
+        st_ = stage_coarse(torso_params, pose0, bc_img, cond_t, sel_t,
                            is_torso=True)
         keep_h, keep_t = stage_keep(sh["acc"], sh["lw"], st_["acc"],
                                     st_["lw"])
@@ -631,6 +682,34 @@ def make_pruned_frame_renderer(
                       aud=aud, expr=expr, latent=latent)
 
     return render
+
+
+def foreground_prior_fields(dataset, margin: int = 12):
+    """Per-field subject priors for the composite fast path.
+
+    The head field's support is the union of face rects; the torso
+    field's is the union of torso parse masks (audio_exp_nerf.py:163-187
+    builds its ray budget from exactly these quantities). Outside its
+    own support a trained field is empty — the head composites the
+    plate, the torso transmits (last_weight→1, rgb_fg→0) — so each
+    field only ever needs to run on its own prior's rays, not the
+    shared union. Returns (mask_head, mask_torso) as (H, W) bools,
+    both dilated by ``margin``; the union of the two is exactly what
+    foreground_prior returns.
+    """
+    import numpy as np
+    from scipy.ndimage import binary_dilation
+
+    H, W = dataset.hw
+    mask_h = np.zeros((H, W), bool)
+    for i in range(dataset.size):
+        x, y, w, h = [int(v) for v in dataset.face_rects[i]]
+        mask_h[max(y - margin, 0) : min(y + h + margin, H),
+               max(x - margin, 0) : min(x + w + margin, W)] = True
+    mask_h = binary_dilation(mask_h, iterations=margin)
+    mask_t = binary_dilation(
+        dataset.torso_masks.any(0).astype(bool), iterations=margin)
+    return mask_h, mask_t
 
 
 def foreground_prior(dataset, margin: int = 12):

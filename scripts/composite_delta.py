@@ -1,0 +1,100 @@
+"""Composite fast-mode quality delta on the rehearsal torso model.
+
+Renders the rehearsal2_com val split head+torso composite twice — full
+fidelity (make_composite_frame_renderer) and the fast mode
+(make_composite_fast_renderer with per-field priors + keep) — and
+reports PSNR(fast vs full), PSNR of each vs the GT com_imgs, and wall
+time per frame. This is the measured quality cost of the composite fast
+path on a converged model (reference workload: test_torso.py:513-534).
+
+Usage: python scripts/composite_delta.py [--frames 6] [--keep 0.4]
+Writes runs/rehearsal2_com/composite_delta.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COM = os.path.join(ROOT, "runs", "rehearsal2_com")
+HEAD_CKPT = os.path.join(ROOT, "runs", "rehearsal2", "logs",
+                         "rehearsal_head", "ckpt")
+TORSO_CKPT = os.path.join(COM, "logs", "rehearsal_head_torso", "ckpt")
+
+
+def psnr(a, b):
+    import numpy as np
+
+    return float(-10.0 * np.log10(np.mean((a - b) ** 2) + 1e-12))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=6)
+    p.add_argument("--keep", type=float, default=0.4)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idealnerf_tpu.ckpt import CheckpointManager
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.data.dataset import load_transforms_dataset
+    from idealnerf_tpu.eval.reenact import reenact
+    from idealnerf_tpu.train.state import init_train_state
+    from idealnerf_tpu.train.torso import init_torso_params
+
+    cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
+    identity = load_transforms_dataset(cfg.datadir, mode="val")
+
+    state = init_train_state(jax.random.PRNGKey(0), cfg, identity.size)
+    raw = CheckpointManager(HEAD_CKPT).restore_raw()
+    head_params = raw["params"]
+    latents = jnp.asarray(raw["latent_codes"])
+    like = {"torso_params": init_torso_params(jax.random.PRNGKey(0), cfg)}
+    torso_params = CheckpointManager(TORSO_CKPT).restore_partial(like)[0][
+        "torso_params"]
+    print(f"head step {int(raw['step'])}, torso restored", flush=True)
+
+    n = min(args.frames, identity.size)
+    auds = identity.auds[:n]
+    exprs = identity.exprs[:n] if cfg.dim_expr else None
+    common = dict(
+        driving_auds=auds, driving_exprs=exprs, latent_codes=latents,
+        torso_params=torso_params, max_frames=n, smooth_audio=False,
+    )
+
+    t0 = time.time()
+    full = reenact(cfg, head_params, identity, **common)
+    t_full = (time.time() - t0) / n
+
+    t0 = time.time()
+    fast = reenact(cfg, head_params, identity, fast_keep=args.keep,
+                   use_prior=True, **common)
+    t_fast = (time.time() - t0) / n
+
+    gt = identity.images[:n].astype(np.float32) / 255.0
+    out = {
+        "frames": n,
+        "keep": args.keep,
+        "psnr_fast_vs_full": psnr(fast, full),
+        "psnr_full_vs_gt": psnr(full, gt),
+        "psnr_fast_vs_gt": psnr(fast, gt),
+        "delta_psnr_vs_gt": psnr(full, gt) - psnr(fast, gt),
+        "s_per_frame_full_incl_compile": round(t_full, 2),
+        "s_per_frame_fast_incl_compile": round(t_fast, 2),
+    }
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(COM, "composite_delta.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -57,6 +57,29 @@ def test_cli_train_torso_against_head(tmp_path):
     assert os.path.isdir(tmp_path / "smoke2_torso" / "ckpt")
 
 
+def test_cli_train_second_stage(tmp_path):
+    """Second-stage CLI: fine-tune from a head checkpoint with the aux
+    landmark loss active (random-init FAN — the weights are env-blocked;
+    the reference's active aux term, distribute_nerf.py:487-491)."""
+    import idealnerf_tpu.pipeline.fan as fan_mod
+
+    from idealnerf_tpu.cli.train_head import main as train_main
+    from idealnerf_tpu.cli.train_second_stage import main as second_main
+
+    train_main(_args(tmp_path, "smoke3", ["--epochs", "1"]))
+    old = fan_mod.NUM_MODULES
+    fan_mod.NUM_MODULES = 1   # keep the random-init FAN cheap on CPU
+    try:
+        second_main(_args(
+            tmp_path, "smoke3",
+            ["--head_ckpt", str(tmp_path / "smoke3" / "ckpt"),
+             "--crop", "24", "--steps", "2", "--aux_landmark", "0.1"]))
+    finally:
+        fan_mod.NUM_MODULES = old
+    assert os.path.isdir(tmp_path / "smoke3_second" / "ckpt")
+    assert os.path.exists(tmp_path / "smoke3_second" / "metrics.jsonl")
+
+
 def test_cli_train_baseline(tmp_path):
     from idealnerf_tpu.cli.train_baseline import main
 

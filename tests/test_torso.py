@@ -163,3 +163,36 @@ def test_composite_fast_renderer_matches_full():
     n_padded = kc - int(mask.sum())
     eq_plate = np.abs(out[outside] - np.asarray(bc)[outside]).max(-1) < 1e-6
     assert (~eq_plate).sum() <= n_padded, ((~eq_plate).sum(), n_padded)
+
+    # per-field priors (round 3): all-true per-field masks must equal
+    # the full fused composite exactly at keep=1.0 (the index maps are
+    # identities there in effect, but exercise the per_field code path)
+    exact_pf = make_composite_fast_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc,
+        prior_mask_head=jnp.ones((H, W), bool),
+        prior_mask_torso=jnp.ones((H, W), bool),
+        keep_head=1.0, keep_torso=1.0, **kw)
+    np.testing.assert_allclose(
+        np.asarray(exact_pf(hp, tp, pose, pose0, bc, **call)),
+        np.asarray(ref), atol=2e-5)
+
+    # distinct overlapping per-field supports: finite everywhere,
+    # plate outside the union (modulo the tile-padding rays)
+    mask_h = np.zeros((H, W), bool)
+    mask_h[4:20, 6:26] = True
+    mask_t = np.zeros((H, W), bool)
+    mask_t[14:30, 4:28] = True
+    fast_pf = make_composite_fast_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc,
+        prior_mask_head=jnp.asarray(mask_h),
+        prior_mask_torso=jnp.asarray(mask_t),
+        keep_head=0.5, keep_torso=0.5, **kw)
+    out_pf = np.asarray(fast_pf(hp, tp, pose, pose0, bc, **call))
+    assert np.isfinite(out_pf).all()
+    union = mask_h | mask_t
+    ku = min(H * W, ((int(union.sum()) + 255) // 256) * 256)
+    n_padded_u = ku - int(union.sum())
+    eq_plate_u = np.abs(
+        out_pf[~union] - np.asarray(bc)[~union]).max(-1) < 1e-6
+    assert (~eq_plate_u).sum() <= n_padded_u, (
+        (~eq_plate_u).sum(), n_padded_u)
