@@ -35,6 +35,10 @@ def main(argv=None):
                              "to the subject's foreground prior (union "
                              "of train-split face rects + torso parse "
                              "masks, eval/renderer.foreground_prior)")
+    parser.add_argument("--ray_devices", type=int, default=0,
+                        help="shard each frame's rays over this many "
+                             "devices (the 'ray' mesh axis; full-"
+                             "fidelity mode only)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -80,6 +84,20 @@ def main(argv=None):
             keep_fraction=args.pruned / 100.0 if args.pruned > 1 else 0.4,
             compute_dtype=compute_dtype,
             prior_mask=prior_mask, k_coarse=k_coarse,
+        )
+    elif args.ray_devices:
+        # multi-chip eval: each frame's rays shard over the 'ray' axis
+        from idealnerf_tpu.parallel import make_mesh, make_sharded_frame_renderer
+
+        mesh = make_mesh(n_ray=args.ray_devices,
+                         devices=jax.devices()[: args.ray_devices])
+        tile = min(8192, H * W)
+        tile -= tile % args.ray_devices or 0
+        logger.info("ray-sharded eval over %d devices", args.ray_devices)
+        render = make_sharded_frame_renderer(
+            head_cfg, mesh, H, W, ds.focal, ds.near, ds.far,
+            cfg.render_config(), cx=ds.cx, cy=ds.cy, tile=tile,
+            compute_dtype=compute_dtype,
         )
     else:
         render = make_frame_renderer(

@@ -110,6 +110,73 @@ def make_sharded_train_step(
     return train_step
 
 
+def make_sharded_frame_renderer(
+    nerf_cfg,
+    mesh: Mesh,
+    H: int, W: int, focal, near, far, render_cfg,
+    cx=None, cy=None, tile: int = 8192,
+    compute_dtype=None,
+):
+    """Ray-sharded full-frame eval render — the eval-side counterpart of
+    :func:`make_sharded_train_step`.
+
+    ``render(params, pose, bc_img, aud, expr, latent) -> (H, W, 3)`` with
+    each ray tile's leading axis split over the mesh's 'ray' axis (params
+    and conditioning replicate; the whole PE→MLP→composite pipeline
+    shards per-ray with zero collectives, rgb gathers at the output).
+    The reference evaluates single-GPU with python-looped 8192-ray chunks
+    (audio_exp_nerf.py:281-295); here an N-chip slice renders ~N× the
+    rays/s behind the same call signature. ``tile`` must divide by the
+    'ray' axis size.
+    """
+    from idealnerf_tpu.core.rays import get_rays
+    from idealnerf_tpu.core.render import render_rays
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    n_ray = mesh.shape["ray"]
+    if tile % n_ray:
+        raise ValueError(f"tile {tile} not divisible by 'ray' axis {n_ray}")
+    tile_sharding = NamedSharding(mesh, P(None, "ray", None))
+    ecfg = render_cfg.eval_mode()
+
+    @jax.jit
+    def render(params, pose, bc_img, aud=None, expr=None, latent=None):
+        coarse_fn = make_field_fn(params["coarse"], nerf_cfg, aud, expr,
+                                  latent, compute_dtype=compute_dtype)
+        fine_fn = make_field_fn(
+            params["fine"], nerf_cfg, aud, expr, latent,
+            compute_dtype=compute_dtype,
+        ) if "fine" in params else None
+
+        rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
+        rays_o = rays_o.reshape(-1, 3)
+        rays_d = rays_d.reshape(-1, 3)
+        bc = bc_img.reshape(-1, 3)
+        n = rays_o.shape[0]
+        n_pad = (-n) % tile
+        if n_pad:
+            rays_o = jnp.concatenate(
+                [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
+            rays_d = jnp.concatenate(
+                [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]],
+                                            rays_d.dtype), (n_pad, 1))], 0)
+            bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
+
+        tiles = tuple(x.reshape(-1, tile, 3) for x in (rays_o, rays_d, bc))
+        tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)
+
+        def render_tile(args):
+            o, d, b = args
+            out = render_rays(coarse_fn, o, d, b, near, far, ecfg,
+                              fine_fn=fine_fn)
+            return out["rgb_map"]
+
+        rgb = jax.lax.map(render_tile, tiles).reshape(-1, 3)[:n]
+        return rgb.reshape(H, W, 3)
+
+    return render
+
+
 def make_sharded_torso_train_step(
     cfg: ExperimentConfig,
     dataset: FrameDataset,

@@ -120,6 +120,12 @@ def test_cli_train_head_sharded_mesh(tmp_path):
                                  ["--head_ckpt", ckpt, "--max_frames", "1",
                                   "--save_path", out]))
     assert np.isfinite(val_metrics["psnr"])
+    # ray-sharded eval through the same CLI matches the plain render
+    val_sharded = val_main(_args(tmp_path, "mesh",
+                                 ["--head_ckpt", ckpt, "--max_frames", "1",
+                                  "--save_path", str(tmp_path / "out_rs"),
+                                  "--ray_devices", "8"]))
+    assert abs(val_sharded["psnr"] - val_metrics["psnr"]) < 1e-3
 
 
 def test_cli_train_torso_sharded_mesh(tmp_path):

@@ -52,6 +52,52 @@ def test_sharded_step_runs_and_remat_is_equivalent():
     assert np.isfinite(loss_plain)
 
 
+def test_sharded_frame_renderer_matches_single_device():
+    """Ray-sharded eval render over the 8-device virtual mesh equals the
+    single-device render_frame path bit-for-bit (same program, sharding
+    constraints only)."""
+    from idealnerf_tpu.eval.renderer import make_frame_renderer
+    from idealnerf_tpu.parallel import make_sharded_frame_renderer
+
+    cfg = ExperimentConfig(**TINY)
+    ds = make_synthetic_dataset(n_frames=2, H=24, W=24, dim_expr=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, ds.size)
+    nerf_cfg = cfg.face_nerf_config()
+    H, W = ds.hw
+    data = ds.to_device()
+    bc = data["bc_img"].astype(jnp.float32) / 255.0
+    aud = jnp.zeros((cfg.dim_aud,), jnp.float32)
+    expr = data["exprs"][0]
+    latent = state.latent_codes[0]
+
+    mesh = make_mesh(n_ray=8, devices=jax.devices())
+    tile = H * W // 2 - (H * W // 2) % 8
+    sharded = make_sharded_frame_renderer(
+        nerf_cfg, mesh, H, W, ds.focal, ds.near, ds.far,
+        cfg.render_config(), cx=ds.cx, cy=ds.cy, tile=tile)
+    plain = make_frame_renderer(
+        nerf_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
+        cx=ds.cx, cy=ds.cy, tile=tile)
+
+    img_s = np.asarray(sharded(state.params, data["poses"][0], bc,
+                               aud, expr, latent))
+    img_p = np.asarray(plain(state.params, data["poses"][0], bc,
+                             aud, expr, latent))
+    assert img_s.shape == (H, W, 3)
+    np.testing.assert_allclose(img_s, img_p, atol=1e-5)
+
+
+def test_sharded_frame_renderer_rejects_bad_tile():
+    from idealnerf_tpu.parallel import make_sharded_frame_renderer
+
+    cfg = ExperimentConfig(**TINY)
+    mesh = make_mesh(n_ray=8, devices=jax.devices())
+    with pytest.raises(ValueError, match="divisible"):
+        make_sharded_frame_renderer(
+            cfg.face_nerf_config(), mesh, 24, 24, 30.0, 0.5, 1.5,
+            cfg.render_config(), tile=100)
+
+
 def test_mesh_layouts():
     assert make_mesh(devices=jax.devices()).devices.shape == (1, 8)
     m = make_mesh(n_ray=4, devices=jax.devices())
