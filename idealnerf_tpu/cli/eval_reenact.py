@@ -34,6 +34,10 @@ def main(argv=None):
                         help="with --fast: restrict all network work to "
                              "the identity subject's foreground prior "
                              "(face rects + torso parse union)")
+    parser.add_argument("--ray_devices", type=int, default=0,
+                        help="shard each frame's rays over this many "
+                             "devices (mesh 'ray' axis); full-fidelity "
+                             "renders only (not with --fast)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -74,6 +78,14 @@ def main(argv=None):
     else:
         auds = np.load(os.path.join(cfg.datadir, cfg.aud_file)).astype(np.float32)
 
+    mesh = None
+    if args.ray_devices:
+        from idealnerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_ray=args.ray_devices,
+                         devices=jax.devices()[: args.ray_devices])
+        logger.info("ray-sharded reenact over %d devices", args.ray_devices)
+
     save_path = cfg.save_path or "output/render"
     out = os.path.join(save_path, f"{cfg.expname}.avi")
     frames = reenact(
@@ -84,6 +96,8 @@ def main(argv=None):
         smooth_audio=cfg.nosmo_iters <= int(state.step),
         fast_keep=args.fast / 100.0 if args.fast else None,
         use_prior=bool(args.prior),
+        mesh=mesh, tile=(8192 - 8192 % args.ray_devices
+                         if args.ray_devices else 8192),
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

@@ -91,6 +91,7 @@ def reenact(
     tile: int = 8192,
     fast_keep: Optional[float] = None,
     use_prior: bool = False,
+    mesh=None,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
 
@@ -103,7 +104,15 @@ def reenact(
     additionally skips torso-occluded head work). ``use_prior``
     additionally restricts ALL network work to the identity subject's
     foreground prior (union of face rects + torso parse masks —
-    eval/renderer.foreground_prior)."""
+    eval/renderer.foreground_prior).
+
+    ``mesh``: a ('data','ray') jax.sharding.Mesh — full-fidelity renders
+    (head-only and composite) shard per-ray over the mesh's 'ray' axis
+    (parallel/sharded.py); incompatible with ``fast_keep``, whose ray
+    selection is host-side."""
+    if mesh is not None and fast_keep is not None:
+        raise ValueError("mesh sharding requires full fidelity "
+                         "(fast_keep=None)")
     if use_pallas is None:
         # "ray": whole-frame per-ray fused pipeline (the per-point kernel
         # inside the frame loop exceeds scoped VMEM at 450²)
@@ -146,6 +155,14 @@ def reenact(
                 keep_fraction=fast_keep, compute_dtype=compute_dtype,
                 prior_mask=prior_mask, k_coarse=k_coarse,
             )
+        elif mesh is not None:
+            from idealnerf_tpu.parallel import make_sharded_frame_renderer
+
+            render = make_sharded_frame_renderer(
+                head_cfg, mesh, H, W, identity.focal, identity.near,
+                identity.far, render_cfg, cx=identity.cx, cy=identity.cy,
+                tile=tile, compute_dtype=compute_dtype,
+            )
         else:
             render = make_frame_renderer(
                 head_cfg, H, W, identity.focal, identity.near, identity.far,
@@ -179,6 +196,17 @@ def reenact(
                 compute_dtype=compute_dtype,
                 prior_mask=prior_mask, k_coarse=k_coarse,
                 keep_head=fast_keep, keep_torso=fast_keep, **pf,
+            )
+        elif mesh is not None:
+            from idealnerf_tpu.parallel import (
+                make_sharded_composite_renderer,
+            )
+
+            render = make_sharded_composite_renderer(
+                head_cfg, torso_nerf_config(cfg), mesh, H, W,
+                identity.focal, identity.near, identity.far, render_cfg,
+                cx=identity.cx, cy=identity.cy, tile=tile,
+                compute_dtype=compute_dtype,
             )
         else:
             render = make_composite_frame_renderer(

@@ -177,6 +177,86 @@ def make_sharded_frame_renderer(
     return render
 
 
+def make_sharded_composite_renderer(
+    head_cfg, torso_cfg,
+    mesh: Mesh,
+    H: int, W: int, focal, near, far, render_cfg,
+    cx=None, cy=None, tile: int = 8192,
+    compute_dtype=None,
+):
+    """Ray-sharded head+torso composite — the multi-chip counterpart of
+    eval.renderer.make_composite_frame_renderer (the north-star workload,
+    reference test_torso.py:513-534).
+
+    ``render(head_params, torso_params, pose, pose0, bc_img, aud, signal,
+    expr, latent) -> (H, W, 3)``. Head rays come from ``pose``, torso rays
+    from the fixed first-frame ``pose0``; both fields and the layered
+    composite run per-ray inside one tile, so the whole pipeline shards
+    over the mesh's 'ray' axis with zero collectives (params/conditioning
+    replicate, rgb gathers at the output)."""
+    from idealnerf_tpu.core.composite import layered_composite
+    from idealnerf_tpu.core.rays import get_rays
+    from idealnerf_tpu.core.render import render_rays
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    n_ray = mesh.shape["ray"]
+    if tile % n_ray:
+        raise ValueError(f"tile {tile} not divisible by 'ray' axis {n_ray}")
+    tile_sharding = NamedSharding(mesh, P(None, "ray", None))
+    ecfg = render_cfg.eval_mode()
+
+    def _flat_rays(pose):
+        ro, rd = get_rays(H, W, focal, pose, cx, cy)
+        return ro.reshape(-1, 3), rd.reshape(-1, 3)
+
+    @jax.jit
+    def render(head_params, torso_params, pose, pose0, bc_img,
+               aud=None, signal=None, expr=None, latent=None):
+        h_coarse = make_field_fn(head_params["coarse"], head_cfg, aud, expr,
+                                 latent, compute_dtype=compute_dtype)
+        h_fine = make_field_fn(
+            head_params["fine"], head_cfg, aud, expr, latent,
+            compute_dtype=compute_dtype,
+        ) if "fine" in head_params else None
+        t_coarse = make_field_fn(torso_params["coarse"], torso_cfg,
+                                 aud=signal, compute_dtype=compute_dtype)
+        t_fine = make_field_fn(
+            torso_params["fine"], torso_cfg, aud=signal,
+            compute_dtype=compute_dtype,
+        ) if "fine" in torso_params else None
+
+        ho, hd = _flat_rays(pose)
+        to, td = _flat_rays(pose0)
+        bc = bc_img.reshape(-1, 3)
+        n = ho.shape[0]
+        n_pad = (-n) % tile
+        if n_pad:
+            pad_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], hd.dtype),
+                             (n_pad, 1))
+            ho = jnp.concatenate([ho, jnp.ones((n_pad, 3), ho.dtype)], 0)
+            hd = jnp.concatenate([hd, pad_d], 0)
+            to = jnp.concatenate([to, jnp.ones((n_pad, 3), to.dtype)], 0)
+            td = jnp.concatenate([td, pad_d], 0)
+            bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
+
+        tiles = tuple(x.reshape(-1, tile, 3) for x in (ho, hd, to, td, bc))
+        tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)
+
+        def render_tile(args):
+            h_o, h_d, t_o, t_d, b = args
+            head = render_rays(h_coarse, h_o, h_d, b, near, far, ecfg,
+                               fine_fn=h_fine)
+            torso = render_rays(t_coarse, t_o, t_d, b, near, far, ecfg,
+                                fine_fn=t_fine)
+            return layered_composite(
+                head["rgb_map"], torso["last_weight"], torso["rgb_fg"])
+
+        rgb = jax.lax.map(render_tile, tiles).reshape(-1, 3)[:n]
+        return rgb.reshape(H, W, 3)
+
+    return render
+
+
 def make_sharded_torso_train_step(
     cfg: ExperimentConfig,
     dataset: FrameDataset,

@@ -6,6 +6,7 @@ import os
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from idealnerf_tpu.config import ExperimentConfig
 from idealnerf_tpu.data import make_synthetic_dataset
@@ -90,6 +91,34 @@ def test_reenactment_cross_subject(tmp_path):
         compute_dtype=None, tile=400,
     )
     assert np.abs(frames - frames2).max() > 1e-4
+
+
+def test_reenact_mesh_matches_single_device():
+    """reenact(mesh=...) routes through the ray-sharded renderers and
+    reproduces the single-device frames (head-only and composite)."""
+    from idealnerf_tpu.parallel import make_mesh
+    from idealnerf_tpu.train.state import init_train_state
+    from idealnerf_tpu.train.torso import init_torso_params
+
+    cfg = ExperimentConfig(**TINY, density_activation="softplus")
+    subject = make_synthetic_dataset(n_frames=3, H=24, W=24, dim_expr=8,
+                                     seed=3)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, subject.size)
+    torso_params = init_torso_params(jax.random.PRNGKey(1), cfg)
+    mesh = make_mesh(n_ray=8, devices=jax.devices())
+
+    for tp in (None, torso_params):
+        kw = dict(driving_auds=subject.auds, driving_exprs=subject.exprs,
+                  latent_codes=state.latent_codes, torso_params=tp,
+                  max_frames=2, smooth_audio=False, use_pallas=False,
+                  compute_dtype=None, tile=288)
+        plain = reenact(cfg, state.params, subject, **kw)
+        sharded = reenact(cfg, state.params, subject, mesh=mesh, **kw)
+        np.testing.assert_allclose(sharded, plain, atol=1e-5)
+
+    with pytest.raises(ValueError, match="full fidelity"):
+        reenact(cfg, state.params, subject, driving_auds=subject.auds,
+                mesh=mesh, fast_keep=0.4)
 
 
 def test_pruned_renderer_keep_all_matches_full():

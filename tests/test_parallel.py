@@ -87,6 +87,47 @@ def test_sharded_frame_renderer_matches_single_device():
     np.testing.assert_allclose(img_s, img_p, atol=1e-5)
 
 
+def test_sharded_composite_renderer_matches_single_device():
+    """Ray-sharded head+torso composite over the 8-device virtual mesh
+    equals the single-device make_composite_frame_renderer path."""
+    from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
+    from idealnerf_tpu.parallel import make_sharded_composite_renderer
+    from idealnerf_tpu.train.torso import (
+        init_torso_params, torso_nerf_config, torso_signal,
+    )
+
+    cfg = ExperimentConfig(**TINY)
+    ds = make_synthetic_dataset(n_frames=2, H=24, W=24, dim_expr=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, ds.size)
+    torso_params = init_torso_params(jax.random.PRNGKey(1), cfg)
+    nerf_cfg = cfg.face_nerf_config()
+    tcfg = torso_nerf_config(cfg)
+    H, W = ds.hw
+    data = ds.to_device()
+    bc = data["bc_img"].astype(jnp.float32) / 255.0
+    aud = jnp.zeros((cfg.dim_aud,), jnp.float32)
+    sig = torso_signal(aud, data["poses"][0], cfg.dim_aud_body)
+    expr = data["exprs"][0]
+    latent = state.latent_codes[0]
+
+    mesh = make_mesh(n_ray=8, devices=jax.devices())
+    tile = H * W // 2 - (H * W // 2) % 8
+    sharded = make_sharded_composite_renderer(
+        nerf_cfg, tcfg, mesh, H, W, ds.focal, ds.near, ds.far,
+        cfg.render_config(), cx=ds.cx, cy=ds.cy, tile=tile)
+    plain = make_composite_frame_renderer(
+        nerf_cfg, tcfg, H, W, ds.focal, ds.near, ds.far,
+        cfg.render_config(), cx=ds.cx, cy=ds.cy, tile=tile)
+
+    args = (state.params, torso_params, data["poses"][0], data["poses"][1],
+            bc)
+    kw = dict(aud=aud, signal=sig, expr=expr, latent=latent)
+    img_s = np.asarray(sharded(*args, **kw))
+    img_p = np.asarray(plain(*args, **kw))
+    assert img_s.shape == (H, W, 3)
+    np.testing.assert_allclose(img_s, img_p, atol=1e-5)
+
+
 def test_sharded_frame_renderer_rejects_bad_tile():
     from idealnerf_tpu.parallel import make_sharded_frame_renderer
 
