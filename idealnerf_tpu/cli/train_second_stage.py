@@ -45,6 +45,11 @@ def main(argv=None):
     parser.add_argument("--fan_npz", type=str, default=None,
                         help="converted FAN weights (tools/convert); "
                              "unset = random init (env has no weights)")
+    parser.add_argument("--ray_devices", type=int, default=0,
+                        help="shard the crop's ray tiles over this many "
+                             "devices (mesh 'ray' axis) — the TPU form "
+                             "of the reference's multi-GPU deployment "
+                             "of this stage (distribute_nerf.py:457)")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
     identity = resolve_dataset(args, cfg, mode="train")
@@ -94,9 +99,20 @@ def main(argv=None):
                             w_vgg=args.aux_vgg,
                             w_vggface=args.aux_vggface)
 
+    mesh = None
+    if args.ray_devices:
+        import jax
+
+        from idealnerf_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_ray=args.ray_devices,
+                         devices=jax.devices()[: args.ray_devices])
+        logger.info("ray-sharded second stage over %d devices",
+                    args.ray_devices)
+
     trainer = SecondStageTrainer(
         cfg, identity, auds, init_params=init_params, crop=args.crop,
-        seed=args.seed, aux_loss=aux,
+        seed=args.seed, aux_loss=aux, mesh=mesh,
     )
     logger.info("train_second_stage: %d frames, crop %d, aux=%s",
                 identity.size, trainer.crop,

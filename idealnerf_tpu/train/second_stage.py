@@ -105,12 +105,19 @@ def make_second_stage_step(
     crop: int,
     smooth_audio: bool = False,
     aux_loss: Optional[Callable] = None,
+    mesh=None,
 ):
     """Jitted step rendering the full (crop × crop) face region.
 
     ``aux_loss(pred_crop, target_crop) -> scalar`` must be jax-traceable
     (it participates in the gradient like the reference's landmark loss).
-    """
+
+    ``mesh``: a jax.sharding.Mesh with a 'ray' axis — the crop's ray
+    tiles shard over it, the TPU-native form of the reference's ACTUAL
+    multi-GPU deployment of this stage (distribute_nerf.py:457-462
+    scatters the crop rays across GPUs and gathers rgb for the losses;
+    here GSPMD inserts the gather where the aux loss consumes the
+    assembled crop)."""
     H, W = dataset.hw
     focal, cx, cy = dataset.focal, dataset.cx, dataset.cy
     near, far = dataset.near, dataset.far
@@ -148,7 +155,10 @@ def make_second_stage_step(
             use_pallas=train_use_pallas(cfg))
         n_rays = crop * crop
         tile = min(n_rays, 8192)
-        if n_rays > tile:
+        if mesh is not None:
+            n_ray_ax = mesh.shape["ray"]
+            tile -= tile % n_ray_ax
+        if n_rays > tile or mesh is not None:
             # tiled + REMATERIALIZED crop render: a single 256² crop
             # program holds (65536, 192, 4)-shaped backward temps whose
             # minor dim pads 32x under the TPU (8,128) layout — 24 GB of
@@ -177,12 +187,16 @@ def make_second_stage_step(
                                  fine_fn=fine_fn)
                 return o_["rgb_map"], o_["rgb0"]
 
-            rgb, rgb0 = jax.lax.map(
-                tile_fn,
-                (padr(rays_o, 1.0).reshape(n_tiles, tile, 3),
-                 padr(rays_d, -1.0).reshape(n_tiles, tile, 3),
-                 padr(bc_rgb, 0.0).reshape(n_tiles, tile, 3), keys),
-            )
+            tiles = (padr(rays_o, 1.0).reshape(n_tiles, tile, 3),
+                     padr(rays_d, -1.0).reshape(n_tiles, tile, 3),
+                     padr(bc_rgb, 0.0).reshape(n_tiles, tile, 3))
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as P
+
+                tiles = jax.lax.with_sharding_constraint(
+                    tiles, NamedSharding(mesh, P(None, "ray", None)))
+            rgb, rgb0 = jax.lax.map(tile_fn, tiles + (keys,))
             out = {"rgb_map": rgb.reshape(-1, 3)[:n_rays],
                    "rgb0": rgb0.reshape(-1, 3)[:n_rays]}
         else:
@@ -229,7 +243,8 @@ class SecondStageTrainer:
                  init_params: Optional[Dict[str, Any]] = None,
                  crop: int = 256, seed: int = 0,
                  smooth_audio: bool = False,
-                 aux_loss: Optional[Callable] = None):
+                 aux_loss: Optional[Callable] = None,
+                 mesh=None):
         self.cfg = cfg
         self.dataset = make_cross_identity_dataset(
             identity, driving_auds, driving_exprs
@@ -248,7 +263,8 @@ class SecondStageTrainer:
             if dropped:
                 logger.info("surgery dropped %d leaves", len(dropped))
         self._step = make_second_stage_step(
-            cfg, self.dataset, self.crop, smooth_audio, aux_loss
+            cfg, self.dataset, self.crop, smooth_audio, aux_loss,
+            mesh=mesh,
         )
 
     def run(self, n_steps: int, log_every: int = 20, on_metrics=None):

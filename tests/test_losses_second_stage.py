@@ -115,6 +115,39 @@ def test_second_stage_finetune_improves():
     assert hist[-1]["aux_loss"] > 0  # aux loss participated
 
 
+def test_second_stage_sharded_matches_single_device():
+    """8-device-sharded second-stage step == 1-device-mesh step
+    bit-for-bit (identical tiled program, sharding constraints only —
+    the TPU form of distribute_nerf.py:457's multi-GPU crop sharding);
+    the unsharded trainer also learns (covered elsewhere)."""
+    import jax
+
+    from idealnerf_tpu.parallel import make_mesh
+
+    cfg = ExperimentConfig(**TINY)
+    identity = make_synthetic_dataset(n_frames=2, H=32, W=32, dim_expr=8,
+                                      seed=0)
+    driving = make_synthetic_dataset(n_frames=2, H=32, W=32, dim_expr=8,
+                                     seed=7)
+    mesh1 = make_mesh(n_ray=1, devices=jax.devices()[:1])
+    mesh8 = make_mesh(n_ray=8, devices=jax.devices())
+
+    def run(m):
+        tr = SecondStageTrainer(cfg, identity, driving.auds, driving.exprs,
+                                crop=24, seed=1, mesh=m)
+        tr.run(n_steps=3, log_every=1, on_metrics=lambda s, x: None)
+        return tr.state
+
+    s1, s8 = run(mesh1), run(mesh8)
+    # cross-device gradient reductions reassociate float sums: ~1e-7
+    # per-step noise, not a semantic difference
+    np.testing.assert_allclose(
+        np.asarray(s1.params["coarse"]["pts"][0]["w"]),
+        np.asarray(s8.params["coarse"]["pts"][0]["w"]),
+        atol=5e-6,
+    )
+
+
 def test_second_stage_with_fan_landmark_loss():
     """The FAN-backed landmark loss is traceable end-to-end inside the
     second-stage train step and contributes gradient — the effect parity
