@@ -38,6 +38,10 @@ def main(argv=None):
                         help="shard each frame's rays over this many "
                              "devices (mesh 'ray' axis); full-fidelity "
                              "renders only (not with --fast)")
+    parser.add_argument("--data_devices", type=int, default=0,
+                        help="batch this many frames per launch over the "
+                             "mesh 'data' axis (head-only video "
+                             "production); composes with --ray_devices")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -79,12 +83,15 @@ def main(argv=None):
         auds = np.load(os.path.join(cfg.datadir, cfg.aud_file)).astype(np.float32)
 
     mesh = None
-    if args.ray_devices:
+    if args.ray_devices or args.data_devices:
         from idealnerf_tpu.parallel import make_mesh
 
-        mesh = make_mesh(n_ray=args.ray_devices,
-                         devices=jax.devices()[: args.ray_devices])
-        logger.info("ray-sharded reenact over %d devices", args.ray_devices)
+        n_data = args.data_devices or 1
+        n_ray = args.ray_devices or 1
+        mesh = make_mesh(n_data=n_data, n_ray=n_ray,
+                         devices=jax.devices()[: n_data * n_ray])
+        logger.info("sharded reenact: %d-frame batches x %d-way rays",
+                    n_data, n_ray)
 
     save_path = cfg.save_path or "output/render"
     out = os.path.join(save_path, f"{cfg.expname}.avi")
@@ -97,7 +104,7 @@ def main(argv=None):
         fast_keep=args.fast / 100.0 if args.fast else None,
         use_prior=bool(args.prior),
         mesh=mesh, tile=(8192 - 8192 % args.ray_devices
-                         if args.ray_devices else 8192),
+                         if args.ray_devices > 1 else 8192),
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

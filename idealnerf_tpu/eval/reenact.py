@@ -108,8 +108,9 @@ def reenact(
 
     ``mesh``: a ('data','ray') jax.sharding.Mesh — full-fidelity renders
     (head-only and composite) shard per-ray over the mesh's 'ray' axis
-    (parallel/sharded.py); incompatible with ``fast_keep``, whose ray
-    selection is host-side."""
+    (parallel/sharded.py); a 'data' axis > 1 additionally batches that
+    many frames per launch (head-only video production). Incompatible
+    with ``fast_keep``, whose ray selection is host-side."""
     if mesh is not None and fast_keep is not None:
         raise ValueError("mesh sharding requires full fidelity "
                          "(fast_keep=None)")
@@ -145,6 +146,7 @@ def reenact(
         logger.info("subject prior: %.1f%% coverage, k_coarse %d",
                     100.0 * float(mask_np.mean()), k_coarse)
 
+    render_video = None
     if torso_params is None:
         if fast_keep is not None:
             from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
@@ -154,6 +156,16 @@ def reenact(
                 identity.far, render_cfg, cx=identity.cx, cy=identity.cy,
                 keep_fraction=fast_keep, compute_dtype=compute_dtype,
                 prior_mask=prior_mask, k_coarse=k_coarse,
+            )
+        elif mesh is not None and mesh.shape.get("data", 1) > 1:
+            # frame-batched: mesh 'data' axis renders several frames per
+            # launch, 'ray' shards each frame's pixels
+            from idealnerf_tpu.parallel import make_sharded_video_renderer
+
+            render_video = make_sharded_video_renderer(
+                head_cfg, mesh, H, W, identity.focal, identity.near,
+                identity.far, render_cfg, cx=identity.cx, cy=identity.cy,
+                tile=tile, compute_dtype=compute_dtype,
             )
         elif mesh is not None:
             from idealnerf_tpu.parallel import make_sharded_frame_renderer
@@ -218,6 +230,44 @@ def reenact(
     pose0 = jnp.asarray(identity.poses[0])
 
     writer = VideoWriter(out_path) if out_path else None
+    if render_video is not None:
+        # frame-batched path: B frames per launch (B = 'data' axis size),
+        # last batch padded by repetition and trimmed
+        B = mesh.shape["data"]
+        lat = (jnp.tile(latent[None], (B, 1))
+               if latent is not None else None)
+
+        def cond_at(i):
+            expr = None
+            if driving_exprs is not None and cfg.dim_expr > 0:
+                expr = jnp.asarray(
+                    driving_exprs[min(i, driving_exprs.shape[0] - 1)])
+            return variant_conditioning(head_params, cfg, aud_feats[i], expr)
+
+        frames = []
+        for start in range(0, n_frames, B):
+            idxs = [min(start + j, n_frames - 1) for j in range(B)]
+            poses_b = jnp.stack(
+                [jnp.asarray(identity.poses[i % identity.size])
+                 for i in idxs])
+            conds = [cond_at(i) for i in idxs]
+            auds_b = (jnp.stack([c[0] for c in conds])
+                      if conds[0][0] is not None else None)
+            exprs_b = (jnp.stack([c[1] for c in conds])
+                       if conds[0][1] is not None else None)
+            batch = render_video(head_params, poses_b, bc,
+                                 auds_b, exprs_b, lat)
+            batch = np.asarray(jnp.clip(batch, 0.0, 1.0))
+            for j in range(min(B, n_frames - start)):
+                frames.append(batch[j])
+                if writer is not None:
+                    writer.add(batch[j])
+            logger.info("reenact frames %d-%d/%d", start,
+                        min(start + B, n_frames) - 1, n_frames)
+        if writer is not None:
+            writer.close()
+        return np.stack(frames)
+
     frames = []
     for i in range(n_frames):
         pose = jnp.asarray(identity.poses[i % identity.size])

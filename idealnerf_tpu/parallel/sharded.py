@@ -177,6 +177,89 @@ def make_sharded_frame_renderer(
     return render
 
 
+def make_sharded_video_renderer(
+    nerf_cfg,
+    mesh: Mesh,
+    H: int, W: int, focal, near, far, render_cfg,
+    cx=None, cy=None, tile: int = 8192,
+    compute_dtype=None,
+):
+    """Frame-batched multi-chip video rendering: ``render(params, poses
+    (B,3,4), bc_img, auds (B,da), exprs (B,de), latents (B,dl)) ->
+    (B,H,W,3)`` with frames sharded over the mesh's 'data' axis and each
+    frame's rays over 'ray' — the eval counterpart of the data-parallel
+    train step, for offline video production on a slice (the reference
+    renders videos strictly frame-at-a-time on one GPU,
+    eval_aud_exp_nerf.py:437-483). B must divide by the 'data' axis.
+    Per-frame conditioning rides with its frame shard; parameters
+    replicate; no collectives until the output gather."""
+    from idealnerf_tpu.core.rays import get_rays
+    from idealnerf_tpu.core.render import render_rays
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    n_ray = mesh.shape["ray"]
+    if tile % n_ray:
+        raise ValueError(f"tile {tile} not divisible by 'ray' axis {n_ray}")
+    ecfg = render_cfg.eval_mode()
+    ray_sharding = NamedSharding(mesh, P("data", None, "ray", None))
+    cond_sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def render(params, poses, bc_img, auds=None, exprs=None, latents=None):
+        B = poses.shape[0]
+        if B % mesh.shape["data"]:
+            raise ValueError(
+                f"frame batch {B} not divisible by 'data' axis "
+                f"{mesh.shape['data']}")
+        bc = bc_img.reshape(-1, 3)
+        n = H * W
+        n_pad = (-n) % tile
+
+        def frame_rays(pose):
+            ro, rd = get_rays(H, W, focal, pose, cx, cy)
+            ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+            if n_pad:
+                ro = jnp.concatenate(
+                    [ro, jnp.ones((n_pad, 3), ro.dtype)], 0)
+                rd = jnp.concatenate(
+                    [rd, jnp.tile(jnp.array([[0.0, 0.0, -1.0]], rd.dtype),
+                                  (n_pad, 1))], 0)
+            return (ro.reshape(-1, tile, 3), rd.reshape(-1, tile, 3))
+
+        ro_t, rd_t = jax.vmap(frame_rays)(poses)  # (B, n_tiles, tile, 3)
+        ro_t = jax.lax.with_sharding_constraint(ro_t, ray_sharding)
+        rd_t = jax.lax.with_sharding_constraint(rd_t, ray_sharding)
+        bc_t = jnp.concatenate(
+            [bc, jnp.zeros((n_pad, 3), bc.dtype)], 0
+        ).reshape(-1, tile, 3) if n_pad else bc.reshape(-1, tile, 3)
+        cond = tuple(
+            None if c is None
+            else jax.lax.with_sharding_constraint(c, cond_sharding)
+            for c in (auds, exprs, latents))
+
+        def render_frame(ro_f, rd_f, aud, expr, latent):
+            coarse_fn = make_field_fn(params["coarse"], nerf_cfg, aud, expr,
+                                      latent, compute_dtype=compute_dtype)
+            fine_fn = make_field_fn(
+                params["fine"], nerf_cfg, aud, expr, latent,
+                compute_dtype=compute_dtype,
+            ) if "fine" in params else None
+
+            def render_tile(args):
+                o, d, b = args
+                out = render_rays(coarse_fn, o, d, b, near, far, ecfg,
+                                  fine_fn=fine_fn)
+                return out["rgb_map"]
+
+            rgb = jax.lax.map(render_tile, (ro_f, rd_f, bc_t))
+            return rgb.reshape(-1, 3)[:n].reshape(H, W, 3)
+
+        in_axes = (0, 0) + tuple(None if c is None else 0 for c in cond)
+        return jax.vmap(render_frame, in_axes=in_axes)(ro_t, rd_t, *cond)
+
+    return render
+
+
 def make_sharded_composite_renderer(
     head_cfg, torso_cfg,
     mesh: Mesh,

@@ -87,6 +87,48 @@ def test_sharded_frame_renderer_matches_single_device():
     np.testing.assert_allclose(img_s, img_p, atol=1e-5)
 
 
+def test_sharded_video_renderer_matches_per_frame():
+    """Frame-batched ('data' axis) + ray-sharded video render equals B
+    independent single-device frame renders."""
+    from idealnerf_tpu.eval.renderer import make_frame_renderer
+    from idealnerf_tpu.parallel import make_sharded_video_renderer
+
+    cfg = ExperimentConfig(**TINY)
+    ds = make_synthetic_dataset(n_frames=4, H=24, W=24, dim_expr=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, ds.size)
+    nerf_cfg = cfg.face_nerf_config()
+    H, W = ds.hw
+    data = ds.to_device()
+    bc = data["bc_img"].astype(jnp.float32) / 255.0
+    auds = jnp.tile(jnp.arange(4, dtype=jnp.float32)[:, None],
+                    (1, cfg.dim_aud)) * 0.01
+    exprs = data["exprs"][:4]
+    latents = state.latent_codes[:4]
+
+    mesh = make_mesh(n_data=2, n_ray=4, devices=jax.devices())
+    tile = H * W // 2 - (H * W // 2) % 4
+    video = make_sharded_video_renderer(
+        nerf_cfg, mesh, H, W, ds.focal, ds.near, ds.far,
+        cfg.render_config(), cx=ds.cx, cy=ds.cy, tile=tile)
+    plain = make_frame_renderer(
+        nerf_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
+        cx=ds.cx, cy=ds.cy, tile=tile)
+
+    batch = np.asarray(video(state.params, data["poses"][:4], bc,
+                             auds, exprs, latents))
+    assert batch.shape == (4, H, W, 3)
+    for i in range(4):
+        ref = np.asarray(plain(state.params, data["poses"][i], bc,
+                               auds[i], exprs[i], latents[i]))
+        # vmap batches the per-frame program -> different fusion /
+        # reassociation; tolerance covers float noise, not semantics
+        np.testing.assert_allclose(batch[i], ref, atol=1e-4)
+
+    with pytest.raises(ValueError, match="divisible"):
+        video(state.params, data["poses"][:3], bc,
+              auds[:3], exprs[:3], latents[:3])
+
+
 def test_sharded_composite_renderer_matches_single_device():
     """Ray-sharded head+torso composite over the 8-device virtual mesh
     equals the single-device make_composite_frame_renderer path."""
