@@ -40,8 +40,9 @@ def main(argv=None):
                              "renders only (not with --fast)")
     parser.add_argument("--data_devices", type=int, default=0,
                         help="batch this many frames per launch over the "
-                             "mesh 'data' axis (head-only video "
-                             "production); composes with --ray_devices")
+                             "mesh 'data' axis (video production, "
+                             "head-only and composite); composes with "
+                             "--ray_devices")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 

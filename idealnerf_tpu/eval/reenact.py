@@ -209,6 +209,17 @@ def reenact(
                 prior_mask=prior_mask, k_coarse=k_coarse,
                 keep_head=fast_keep, keep_torso=fast_keep, **pf,
             )
+        elif mesh is not None and mesh.shape.get("data", 1) > 1:
+            from idealnerf_tpu.parallel import (
+                make_sharded_composite_video_renderer,
+            )
+
+            render_video = make_sharded_composite_video_renderer(
+                head_cfg, torso_nerf_config(cfg), mesh, H, W,
+                identity.focal, identity.near, identity.far, render_cfg,
+                cx=identity.cx, cy=identity.cy, tile=tile,
+                compute_dtype=compute_dtype,
+            )
         elif mesh is not None:
             from idealnerf_tpu.parallel import (
                 make_sharded_composite_renderer,
@@ -255,8 +266,16 @@ def reenact(
                       if conds[0][0] is not None else None)
             exprs_b = (jnp.stack([c[1] for c in conds])
                        if conds[0][1] is not None else None)
-            batch = render_video(head_params, poses_b, bc,
-                                 auds_b, exprs_b, lat)
+            if torso_params is not None:
+                sigs_b = jnp.stack([
+                    torso_signal(aud_feats[i], poses_b[j], cfg.dim_aud_body)
+                    for j, i in enumerate(idxs)])
+                batch = render_video(head_params, torso_params, poses_b,
+                                     pose0, bc, auds_b, sigs_b, exprs_b,
+                                     lat)
+            else:
+                batch = render_video(head_params, poses_b, bc,
+                                     auds_b, exprs_b, lat)
             batch = np.asarray(jnp.clip(batch, 0.0, 1.0))
             for j in range(min(B, n_frames - start)):
                 frames.append(batch[j])

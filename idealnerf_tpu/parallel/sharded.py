@@ -260,6 +260,108 @@ def make_sharded_video_renderer(
     return render
 
 
+def make_sharded_composite_video_renderer(
+    head_cfg, torso_cfg,
+    mesh: Mesh,
+    H: int, W: int, focal, near, far, render_cfg,
+    cx=None, cy=None, tile: int = 8192,
+    compute_dtype=None,
+):
+    """Frame-batched head+torso composite video rendering:
+    ``render(head_params, torso_params, poses (B,3,4), pose0, bc_img,
+    auds (B,da), signals (B,ds), exprs (B,de), latents (B,dl)) ->
+    (B,H,W,3)`` — frames over the mesh's 'data' axis, rays over 'ray';
+    the full talking-head video production workload on a slice
+    (reference: one frame at a time on one GPU, test_torso.py:513-534).
+
+    Torso rays come from the fixed ``pose0`` so they are identical for
+    every frame: built once and closed over (replicated), only the
+    torso's conditioning ``signals`` ride the 'data' axis."""
+    from idealnerf_tpu.core.composite import layered_composite
+    from idealnerf_tpu.core.rays import get_rays
+    from idealnerf_tpu.core.render import render_rays
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    n_ray = mesh.shape["ray"]
+    if tile % n_ray:
+        raise ValueError(f"tile {tile} not divisible by 'ray' axis {n_ray}")
+    ecfg = render_cfg.eval_mode()
+    ray_sharding = NamedSharding(mesh, P("data", None, "ray", None))
+    tile_sharding = NamedSharding(mesh, P(None, "ray", None))
+    cond_sharding = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def render(head_params, torso_params, poses, pose0, bc_img,
+               auds=None, signals=None, exprs=None, latents=None):
+        B = poses.shape[0]
+        if B % mesh.shape["data"]:
+            raise ValueError(
+                f"frame batch {B} not divisible by 'data' axis "
+                f"{mesh.shape['data']}")
+        bc = bc_img.reshape(-1, 3)
+        n = H * W
+        n_pad = (-n) % tile
+        pad_d = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
+
+        def flat_tiles(pose):
+            ro, rd = get_rays(H, W, focal, pose, cx, cy)
+            ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
+            if n_pad:
+                ro = jnp.concatenate(
+                    [ro, jnp.ones((n_pad, 3), ro.dtype)], 0)
+                rd = jnp.concatenate(
+                    [rd, jnp.tile(pad_d.astype(rd.dtype), (n_pad, 1))], 0)
+            return (ro.reshape(-1, tile, 3), rd.reshape(-1, tile, 3))
+
+        ho_t, hd_t = jax.vmap(flat_tiles)(poses)     # (B, T, tile, 3)
+        ho_t = jax.lax.with_sharding_constraint(ho_t, ray_sharding)
+        hd_t = jax.lax.with_sharding_constraint(hd_t, ray_sharding)
+        to_t, td_t = flat_tiles(pose0)               # (T, tile, 3) fixed
+        to_t = jax.lax.with_sharding_constraint(to_t, tile_sharding)
+        td_t = jax.lax.with_sharding_constraint(td_t, tile_sharding)
+        bc_t = jnp.concatenate(
+            [bc, jnp.zeros((n_pad, 3), bc.dtype)], 0
+        ).reshape(-1, tile, 3) if n_pad else bc.reshape(-1, tile, 3)
+        cond = tuple(
+            None if c is None
+            else jax.lax.with_sharding_constraint(c, cond_sharding)
+            for c in (auds, signals, exprs, latents))
+
+        def render_frame(ho_f, hd_f, aud, signal, expr, latent):
+            h_coarse = make_field_fn(head_params["coarse"], head_cfg, aud,
+                                     expr, latent,
+                                     compute_dtype=compute_dtype)
+            h_fine = make_field_fn(
+                head_params["fine"], head_cfg, aud, expr, latent,
+                compute_dtype=compute_dtype,
+            ) if "fine" in head_params else None
+            t_coarse = make_field_fn(torso_params["coarse"], torso_cfg,
+                                     aud=signal,
+                                     compute_dtype=compute_dtype)
+            t_fine = make_field_fn(
+                torso_params["fine"], torso_cfg, aud=signal,
+                compute_dtype=compute_dtype,
+            ) if "fine" in torso_params else None
+
+            def render_tile(args):
+                h_o, h_d, t_o, t_d, b = args
+                head = render_rays(h_coarse, h_o, h_d, b, near, far, ecfg,
+                                   fine_fn=h_fine)
+                torso = render_rays(t_coarse, t_o, t_d, b, near, far,
+                                    ecfg, fine_fn=t_fine)
+                return layered_composite(
+                    head["rgb_map"], torso["last_weight"],
+                    torso["rgb_fg"])
+
+            rgb = jax.lax.map(render_tile, (ho_f, hd_f, to_t, td_t, bc_t))
+            return rgb.reshape(-1, 3)[:n].reshape(H, W, 3)
+
+        in_axes = (0, 0) + tuple(None if c is None else 0 for c in cond)
+        return jax.vmap(render_frame, in_axes=in_axes)(ho_t, hd_t, *cond)
+
+    return render
+
+
 def make_sharded_composite_renderer(
     head_cfg, torso_cfg,
     mesh: Mesh,

@@ -117,15 +117,16 @@ def test_reenact_mesh_matches_single_device():
         np.testing.assert_allclose(sharded, plain, atol=1e-5)
 
     # frame-batched path: 'data' axis 4 x 'ray' axis 2, 3 frames (pads
-    # the last batch), head-only
+    # the last batch), head-only and composite
     mesh_dr = make_mesh(n_data=4, n_ray=2, devices=jax.devices())
-    kw = dict(driving_auds=subject.auds, driving_exprs=subject.exprs,
-              latent_codes=state.latent_codes, max_frames=3,
-              smooth_audio=False, use_pallas=False, compute_dtype=None,
-              tile=288)
-    plain = reenact(cfg, state.params, subject, **kw)
-    batched = reenact(cfg, state.params, subject, mesh=mesh_dr, **kw)
-    np.testing.assert_allclose(batched, plain, atol=1e-4)
+    for tp in (None, torso_params):
+        kw = dict(driving_auds=subject.auds, driving_exprs=subject.exprs,
+                  latent_codes=state.latent_codes, torso_params=tp,
+                  max_frames=3, smooth_audio=False, use_pallas=False,
+                  compute_dtype=None, tile=288)
+        plain = reenact(cfg, state.params, subject, **kw)
+        batched = reenact(cfg, state.params, subject, mesh=mesh_dr, **kw)
+        np.testing.assert_allclose(batched, plain, atol=1e-4)
 
     with pytest.raises(ValueError, match="full fidelity"):
         reenact(cfg, state.params, subject, driving_auds=subject.auds,
