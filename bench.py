@@ -253,10 +253,13 @@ def main():
             keep_head=keep_masked, keep_torso=keep_masked,
         )
         fps_comp_fast = timed_comp(render_comp_fast)
+        comp_fast_ran = True
     else:
         # the fused kernels only run in (slow) interpret mode off-TPU;
-        # the fast mode is meaningless there
+        # the fast mode is meaningless there — report the full-fidelity
+        # number but mark that the fast path never executed
         fps_comp_fast = fps_comp
+        comp_fast_ran = False
 
     fps = max(fps_full, fps_pruned, fps_masked)
     rays_per_sec = fps * H * W
@@ -275,6 +278,7 @@ def main():
                     "fps_prior_masked": round(fps_masked, 3),
                     "fps_head_torso_composite_full": round(fps_comp, 3),
                     "fps_head_torso_composite_best": round(fps_comp_fast, 3),
+                    "composite_fast_ran": comp_fast_ran,
                     "prior_mask_source": mask_src,
                     "prior_mask_coverage": round(mask_coverage, 4),
                     "prior_coverage_head": round(cov_h, 4),

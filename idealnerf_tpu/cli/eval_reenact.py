@@ -84,6 +84,8 @@ def main(argv=None):
         auds = np.load(os.path.join(cfg.datadir, cfg.aud_file)).astype(np.float32)
 
     mesh = None
+    H, W = identity.hw
+    tile = min(8192, H * W)
     if args.ray_devices or args.data_devices:
         from idealnerf_tpu.parallel import make_mesh
 
@@ -91,6 +93,7 @@ def main(argv=None):
         n_ray = args.ray_devices or 1
         mesh = make_mesh(n_data=n_data, n_ray=n_ray,
                          devices=jax.devices()[: n_data * n_ray])
+        tile -= tile % n_ray
         logger.info("sharded reenact: %d-frame batches x %d-way rays",
                     n_data, n_ray)
 
@@ -104,8 +107,7 @@ def main(argv=None):
         smooth_audio=cfg.nosmo_iters <= int(state.step),
         fast_keep=args.fast / 100.0 if args.fast else None,
         use_prior=bool(args.prior),
-        mesh=mesh, tile=(8192 - 8192 % args.ray_devices
-                         if args.ray_devices > 1 else 8192),
+        mesh=mesh, tile=tile,
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

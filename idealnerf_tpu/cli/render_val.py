@@ -62,6 +62,13 @@ def main(argv=None):
     head_cfg = variant_nerf_config(cfg)
     on_tpu = jax.default_backend() == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else None
+    if args.prior_masked and not args.pruned:
+        parser.error("--prior_masked requires --pruned (the prior mask "
+                     "only applies to the pruned fast path)")
+    if args.ray_devices and args.pruned:
+        parser.error("--ray_devices applies to full-fidelity renders "
+                     "only (not with --pruned: its ray selection is "
+                     "host-side)")
     if args.pruned:
         # foreground-pruned fast path (fine pass on the top rays by
         # coarse opacity) — used by the quality-delta measurements

@@ -114,6 +114,9 @@ def reenact(
     if mesh is not None and fast_keep is not None:
         raise ValueError("mesh sharding requires full fidelity "
                          "(fast_keep=None)")
+    if use_prior and fast_keep is None:
+        raise ValueError("use_prior requires fast_keep (the prior mask "
+                         "only applies to the pruned fast renderers)")
     if use_pallas is None:
         # "ray": whole-frame per-ray fused pipeline (the per-point kernel
         # inside the frame loop exceeds scoped VMEM at 450²)

@@ -246,6 +246,14 @@ def make_composite_fast_renderer(
 
     import numpy as _np
 
+    if cfg.n_importance < 2:
+        # the in-kernel pdf-merge needs >=2 importance samples
+        # (fused_render.py guards render_rays_fused the same way), and
+        # the pruning structure assumes a fine pass exists at all
+        raise ValueError(
+            "make_composite_fast_renderer requires n_importance >= 2; "
+            "use make_composite_frame_renderer for coarse-only configs")
+
     cfg = cfg.eval_mode()
     cd = compute_dtype or jnp.float32
     n = H * W
@@ -370,6 +378,11 @@ def make_composite_fast_renderer(
 
     def render(head_params, torso_params, pose, pose0, bc_img,
                aud=None, signal=None, expr=None, latent=None):
+        if "fine" not in head_params or "fine" not in torso_params:
+            raise ValueError(
+                "composite fast mode needs 'fine' params in both fields "
+                "(coarse-only checkpoints: use the full-fidelity "
+                "composite renderer)")
         cond_h = (aud, expr, latent)
         cond_t = (signal, None, None)
         sh = stage_coarse(head_params, pose, bc_img, cond_h, sel_h)

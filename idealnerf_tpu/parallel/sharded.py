@@ -33,6 +33,25 @@ from idealnerf_tpu.train.schedule import exponential_lr
 from idealnerf_tpu.train.state import TrainState, make_optimizer
 
 
+def _pad_rays(ro, rd, n_pad):
+    """Pad flat (N,3) origins/directions with unit-origin, -z-direction
+    dummy rays so N becomes a whole tile count (results are sliced back
+    before assembly — every sharded renderer shares this convention)."""
+    if not n_pad:
+        return ro, rd
+    ro = jnp.concatenate([ro, jnp.ones((n_pad, 3), ro.dtype)], 0)
+    rd = jnp.concatenate(
+        [rd, jnp.tile(jnp.array([[0.0, 0.0, -1.0]], rd.dtype),
+                      (n_pad, 1))], 0)
+    return ro, rd
+
+
+def _pad_zeros(x, n_pad):
+    if not n_pad:
+        return x
+    return jnp.concatenate([x, jnp.zeros((n_pad,) + x.shape[1:], x.dtype)], 0)
+
+
 def make_sharded_train_step(
     cfg: ExperimentConfig,
     dataset: FrameDataset,
@@ -154,13 +173,8 @@ def make_sharded_frame_renderer(
         bc = bc_img.reshape(-1, 3)
         n = rays_o.shape[0]
         n_pad = (-n) % tile
-        if n_pad:
-            rays_o = jnp.concatenate(
-                [rays_o, jnp.ones((n_pad, 3), rays_o.dtype)], 0)
-            rays_d = jnp.concatenate(
-                [rays_d, jnp.tile(jnp.array([[0.0, 0.0, -1.0]],
-                                            rays_d.dtype), (n_pad, 1))], 0)
-            bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
+        rays_o, rays_d = _pad_rays(rays_o, rays_d, n_pad)
+        bc = _pad_zeros(bc, n_pad)
 
         tiles = tuple(x.reshape(-1, tile, 3) for x in (rays_o, rays_d, bc))
         tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)
@@ -217,21 +231,13 @@ def make_sharded_video_renderer(
 
         def frame_rays(pose):
             ro, rd = get_rays(H, W, focal, pose, cx, cy)
-            ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
-            if n_pad:
-                ro = jnp.concatenate(
-                    [ro, jnp.ones((n_pad, 3), ro.dtype)], 0)
-                rd = jnp.concatenate(
-                    [rd, jnp.tile(jnp.array([[0.0, 0.0, -1.0]], rd.dtype),
-                                  (n_pad, 1))], 0)
+            ro, rd = _pad_rays(ro.reshape(-1, 3), rd.reshape(-1, 3), n_pad)
             return (ro.reshape(-1, tile, 3), rd.reshape(-1, tile, 3))
 
         ro_t, rd_t = jax.vmap(frame_rays)(poses)  # (B, n_tiles, tile, 3)
         ro_t = jax.lax.with_sharding_constraint(ro_t, ray_sharding)
         rd_t = jax.lax.with_sharding_constraint(rd_t, ray_sharding)
-        bc_t = jnp.concatenate(
-            [bc, jnp.zeros((n_pad, 3), bc.dtype)], 0
-        ).reshape(-1, tile, 3) if n_pad else bc.reshape(-1, tile, 3)
+        bc_t = _pad_zeros(bc, n_pad).reshape(-1, tile, 3)
         cond = tuple(
             None if c is None
             else jax.lax.with_sharding_constraint(c, cond_sharding)
@@ -301,16 +307,10 @@ def make_sharded_composite_video_renderer(
         bc = bc_img.reshape(-1, 3)
         n = H * W
         n_pad = (-n) % tile
-        pad_d = jnp.array([[0.0, 0.0, -1.0]], jnp.float32)
 
         def flat_tiles(pose):
             ro, rd = get_rays(H, W, focal, pose, cx, cy)
-            ro, rd = ro.reshape(-1, 3), rd.reshape(-1, 3)
-            if n_pad:
-                ro = jnp.concatenate(
-                    [ro, jnp.ones((n_pad, 3), ro.dtype)], 0)
-                rd = jnp.concatenate(
-                    [rd, jnp.tile(pad_d.astype(rd.dtype), (n_pad, 1))], 0)
+            ro, rd = _pad_rays(ro.reshape(-1, 3), rd.reshape(-1, 3), n_pad)
             return (ro.reshape(-1, tile, 3), rd.reshape(-1, tile, 3))
 
         ho_t, hd_t = jax.vmap(flat_tiles)(poses)     # (B, T, tile, 3)
@@ -319,9 +319,7 @@ def make_sharded_composite_video_renderer(
         to_t, td_t = flat_tiles(pose0)               # (T, tile, 3) fixed
         to_t = jax.lax.with_sharding_constraint(to_t, tile_sharding)
         td_t = jax.lax.with_sharding_constraint(td_t, tile_sharding)
-        bc_t = jnp.concatenate(
-            [bc, jnp.zeros((n_pad, 3), bc.dtype)], 0
-        ).reshape(-1, tile, 3) if n_pad else bc.reshape(-1, tile, 3)
+        bc_t = _pad_zeros(bc, n_pad).reshape(-1, tile, 3)
         cond = tuple(
             None if c is None
             else jax.lax.with_sharding_constraint(c, cond_sharding)
@@ -415,14 +413,9 @@ def make_sharded_composite_renderer(
         bc = bc_img.reshape(-1, 3)
         n = ho.shape[0]
         n_pad = (-n) % tile
-        if n_pad:
-            pad_d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]], hd.dtype),
-                             (n_pad, 1))
-            ho = jnp.concatenate([ho, jnp.ones((n_pad, 3), ho.dtype)], 0)
-            hd = jnp.concatenate([hd, pad_d], 0)
-            to = jnp.concatenate([to, jnp.ones((n_pad, 3), to.dtype)], 0)
-            td = jnp.concatenate([td, pad_d], 0)
-            bc = jnp.concatenate([bc, jnp.zeros((n_pad, 3), bc.dtype)], 0)
+        ho, hd = _pad_rays(ho, hd, n_pad)
+        to, td = _pad_rays(to, td, n_pad)
+        bc = _pad_zeros(bc, n_pad)
 
         tiles = tuple(x.reshape(-1, tile, 3) for x in (ho, hd, to, td, bc))
         tiles = jax.lax.with_sharding_constraint(tiles, tile_sharding)

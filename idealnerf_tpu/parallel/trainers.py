@@ -103,6 +103,8 @@ class ShardedHeadTrainer:
         # serializes the loop; keep the loop free of device reads so
         # dispatches pipeline.
         step = int(self.state.step)
+        s0 = step  # exclude checkpoint-restored steps from rates
+        t_log, s_log = t0, step
         with self.mesh:
             for epoch in range(n_epochs):
                 for start in range(0, size, self.batch):
@@ -120,9 +122,15 @@ class ShardedHeadTrainer:
                     step += 1
                     if step % log_every == 0:
                         metrics = {k2: float(v) for k2, v in m.items()}
-                        metrics["steps_per_sec"] = step / max(
-                            time.time() - t0, 1e-9
+                        now = time.time()
+                        metrics["steps_per_sec"] = (step - s0) / max(
+                            now - t0, 1e-9
                         )
+                        # sustained rate since the previous log point
+                        metrics["steps_per_sec_rolling"] = (
+                            (step - s_log) / max(now - t_log, 1e-9)
+                        )
+                        t_log, s_log = now, step
                         metrics["frames_per_step"] = float(self.batch)
                         if on_metrics is not None:
                             on_metrics(step, metrics)

@@ -254,6 +254,7 @@ class HeadTrainer:
         # must never touch device data between log points so dispatches
         # pipeline ahead of execution.
         step = int(self.state.step)
+        s0 = step  # exclude checkpoint-restored steps from rates
         t_log, s_log = t0, step
         for epoch in range(n_epochs):
             if frame_order == "random":
@@ -275,7 +276,7 @@ class HeadTrainer:
                     metrics = {k2: float(v) for k2, v in m.items()}
                     now = time.time()
                     metrics["steps_per_sec"] = (
-                        step / max(now - t0, 1e-9)
+                        (step - s0) / max(now - t0, 1e-9)
                     )
                     # sustained rate since the previous log point
                     # (excludes compile/restore stalls before t_log)
