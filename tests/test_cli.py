@@ -22,6 +22,18 @@ def _args(tmp_path, expname, extra=()):
                      *extra]
 
 
+def test_cli_render_val_rejects_inert_flag_combos(tmp_path):
+    """--prior_masked without --pruned and --ray_devices with --pruned
+    would silently not do what they claim — they must error loudly."""
+    from idealnerf_tpu.cli.render_val import main as val_main
+
+    with pytest.raises(SystemExit):
+        val_main(_args(tmp_path, "flags", ["--prior_masked", "1"]))
+    with pytest.raises(SystemExit):
+        val_main(_args(tmp_path, "flags",
+                       ["--pruned", "40", "--ray_devices", "8"]))
+
+
 def test_cli_train_head_then_eval_chain(tmp_path):
     from idealnerf_tpu.cli.eval_reenact import main as eval_main
     from idealnerf_tpu.cli.render_val import main as val_main

@@ -131,6 +131,9 @@ def test_reenact_mesh_matches_single_device():
     with pytest.raises(ValueError, match="full fidelity"):
         reenact(cfg, state.params, subject, driving_auds=subject.auds,
                 mesh=mesh, fast_keep=0.4)
+    with pytest.raises(ValueError, match="use_prior"):
+        reenact(cfg, state.params, subject, driving_auds=subject.auds,
+                use_prior=True)
 
 
 def test_pruned_renderer_keep_all_matches_full():
