@@ -83,6 +83,7 @@ def render_rays(
     out = {
         "rgb_map": coarse.rgb,
         "disp_map": coarse.disp,
+        "depth_map": coarse.depth,
         "acc_map": coarse.acc,
         "rgb_fg": coarse.rgb_fg,
         "last_weight": coarse.last_weight,
@@ -114,6 +115,7 @@ def render_rays(
     out.update(
         rgb_map=fine.rgb,
         disp_map=fine.disp,
+        depth_map=fine.depth,
         acc_map=fine.acc,
         rgb_fg=fine.rgb_fg,
         last_weight=fine.last_weight,

@@ -15,6 +15,7 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from idealnerf_tpu.core.composite import raw2outputs
 from idealnerf_tpu.core.rays import get_rays
@@ -106,6 +107,74 @@ def render_frame_outputs(
         v = v.reshape((-1,) + v.shape[2:])[:n]
         result[k] = v.reshape((H, W) + v.shape[1:])
     return result
+
+
+def subject_depth_range(
+    cfg, params, latent_codes, dataset,
+    n_frames: int = 4, fg_thresh: float = 0.5, sigma_mult: float = 4.0,
+    margin_frac: float = 0.05, compute_dtype=None,
+):
+    """Per-subject tightened sampling bounds ``(near', far')`` from the
+    trained model's own depth maps.
+
+    The reference samples the full config ``[near, far]`` interval
+    (helper.py:66-69; May: 0.577-1.177) on every ray, but a converged
+    talking-head field occupies a narrow depth band — tightening the
+    static bounds raises effective sample density at the same per-ray
+    count (or holds quality at a lower count; scripts/sample_sweep.py
+    measures the trade). Renders ``n_frames`` train frames full-fidelity,
+    masks foreground pixels (acc − last_weight > fg_thresh — acc alone
+    includes the pinned plate sample), and brackets expected depth ±
+    ``sigma_mult``·z_std, padded by ``margin_frac`` of the original
+    interval. Exactness caveat: pixels whose geometry falls outside the
+    bracket (none at these thresholds on a converged model, by
+    construction) would re-composite; the sweep quantifies the actual
+    delta."""
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+    from idealnerf_tpu.models.variants import (
+        variant_conditioning, variant_nerf_config,
+    )
+    from idealnerf_tpu.train.head import compute_aud_feature
+
+    H, W = dataset.hw
+    data = dataset.to_device()
+    bc = data["bc_img"].astype(jnp.float32) / 255.0
+    head_cfg = variant_nerf_config(cfg)
+    rcfg = cfg.render_config()
+    lo, hi = [], []
+    idxs = np.linspace(0, dataset.size - 1, n_frames).astype(int)
+    for i in idxs:
+        i = int(i)
+        aud = compute_aud_feature(
+            params, data["auds"], data["aud_ids"], i, cfg, False)
+        expr = data["exprs"][i] if cfg.dim_expr > 0 else None
+        aud_arg, expr_arg = variant_conditioning(params, cfg, aud, expr)
+        latent = latent_codes[0] if cfg.dim_latent > 0 else None
+        outs = render_frame_outputs(
+            make_field_fn(params["coarse"], head_cfg, aud_arg, expr_arg,
+                          latent, compute_dtype=compute_dtype),
+            H, W, dataset.focal, data["poses"][i], bc,
+            dataset.near, dataset.far, rcfg,
+            cx=dataset.cx, cy=dataset.cy, tile=min(8192, H * W),
+            fine_fn=make_field_fn(params["fine"], head_cfg, aud_arg,
+                                  expr_arg, latent,
+                                  compute_dtype=compute_dtype),
+            keys=("depth_map", "acc_map", "last_weight", "z_std"),
+        )
+        fg = (np.asarray(outs["acc_map"])
+              - np.asarray(outs["last_weight"])) > fg_thresh
+        if not fg.any():
+            continue
+        depth = np.asarray(outs["depth_map"])[fg]
+        std = np.asarray(outs["z_std"])[fg]
+        lo.append(float((depth - sigma_mult * std).min()))
+        hi.append(float((depth + sigma_mult * std).max()))
+    if not lo:
+        return float(dataset.near), float(dataset.far)
+    pad = margin_frac * (dataset.far - dataset.near)
+    near_t = max(float(dataset.near), min(lo) - pad)
+    far_t = min(float(dataset.far), max(hi) + pad)
+    return near_t, far_t
 
 
 def make_composite_frame_renderer(

@@ -38,6 +38,10 @@ def main():
     p.add_argument("--out", default=os.path.join(ROOT, "runs", "rehearsal2"))
     p.add_argument("--rungs", type=str, default=None,
                    help="comma list like 64+192,32+64 (default: ladder)")
+    p.add_argument("--tighten", action="store_true",
+                   help="also sweep with per-subject tightened near/far "
+                        "(eval.renderer.subject_depth_range): higher "
+                        "sample density at the same count")
     args = p.parse_args()
 
     from idealnerf_tpu.cli import render_val
@@ -54,16 +58,44 @@ def main():
         rungs = [tuple(int(x) for x in r.split("+"))
                  for r in args.rungs.split(",")]
 
+    tight = None
+    if args.tighten:
+        import jax
+        import jax.numpy as jnp
+
+        from idealnerf_tpu.ckpt import CheckpointManager
+        from idealnerf_tpu.config import ExperimentConfig
+        from idealnerf_tpu.data.dataset import load_transforms_dataset
+        from idealnerf_tpu.eval.renderer import subject_depth_range
+
+        cfg = ExperimentConfig.from_file(cfg_path, **PAPER)
+        ds = load_transforms_dataset(cfg.datadir, mode="train",
+                                     near=cfg.near, far=cfg.far)
+        raw = CheckpointManager(ckpt).restore_raw()
+        cd = (jnp.bfloat16 if jax.default_backend() == "tpu" else None)
+        tight = subject_depth_range(
+            cfg, raw["params"], jnp.asarray(raw["latent_codes"]), ds,
+            compute_dtype=cd)
+        print(f"tightened bounds: [{tight[0]:.4f}, {tight[1]:.4f}] "
+              f"(config: [{cfg.near:.4f}, {cfg.far:.4f}])", flush=True)
+
     results = {}
+    variants = [("", [])]
+    if tight is not None:
+        variants.append(("_tight", ["--near", str(tight[0]),
+                                    "--far", str(tight[1])]))
     for s, imp in rungs:
-        t0 = time.time()
-        m = render_val.main(base + ["--N_samples", str(s),
-                                    "--N_importance", str(imp)])
-        results[f"{s}+{imp}"] = {
-            "psnr": round(m["psnr"], 3), "ssim": round(m["ssim"], 4),
-            "wall_s": round(time.time() - t0, 1),
-        }
-        print(f"{s}+{imp}:", results[f"{s}+{imp}"], flush=True)
+        for suffix, extra in variants:
+            t0 = time.time()
+            m = render_val.main(base + extra +
+                                ["--N_samples", str(s),
+                                 "--N_importance", str(imp)])
+            results[f"{s}+{imp}{suffix}"] = {
+                "psnr": round(m["psnr"], 3), "ssim": round(m["ssim"], 4),
+                "wall_s": round(time.time() - t0, 1),
+            }
+            print(f"{s}+{imp}{suffix}:", results[f"{s}+{imp}{suffix}"],
+                  flush=True)
 
     ref_key = f"{rungs[0][0]}+{rungs[0][1]}"
     for k in results:
