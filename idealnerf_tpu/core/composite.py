@@ -25,6 +25,14 @@ class RenderOutputs(NamedTuple):
     depth: jnp.ndarray        # (R,) expected depth
     rgb_fg: jnp.ndarray       # (R, 3) composite excluding the bg sample
     last_weight: jnp.ndarray  # (R,) weight of the bg (last) sample
+    depth_std: jnp.ndarray    # (R,) weight-weighted depth std (surface
+    #                           thickness; unlike z_std — which measures
+    #                           SAMPLE spread — this stays tight on a
+    #                           converged opaque surface)
+    depth_band: jnp.ndarray   # (R, 2) z interval holding the central 96%
+    #                           of FOREGROUND weight mass (plate sample
+    #                           excluded) — robust to low-weight fog
+    #                           tails, unlike the quadratic depth_std
 
 
 def raw2outputs(
@@ -84,6 +92,24 @@ def raw2outputs(
     depth = jnp.sum(weights * z_vals, axis=-1)
     acc = jnp.sum(weights, axis=-1)
     disp = 1.0 / jnp.maximum(1e-10, depth / acc)
+    # weight-weighted depth variance around the (acc-normalized) mean —
+    # the foreground surface thickness along the ray
+    depth_mean = depth / jnp.maximum(acc, 1e-10)
+    depth_std = jnp.sqrt(jnp.maximum(
+        jnp.sum(weights * (z_vals - depth_mean[..., None]) ** 2, axis=-1)
+        / jnp.maximum(acc, 1e-10), 0.0))
+    # central-96%-of-foreground-mass z interval (masked min/max — no
+    # searchsorted, same trick as sampling.sample_pdf)
+    w_fg = weights[..., :-1]
+    cw = jnp.cumsum(w_fg, axis=-1)
+    total = jnp.maximum(cw[..., -1:], 1e-10)
+    z_fg = z_vals[..., :-1]
+    big = jnp.asarray(1e10, z_vals.dtype)
+    lo = jnp.min(jnp.where(cw >= 0.02 * total, z_fg, big), axis=-1)
+    hi = jnp.min(jnp.where(cw >= 0.98 * total, z_fg, big), axis=-1)
+    depth_band = jnp.stack(
+        [jnp.minimum(lo, z_fg[..., -1]), jnp.minimum(hi, z_fg[..., -1])],
+        axis=-1)
 
     if white_bkgd:
         rgb_map = rgb_map + (1.0 - acc[..., None])
@@ -96,6 +122,8 @@ def raw2outputs(
         depth=depth,
         rgb_fg=rgb_fg,
         last_weight=weights[..., -1],
+        depth_std=depth_std,
+        depth_band=depth_band,
     )
 
 

@@ -84,6 +84,8 @@ def render_rays(
         "rgb_map": coarse.rgb,
         "disp_map": coarse.disp,
         "depth_map": coarse.depth,
+        "depth_std": coarse.depth_std,
+        "depth_band": coarse.depth_band,
         "acc_map": coarse.acc,
         "rgb_fg": coarse.rgb_fg,
         "last_weight": coarse.last_weight,
@@ -116,6 +118,8 @@ def render_rays(
         rgb_map=fine.rgb,
         disp_map=fine.disp,
         depth_map=fine.depth,
+        depth_std=fine.depth_std,
+        depth_band=fine.depth_band,
         acc_map=fine.acc,
         rgb_fg=fine.rgb_fg,
         last_weight=fine.last_weight,

@@ -111,7 +111,7 @@ def render_frame_outputs(
 
 def subject_depth_range(
     cfg, params, latent_codes, dataset,
-    n_frames: int = 4, fg_thresh: float = 0.5, sigma_mult: float = 4.0,
+    n_frames: int = 4, fg_thresh: float = 0.5,
     margin_frac: float = 0.05, compute_dtype=None,
 ):
     """Per-subject tightened sampling bounds ``(near', far')`` from the
@@ -124,12 +124,13 @@ def subject_depth_range(
     count (or holds quality at a lower count; scripts/sample_sweep.py
     measures the trade). Renders ``n_frames`` train frames full-fidelity,
     masks foreground pixels (acc − last_weight > fg_thresh — acc alone
-    includes the pinned plate sample), and brackets expected depth ±
-    ``sigma_mult``·z_std, padded by ``margin_frac`` of the original
-    interval. Exactness caveat: pixels whose geometry falls outside the
-    bracket (none at these thresholds on a converged model, by
-    construction) would re-composite; the sweep quantifies the actual
-    delta."""
+    includes the pinned plate sample), and brackets the union of their
+    ``depth_band`` intervals (the z span holding the central 96% of each
+    ray's foreground weight mass — robust to low-weight fog tails that
+    blow up std-based brackets), padded by ``margin_frac`` of the
+    original interval per side. Exactness caveat: mass outside the
+    bracket (≤4% per ray at the 2%/98% quantiles, typically ≪) would
+    re-composite; the sweep quantifies the actual delta."""
     from idealnerf_tpu.models.face_nerf import make_field_fn
     from idealnerf_tpu.models.variants import (
         variant_conditioning, variant_nerf_config,
@@ -159,16 +160,15 @@ def subject_depth_range(
             fine_fn=make_field_fn(params["fine"], head_cfg, aud_arg,
                                   expr_arg, latent,
                                   compute_dtype=compute_dtype),
-            keys=("depth_map", "acc_map", "last_weight", "z_std"),
+            keys=("acc_map", "last_weight", "depth_band"),
         )
         fg = (np.asarray(outs["acc_map"])
               - np.asarray(outs["last_weight"])) > fg_thresh
         if not fg.any():
             continue
-        depth = np.asarray(outs["depth_map"])[fg]
-        std = np.asarray(outs["z_std"])[fg]
-        lo.append(float((depth - sigma_mult * std).min()))
-        hi.append(float((depth + sigma_mult * std).max()))
+        band = np.asarray(outs["depth_band"])[fg]
+        lo.append(float(band[:, 0].min()))
+        hi.append(float(band[:, 1].max()))
     if not lo:
         return float(dataset.near), float(dataset.far)
     pad = margin_frac * (dataset.far - dataset.near)

@@ -195,3 +195,25 @@ def test_raw2outputs_background_dominates_empty_ray():
     np.testing.assert_allclose(np.asarray(out.rgb), bc, atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.last_weight), [1.0, 1.0], atol=1e-3)
     np.testing.assert_allclose(np.asarray(out.rgb_fg), 0.0, atol=1e-3)
+
+
+def test_depth_band_brackets_opaque_surface():
+    """depth_band (central 96% of foreground weight mass) collapses onto
+    an opaque surface and ignores empty space — the statistic behind
+    eval.renderer.subject_depth_range's tightened sampling bounds."""
+    R, S = 3, 64
+    z = np.broadcast_to(np.linspace(0.5, 2.5, S), (R, S)).astype(np.float32)
+    raw = np.full((R, S, 4), -100.0, np.float32)
+    # opaque surface at z≈1.4-1.5 (two adjacent hot samples)
+    surf = np.argmin(np.abs(z[0] - 1.45))
+    raw[:, surf:surf + 2, 3] = 200.0
+    rd = np.tile([[0.0, 0.0, -1.0]], (R, 1)).astype(np.float32)
+    bc = np.zeros((R, 3), np.float32)
+    out = raw2outputs(jnp.asarray(raw), jnp.asarray(z), jnp.asarray(rd),
+                      jnp.asarray(bc))
+    band = np.asarray(out.depth_band)
+    assert band.shape == (R, 2)
+    assert (band[:, 0] >= 1.3).all() and (band[:, 1] <= 1.6).all(), band
+    assert (band[:, 1] >= band[:, 0]).all()
+    # and the std statistic agrees on a crisp surface
+    assert (np.asarray(out.depth_std) < 0.1).all()
