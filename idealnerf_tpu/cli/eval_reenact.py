@@ -43,6 +43,10 @@ def main(argv=None):
                              "mesh 'data' axis (video production, "
                              "head-only and composite); composes with "
                              "--ray_devices")
+    parser.add_argument("--tighten_bounds", type=int, default=0,
+                        help="tighten [near,far] to the trained head's "
+                             "own depth band (subject_depth_range); "
+                             "head-only renders")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -83,6 +87,15 @@ def main(argv=None):
     else:
         auds = np.load(os.path.join(cfg.datadir, cfg.aud_file)).astype(np.float32)
 
+    bounds = None
+    if args.tighten_bounds:
+        from idealnerf_tpu.eval.renderer import subject_depth_range
+
+        bounds = subject_depth_range(
+            cfg, state.params, state.latent_codes,
+            resolve_dataset(args, cfg, mode="train"))
+        logger.info("tightened bounds: [%.4f, %.4f]", *bounds)
+
     mesh = None
     H, W = identity.hw
     tile = min(8192, H * W)
@@ -107,7 +120,7 @@ def main(argv=None):
         smooth_audio=cfg.nosmo_iters <= int(state.step),
         fast_keep=args.fast / 100.0 if args.fast else None,
         use_prior=bool(args.prior),
-        mesh=mesh, tile=tile,
+        mesh=mesh, tile=tile, bounds=bounds,
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

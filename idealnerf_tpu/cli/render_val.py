@@ -39,6 +39,11 @@ def main(argv=None):
                         help="shard each frame's rays over this many "
                              "devices (the 'ray' mesh axis; full-"
                              "fidelity mode only)")
+    parser.add_argument("--tighten_bounds", type=int, default=0,
+                        help="tighten [near,far] to the trained model's "
+                             "own depth band (subject_depth_range): "
+                             "higher effective sample density at the "
+                             "same per-ray count")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -62,6 +67,16 @@ def main(argv=None):
     head_cfg = variant_nerf_config(cfg)
     on_tpu = jax.default_backend() == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else None
+    near, far = ds.near, ds.far
+    if args.tighten_bounds:
+        from idealnerf_tpu.eval.renderer import subject_depth_range
+
+        ds_train = resolve_dataset(args, cfg, mode="train")
+        near, far = subject_depth_range(
+            cfg, state.params, state.latent_codes, ds_train,
+            compute_dtype=compute_dtype)
+        logger.info("tightened bounds: [%.4f, %.4f] (config: "
+                    "[%.4f, %.4f])", near, far, ds.near, ds.far)
     if args.prior_masked and not args.pruned:
         parser.error("--prior_masked requires --pruned (the prior mask "
                      "only applies to the pruned fast path)")
@@ -86,7 +101,7 @@ def main(argv=None):
             logger.info("subject prior: %.1f%% coverage, k_coarse %d",
                         100.0 * float(mask_np.mean()), k_coarse)
         render = make_pruned_frame_renderer(
-            head_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
+            head_cfg, H, W, ds.focal, near, far, cfg.render_config(),
             cx=ds.cx, cy=ds.cy, tile=min(8192, H * W),
             keep_fraction=args.pruned / 100.0 if args.pruned > 1 else 0.4,
             compute_dtype=compute_dtype,
@@ -102,13 +117,13 @@ def main(argv=None):
         tile -= tile % args.ray_devices or 0
         logger.info("ray-sharded eval over %d devices", args.ray_devices)
         render = make_sharded_frame_renderer(
-            head_cfg, mesh, H, W, ds.focal, ds.near, ds.far,
+            head_cfg, mesh, H, W, ds.focal, near, far,
             cfg.render_config(), cx=ds.cx, cy=ds.cy, tile=tile,
             compute_dtype=compute_dtype,
         )
     else:
         render = make_frame_renderer(
-            head_cfg, H, W, ds.focal, ds.near, ds.far, cfg.render_config(),
+            head_cfg, H, W, ds.focal, near, far, cfg.render_config(),
             cx=ds.cx, cy=ds.cy,
             tile=min(8192, H * W),
             compute_dtype=compute_dtype,

@@ -92,6 +92,7 @@ def reenact(
     fast_keep: Optional[float] = None,
     use_prior: bool = False,
     mesh=None,
+    bounds=None,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
 
@@ -110,13 +111,21 @@ def reenact(
     (head-only and composite) shard per-ray over the mesh's 'ray' axis
     (parallel/sharded.py); a 'data' axis > 1 additionally batches that
     many frames per launch (head-only video production). Incompatible
-    with ``fast_keep``, whose ray selection is host-side."""
+    with ``fast_keep``, whose ray selection is host-side.
+
+    ``bounds``: (near', far') tightened sampling interval
+    (eval.renderer.subject_depth_range); head-only renders only — the
+    torso field has its own depth band."""
     if mesh is not None and fast_keep is not None:
         raise ValueError("mesh sharding requires full fidelity "
                          "(fast_keep=None)")
     if use_prior and fast_keep is None:
         raise ValueError("use_prior requires fast_keep (the prior mask "
                          "only applies to the pruned fast renderers)")
+    if bounds is not None and torso_params is not None:
+        raise ValueError("bounds tightening is head-only (the torso "
+                         "field has its own depth band; per-field "
+                         "bounds are not wired yet)")
     if use_pallas is None:
         # "ray": whole-frame per-ray fused pipeline (the per-point kernel
         # inside the frame loop exceeds scoped VMEM at 450²)
@@ -149,14 +158,17 @@ def reenact(
         logger.info("subject prior: %.1f%% coverage, k_coarse %d",
                     100.0 * float(mask_np.mean()), k_coarse)
 
+    near = bounds[0] if bounds is not None else identity.near
+    far = bounds[1] if bounds is not None else identity.far
+
     render_video = None
     if torso_params is None:
         if fast_keep is not None:
             from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
 
             render = make_pruned_frame_renderer(
-                head_cfg, H, W, identity.focal, identity.near,
-                identity.far, render_cfg, cx=identity.cx, cy=identity.cy,
+                head_cfg, H, W, identity.focal, near,
+                far, render_cfg, cx=identity.cx, cy=identity.cy,
                 keep_fraction=fast_keep, compute_dtype=compute_dtype,
                 prior_mask=prior_mask, k_coarse=k_coarse,
             )
@@ -166,21 +178,21 @@ def reenact(
             from idealnerf_tpu.parallel import make_sharded_video_renderer
 
             render_video = make_sharded_video_renderer(
-                head_cfg, mesh, H, W, identity.focal, identity.near,
-                identity.far, render_cfg, cx=identity.cx, cy=identity.cy,
+                head_cfg, mesh, H, W, identity.focal, near,
+                far, render_cfg, cx=identity.cx, cy=identity.cy,
                 tile=tile, compute_dtype=compute_dtype,
             )
         elif mesh is not None:
             from idealnerf_tpu.parallel import make_sharded_frame_renderer
 
             render = make_sharded_frame_renderer(
-                head_cfg, mesh, H, W, identity.focal, identity.near,
-                identity.far, render_cfg, cx=identity.cx, cy=identity.cy,
+                head_cfg, mesh, H, W, identity.focal, near,
+                far, render_cfg, cx=identity.cx, cy=identity.cy,
                 tile=tile, compute_dtype=compute_dtype,
             )
         else:
             render = make_frame_renderer(
-                head_cfg, H, W, identity.focal, identity.near, identity.far,
+                head_cfg, H, W, identity.focal, near, far,
                 render_cfg, cx=identity.cx, cy=identity.cy, tile=tile,
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
             )

@@ -137,11 +137,18 @@ def subject_depth_range(
     )
     from idealnerf_tpu.train.head import compute_aud_feature
 
+    import dataclasses
+
     H, W = dataset.hw
     data = dataset.to_device()
     bc = data["bc_img"].astype(jnp.float32) / 255.0
     head_cfg = variant_nerf_config(cfg)
-    rcfg = cfg.render_config()
+    # probe at full fidelity regardless of the eval sample schedule —
+    # a coarse probe yields noisy bands
+    rcfg = dataclasses.replace(
+        cfg.render_config(),
+        n_samples=max(cfg.render_config().n_samples, 64),
+        n_importance=max(cfg.render_config().n_importance, 64))
     lo, hi = [], []
     idxs = np.linspace(0, dataset.size - 1, n_frames).astype(int)
     for i in idxs:
