@@ -122,10 +122,16 @@ def reenact(
     if use_prior and fast_keep is None:
         raise ValueError("use_prior requires fast_keep (the prior mask "
                          "only applies to the pruned fast renderers)")
-    if bounds is not None and torso_params is not None:
-        raise ValueError("bounds tightening is head-only (the torso "
-                         "field has its own depth band; per-field "
-                         "bounds are not wired yet)")
+    if (bounds is not None and torso_params is not None
+            and not isinstance(bounds, dict)):
+        raise ValueError(
+            "composite bounds tightening needs per-field bands: pass "
+            "bounds=dict(head=(n,f), torso=(n,f)) (subject_depth_range "
+            "+ torso_depth_range) with fast_keep")
+    if isinstance(bounds, dict) and fast_keep is None:
+        raise ValueError("per-field bounds apply to the composite FAST "
+                         "path (fast_keep required); the full-fidelity "
+                         "composite stays at reference bounds")
     if use_pallas is None:
         # "ray": whole-frame per-ray fused pipeline (the per-point kernel
         # inside the frame loop exceeds scoped VMEM at 450²)
@@ -158,8 +164,11 @@ def reenact(
         logger.info("subject prior: %.1f%% coverage, k_coarse %d",
                     100.0 * float(mask_np.mean()), k_coarse)
 
-    near = bounds[0] if bounds is not None else identity.near
-    far = bounds[1] if bounds is not None else identity.far
+    if isinstance(bounds, dict):
+        near, far = identity.near, identity.far
+    else:
+        near = bounds[0] if bounds is not None else identity.near
+        far = bounds[1] if bounds is not None else identity.far
 
     render_video = None
     if torso_params is None:
@@ -216,6 +225,9 @@ def reenact(
                 logger.info(
                     "per-field priors: head %.1f%%, torso %.1f%%",
                     100.0 * float(mh.mean()), 100.0 * float(mt.mean()))
+            if isinstance(bounds, dict):
+                pf.update(bounds_head=bounds.get("head"),
+                          bounds_torso=bounds.get("torso"))
             render = make_composite_fast_renderer(
                 head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
                 identity.near, identity.far, render_cfg,

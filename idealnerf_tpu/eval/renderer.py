@@ -184,6 +184,62 @@ def subject_depth_range(
     return near_t, far_t
 
 
+def torso_depth_range(
+    cfg, torso_params, head_params, dataset,
+    n_frames: int = 4, fg_thresh: float = 0.5,
+    margin_frac: float = 0.05, compute_dtype=None,
+):
+    """``subject_depth_range`` for the torso field: rays from the FIXED
+    first-frame pose (run_nerf.py:499), conditioning sweeps the torso
+    signal over ``n_frames`` (aud ‖ PE3(euler) ‖ PE3(trans) —
+    train/torso.torso_signal; the audio features come from the trained
+    HEAD's audio net, as in training)."""
+    import dataclasses
+
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+    from idealnerf_tpu.train.head import compute_aud_feature
+    from idealnerf_tpu.train.torso import torso_nerf_config, torso_signal
+
+    H, W = dataset.hw
+    data = dataset.to_device()
+    bc = data["bc_img"].astype(jnp.float32) / 255.0
+    tcfg = torso_nerf_config(cfg)
+    rcfg = dataclasses.replace(
+        cfg.render_config(),
+        n_samples=max(cfg.render_config().n_samples, 64),
+        n_importance=max(cfg.render_config().n_importance, 64))
+    pose0 = data["poses"][0]
+    lo, hi = [], []
+    idxs = np.linspace(0, dataset.size - 1, n_frames).astype(int)
+    for i in idxs:
+        i = int(i)
+        aud = compute_aud_feature(
+            head_params, data["auds"], data["aud_ids"], i, cfg, False)
+        sig = torso_signal(aud, data["poses"][i], cfg.dim_aud_body)
+        outs = render_frame_outputs(
+            make_field_fn(torso_params["coarse"], tcfg, aud=sig,
+                          compute_dtype=compute_dtype),
+            H, W, dataset.focal, pose0, bc,
+            dataset.near, dataset.far, rcfg,
+            cx=dataset.cx, cy=dataset.cy, tile=min(8192, H * W),
+            fine_fn=make_field_fn(torso_params["fine"], tcfg, aud=sig,
+                                  compute_dtype=compute_dtype),
+            keys=("acc_map", "last_weight", "depth_band"),
+        )
+        fg = (np.asarray(outs["acc_map"])
+              - np.asarray(outs["last_weight"])) > fg_thresh
+        if not fg.any():
+            continue
+        band = np.asarray(outs["depth_band"])[fg]
+        lo.append(float(band[:, 0].min()))
+        hi.append(float(band[:, 1].max()))
+    if not lo:
+        return float(dataset.near), float(dataset.far)
+    pad = margin_frac * (dataset.far - dataset.near)
+    return (max(float(dataset.near), min(lo) - pad),
+            min(float(dataset.far), max(hi) + pad))
+
+
 def make_composite_frame_renderer(
     head_cfg, torso_cfg,
     H: int, W: int, focal, near, far, cfg: RenderConfig,
@@ -270,6 +326,7 @@ def make_composite_fast_renderer(
     prior_mask=None, k_coarse: Optional[int] = None,
     keep_head: float = 0.4, keep_torso: float = 0.4,
     prior_mask_head=None, prior_mask_torso=None,
+    bounds_head=None, bounds_torso=None,
 ):
     """Pruned + prior-masked head+torso composite — the fast mode for the
     north-star workload (reference: test_torso.py:513-534 renders BOTH
@@ -305,6 +362,12 @@ def make_composite_fast_renderer(
        plate, torso → transparent), so the composite is unchanged while
        each field's coarse AND fine ray counts shrink to its own
        coverage. All cross-field index maps are compile-time constants.
+
+    5. **Per-field tightened bounds** (round 3): ``bounds_head`` /
+       ``bounds_torso`` = (near', far') from subject_depth_range /
+       torso_depth_range — each field samples only its own occupied
+       depth band, raising effective sample density at the same static
+       per-ray count.
 
     Split into several small jitted programs, each holding at most ONE
     pallas launch and never gathering pallas outputs by a same-program
@@ -380,11 +443,16 @@ def make_composite_fast_renderer(
     sel_t = jnp.asarray(sel_t_np)
     sel_u = jnp.asarray(sel_u_np)
 
+    nf_head = tuple(bounds_head) if bounds_head is not None else (near, far)
+    nf_torso = (tuple(bounds_torso) if bounds_torso is not None
+                else (near, far))
+
     @functools.partial(jax.jit, static_argnames=("is_torso",))
     def stage_coarse(params, pose_f, bc_img, cond, sel, is_torso=False):
         """One field's coarse pass + in-kernel hierarchical sampling on
         that field's own prior rays (one pallas launch)."""
         ncfg = torso_cfg if is_torso else head_cfg
+        nf = nf_torso if is_torso else nf_head
         p = jax.tree.map(lambda x: x.astype(cd), params)
         folded = fold_conditioning(p["coarse"], ncfg, *cond)
         o, d = get_rays(H, W, focal, pose_f, cx, cy)
@@ -393,7 +461,7 @@ def make_composite_fast_renderer(
         if masked:
             o, d, b = o[sel], d[sel], b[sel]
         c, z = fused_render_coarse_hier(
-            p["coarse"], folded, ncfg, o, d, b, near, far,
+            p["coarse"], folded, ncfg, o, d, b, nf[0], nf[1],
             cfg.n_samples, cfg.n_importance, point_tile=4096,
         )
         return dict(rgb=c["rgb_map"], acc=c["acc_map"],

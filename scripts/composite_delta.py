@@ -38,6 +38,12 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=6)
     p.add_argument("--keep", type=float, default=0.4)
+    p.add_argument("--tighten", action="store_true",
+                   help="fast mode additionally samples each field's "
+                        "own depth band (subject_depth_range + "
+                        "torso_depth_range); full mode stays at "
+                        "reference bounds so the delta includes the "
+                        "tightening error")
     args = p.parse_args()
 
     import jax
@@ -79,19 +85,34 @@ def main():
     reenact(cfg, head_params, identity, **common)
     t_full_warm = (time.time() - t0) / n
 
+    bounds = None
+    if args.tighten:
+        from idealnerf_tpu.eval.renderer import (
+            subject_depth_range, torso_depth_range,
+        )
+
+        ds_train = load_transforms_dataset(cfg.datadir, mode="train")
+        bh = subject_depth_range(cfg, head_params, latents, ds_train)
+        bt = torso_depth_range(cfg, torso_params, head_params, ds_train)
+        bounds = dict(head=bh, torso=bt)
+        print(f"tightened: head [{bh[0]:.4f},{bh[1]:.4f}] torso "
+              f"[{bt[0]:.4f},{bt[1]:.4f}] (config "
+              f"[{identity.near:.4f},{identity.far:.4f}])", flush=True)
+
     t0 = time.time()
     fast = reenact(cfg, head_params, identity, fast_keep=args.keep,
-                   use_prior=True, **common)
+                   use_prior=True, bounds=bounds, **common)
     t_fast = (time.time() - t0) / n
     t0 = time.time()
     reenact(cfg, head_params, identity, fast_keep=args.keep,
-            use_prior=True, **common)
+            use_prior=True, bounds=bounds, **common)
     t_fast_warm = (time.time() - t0) / n
 
     gt = identity.images[:n].astype(np.float32) / 255.0
     out = {
         "frames": n,
         "keep": args.keep,
+        "tightened_bounds": bounds,
         "psnr_fast_vs_full": psnr(fast, full),
         "psnr_full_vs_gt": psnr(full, gt),
         "psnr_fast_vs_gt": psnr(fast, gt),

@@ -176,6 +176,23 @@ def test_composite_fast_renderer_matches_full():
         np.asarray(exact_pf(hp, tp, pose, pose0, bc, **call)),
         np.asarray(ref), atol=2e-5)
 
+    # per-field bounds plumbing (round 3): identity bounds must change
+    # nothing at keep=1.0; genuinely tightened bounds stay finite
+    exact_b = make_composite_fast_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc,
+        keep_head=1.0, keep_torso=1.0,
+        bounds_head=(near, far), bounds_torso=(near, far), **kw)
+    np.testing.assert_allclose(
+        np.asarray(exact_b(hp, tp, pose, pose0, bc, **call)),
+        np.asarray(ref), atol=2e-5)
+    tight_b = make_composite_fast_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc,
+        keep_head=0.5, keep_torso=0.5,
+        bounds_head=(near + 0.1, far - 0.2),
+        bounds_torso=(near + 0.05, far - 0.1), **kw)
+    assert np.isfinite(
+        np.asarray(tight_b(hp, tp, pose, pose0, bc, **call))).all()
+
     # distinct overlapping per-field supports: finite everywhere,
     # plate outside the union (modulo the tile-padding rays)
     mask_h = np.zeros((H, W), bool)
