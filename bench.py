@@ -33,8 +33,14 @@ def main():
     cx = cy = H / 2.0
     near, far = 0.5772005200386048, 1.1772005200386046  # May (README.md:46-47)
 
+    # BENCH_SAMPLES / BENCH_IMPORTANCE parametrize the per-ray sample
+    # schedule (default = the reference's paper schedule); used to quote
+    # fps at a quality-matched reduced rung once scripts/sample_sweep.py
+    # has measured the knee on a converged model
     cfg = ExperimentConfig(
-        dim_aud=64, dim_expr=79, dim_latent=32, N_samples=64, N_importance=128
+        dim_aud=64, dim_expr=79, dim_latent=32,
+        N_samples=int(os.environ.get("BENCH_SAMPLES", "64")),
+        N_importance=int(os.environ.get("BENCH_IMPORTANCE", "128")),
     )
     nerf_cfg = cfg.face_nerf_config()
 
@@ -197,7 +203,7 @@ def main():
 
     torso_cfg = ExperimentConfig(
         dim_aud=cfg.dim_aud_body + 42, dim_expr=0, dim_latent=0,
-        N_samples=64, N_importance=128,
+        N_samples=cfg.N_samples, N_importance=cfg.N_importance,
     ).face_nerf_config()
     torso_params = {
         "coarse": init_face_nerf(jax.random.PRNGKey(7), torso_cfg),
@@ -286,6 +292,7 @@ def main():
                     "keep_fraction": keep,
                     "rays_per_sec": int(rays_per_sec),
                     "frame_hw": H,
+                    "sample_schedule": f"{cfg.N_samples}+{cfg.N_importance}",
                     "backend": jax.default_backend(),
                     "compute_dtype": str(compute_dtype),
                 },
