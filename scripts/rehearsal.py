@@ -64,13 +64,16 @@ def phase_eval(args):
     for name, extra in (("full", []), ("pruned_40", ["--pruned", "40"]),
                         ("pruned_60", ["--pruned", "60"]),
                         ("masked_40", ["--pruned", "40",
-                                       "--prior_masked", "1"])):
+                                       "--prior_masked", "1"]),
+                        ("masked_40_tight", ["--pruned", "40",
+                                             "--prior_masked", "1",
+                                             "--tighten_bounds", "1"])):
         t0 = time.time()
         m = render_val.main(base + extra)
         results[name] = {"psnr": m["psnr"], "ssim": m["ssim"],
                          "wall_s": round(time.time() - t0, 1)}
         print(name, results[name])
-    for mode in ("pruned_40", "pruned_60", "masked_40"):
+    for mode in ("pruned_40", "pruned_60", "masked_40", "masked_40_tight"):
         results[f"delta_psnr_{mode}"] = round(
             results["full"]["psnr"] - results[mode]["psnr"], 3)
     with open(os.path.join(args.out, "results.json"), "w") as fh:
