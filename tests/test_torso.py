@@ -26,6 +26,27 @@ TINY = dict(
 )
 
 
+def test_depth_range_functions_return_valid_bounds():
+    """subject_depth_range / torso_depth_range return a sub-interval of
+    [near, far] with near' < far' on arbitrary (untrained) fields."""
+    from idealnerf_tpu.eval.renderer import (
+        subject_depth_range, torso_depth_range,
+    )
+    from idealnerf_tpu.train.state import init_train_state
+    from idealnerf_tpu.train.torso import init_torso_params
+
+    cfg = ExperimentConfig(**TINY)
+    ds = make_synthetic_dataset(n_frames=3, H=24, W=24, dim_expr=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, ds.size)
+    tp = init_torso_params(jax.random.PRNGKey(1), cfg)
+    for lo, hi in (
+        subject_depth_range(cfg, state.params, state.latent_codes, ds,
+                            n_frames=2),
+        torso_depth_range(cfg, tp, state.params, ds, n_frames=2),
+    ):
+        assert ds.near <= lo < hi <= ds.far, (lo, hi)
+
+
 def test_torso_signal_dims():
     cfg = ExperimentConfig(**TINY)
     aud = jnp.ones((64,))
