@@ -89,11 +89,20 @@ def main(argv=None):
 
     bounds = None
     if args.tighten_bounds:
+        import jax.numpy as jnp
+
+        if args.torso_ckpt:
+            parser.error("--tighten_bounds is head-only from the CLI; "
+                         "composite tightening runs through "
+                         "scripts/composite_delta.py --tighten "
+                         "(per-field bands)")
         from idealnerf_tpu.eval.renderer import subject_depth_range
 
         bounds = subject_depth_range(
             cfg, state.params, state.latent_codes,
-            resolve_dataset(args, cfg, mode="train"))
+            resolve_dataset(args, cfg, mode="train"),
+            compute_dtype=(jnp.bfloat16
+                           if jax.default_backend() == "tpu" else None))
         logger.info("tightened bounds: [%.4f, %.4f]", *bounds)
 
     mesh = None

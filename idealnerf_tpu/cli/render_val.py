@@ -67,7 +67,15 @@ def main(argv=None):
     head_cfg = variant_nerf_config(cfg)
     on_tpu = jax.default_backend() == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else None
+    if args.prior_masked and not args.pruned:
+        parser.error("--prior_masked requires --pruned (the prior mask "
+                     "only applies to the pruned fast path)")
+    if args.ray_devices and args.pruned:
+        parser.error("--ray_devices applies to full-fidelity renders "
+                     "only (not with --pruned: its ray selection is "
+                     "host-side)")
     near, far = ds.near, ds.far
+    ds_train = None
     if args.tighten_bounds:
         from idealnerf_tpu.eval.renderer import subject_depth_range
 
@@ -77,13 +85,6 @@ def main(argv=None):
             compute_dtype=compute_dtype)
         logger.info("tightened bounds: [%.4f, %.4f] (config: "
                     "[%.4f, %.4f])", near, far, ds.near, ds.far)
-    if args.prior_masked and not args.pruned:
-        parser.error("--prior_masked requires --pruned (the prior mask "
-                     "only applies to the pruned fast path)")
-    if args.ray_devices and args.pruned:
-        parser.error("--ray_devices applies to full-fidelity renders "
-                     "only (not with --pruned: its ray selection is "
-                     "host-side)")
     if args.pruned:
         # foreground-pruned fast path (fine pass on the top rays by
         # coarse opacity) — used by the quality-delta measurements
@@ -95,7 +96,8 @@ def main(argv=None):
             # torso parse union over the training frames)
             from idealnerf_tpu.eval.renderer import foreground_prior
 
-            ds_train = resolve_dataset(args, cfg, mode="train")
+            if ds_train is None:
+                ds_train = resolve_dataset(args, cfg, mode="train")
             mask_np, k_coarse = foreground_prior(ds_train)
             prior_mask = jnp.asarray(mask_np)
             logger.info("subject prior: %.1f%% coverage, k_coarse %d",

@@ -92,18 +92,19 @@ def raw2outputs(
     depth = jnp.sum(weights * z_vals, axis=-1)
     acc = jnp.sum(weights, axis=-1)
     disp = 1.0 / jnp.maximum(1e-10, depth / acc)
-    # weight-weighted depth variance around the (acc-normalized) mean —
-    # the foreground surface thickness along the ray
-    depth_mean = depth / jnp.maximum(acc, 1e-10)
+    # FOREGROUND-weighted depth variance (plate sample excluded — with
+    # it, a semi-transparent ray reports plate distance as "thickness")
+    w_fg = weights[..., :-1]
+    z_fg = z_vals[..., :-1]
+    fg_mass = jnp.maximum(jnp.sum(w_fg, axis=-1), 1e-10)
+    depth_mean = jnp.sum(w_fg * z_fg, axis=-1) / fg_mass
     depth_std = jnp.sqrt(jnp.maximum(
-        jnp.sum(weights * (z_vals - depth_mean[..., None]) ** 2, axis=-1)
-        / jnp.maximum(acc, 1e-10), 0.0))
+        jnp.sum(w_fg * (z_fg - depth_mean[..., None]) ** 2, axis=-1)
+        / fg_mass, 0.0))
     # central-96%-of-foreground-mass z interval (masked min/max — no
     # searchsorted, same trick as sampling.sample_pdf)
-    w_fg = weights[..., :-1]
     cw = jnp.cumsum(w_fg, axis=-1)
     total = jnp.maximum(cw[..., -1:], 1e-10)
-    z_fg = z_vals[..., :-1]
     big = jnp.asarray(1e10, z_vals.dtype)
     lo = jnp.min(jnp.where(cw >= 0.02 * total, z_fg, big), axis=-1)
     hi = jnp.min(jnp.where(cw >= 0.98 * total, z_fg, big), axis=-1)

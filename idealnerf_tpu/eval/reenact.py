@@ -132,6 +132,9 @@ def reenact(
         raise ValueError("per-field bounds apply to the composite FAST "
                          "path (fast_keep required); the full-fidelity "
                          "composite stays at reference bounds")
+    if isinstance(bounds, dict) and torso_params is None:
+        raise ValueError("per-field bounds dict is for the composite; "
+                         "head-only renders take bounds=(near, far)")
     if use_pallas is None:
         # "ray": whole-frame per-ray fused pipeline (the per-point kernel
         # inside the frame loop exceeds scoped VMEM at 450²)

@@ -135,53 +135,21 @@ def subject_depth_range(
     from idealnerf_tpu.models.variants import (
         variant_conditioning, variant_nerf_config,
     )
-    from idealnerf_tpu.train.head import compute_aud_feature
 
-    import dataclasses
-
-    H, W = dataset.hw
-    data = dataset.to_device()
-    bc = data["bc_img"].astype(jnp.float32) / 255.0
     head_cfg = variant_nerf_config(cfg)
-    # probe at full fidelity regardless of the eval sample schedule —
-    # a coarse probe yields noisy bands
-    rcfg = dataclasses.replace(
-        cfg.render_config(),
-        n_samples=max(cfg.render_config().n_samples, 64),
-        n_importance=max(cfg.render_config().n_importance, 64))
-    lo, hi = [], []
-    idxs = np.linspace(0, dataset.size - 1, n_frames).astype(int)
-    for i in idxs:
-        i = int(i)
-        aud = compute_aud_feature(
-            params, data["auds"], data["aud_ids"], i, cfg, False)
-        expr = data["exprs"][i] if cfg.dim_expr > 0 else None
+    latent = latent_codes[0] if cfg.dim_latent > 0 else None
+
+    def field_fns(aud, pose_i):
+        expr = (jnp.asarray(dataset.exprs[pose_i])
+                if cfg.dim_expr > 0 else None)
         aud_arg, expr_arg = variant_conditioning(params, cfg, aud, expr)
-        latent = latent_codes[0] if cfg.dim_latent > 0 else None
-        outs = render_frame_outputs(
-            make_field_fn(params["coarse"], head_cfg, aud_arg, expr_arg,
-                          latent, compute_dtype=compute_dtype),
-            H, W, dataset.focal, data["poses"][i], bc,
-            dataset.near, dataset.far, rcfg,
-            cx=dataset.cx, cy=dataset.cy, tile=min(8192, H * W),
-            fine_fn=make_field_fn(params["fine"], head_cfg, aud_arg,
-                                  expr_arg, latent,
-                                  compute_dtype=compute_dtype),
-            keys=("acc_map", "last_weight", "depth_band"),
-        )
-        fg = (np.asarray(outs["acc_map"])
-              - np.asarray(outs["last_weight"])) > fg_thresh
-        if not fg.any():
-            continue
-        band = np.asarray(outs["depth_band"])[fg]
-        lo.append(float(band[:, 0].min()))
-        hi.append(float(band[:, 1].max()))
-    if not lo:
-        return float(dataset.near), float(dataset.far)
-    pad = margin_frac * (dataset.far - dataset.near)
-    near_t = max(float(dataset.near), min(lo) - pad)
-    far_t = min(float(dataset.far), max(hi) + pad)
-    return near_t, far_t
+        mk = lambda p: make_field_fn(p, head_cfg, aud_arg, expr_arg,
+                                     latent, compute_dtype=compute_dtype)
+        return (mk(params["coarse"]), mk(params["fine"]),
+                jnp.asarray(dataset.poses[pose_i]))
+
+    return _depth_range_probe(cfg, params, dataset, field_fns, n_frames,
+                              fg_thresh, margin_frac)
 
 
 def torso_depth_range(
@@ -194,36 +162,54 @@ def torso_depth_range(
     signal over ``n_frames`` (aud ‖ PE3(euler) ‖ PE3(trans) —
     train/torso.torso_signal; the audio features come from the trained
     HEAD's audio net, as in training)."""
-    import dataclasses
-
     from idealnerf_tpu.models.face_nerf import make_field_fn
-    from idealnerf_tpu.train.head import compute_aud_feature
     from idealnerf_tpu.train.torso import torso_nerf_config, torso_signal
 
-    H, W = dataset.hw
-    data = dataset.to_device()
-    bc = data["bc_img"].astype(jnp.float32) / 255.0
     tcfg = torso_nerf_config(cfg)
+    pose0 = jnp.asarray(dataset.poses[0])
+
+    def field_fns(aud, pose_i):
+        sig = torso_signal(aud, jnp.asarray(dataset.poses[pose_i]),
+                           cfg.dim_aud_body)
+        mk = lambda p: make_field_fn(p, tcfg, aud=sig,
+                                     compute_dtype=compute_dtype)
+        return (mk(torso_params["coarse"]), mk(torso_params["fine"]),
+                pose0)
+
+    return _depth_range_probe(cfg, head_params, dataset, field_fns,
+                              n_frames, fg_thresh, margin_frac)
+
+
+def _depth_range_probe(cfg, aud_params, dataset, field_fns, n_frames,
+                       fg_thresh, margin_frac):
+    """Shared band-union probe behind subject_depth_range /
+    torso_depth_range. ``field_fns(aud_feature, frame_index) ->
+    (coarse_fn, fine_fn, pose)``. Converts only the fields it reads
+    (auds/poses/exprs/bc of the probe frames) — never the frame images."""
+    import dataclasses
+
+    from idealnerf_tpu.train.head import compute_aud_feature
+
+    H, W = dataset.hw
+    bc = jnp.asarray(dataset.bc_img, jnp.float32) / 255.0
+    auds = jnp.asarray(dataset.auds)
+    aud_ids = jnp.asarray(dataset.aud_ids)
+    # probe at full fidelity regardless of the eval sample schedule —
+    # a coarse probe yields noisy bands
     rcfg = dataclasses.replace(
         cfg.render_config(),
         n_samples=max(cfg.render_config().n_samples, 64),
         n_importance=max(cfg.render_config().n_importance, 64))
-    pose0 = data["poses"][0]
     lo, hi = [], []
-    idxs = np.linspace(0, dataset.size - 1, n_frames).astype(int)
-    for i in idxs:
+    for i in np.linspace(0, dataset.size - 1, n_frames).astype(int):
         i = int(i)
-        aud = compute_aud_feature(
-            head_params, data["auds"], data["aud_ids"], i, cfg, False)
-        sig = torso_signal(aud, data["poses"][i], cfg.dim_aud_body)
+        aud = compute_aud_feature(aud_params, auds, aud_ids, i, cfg, False)
+        coarse_fn, fine_fn, pose = field_fns(aud, i)
         outs = render_frame_outputs(
-            make_field_fn(torso_params["coarse"], tcfg, aud=sig,
-                          compute_dtype=compute_dtype),
-            H, W, dataset.focal, pose0, bc,
+            coarse_fn, H, W, dataset.focal, pose, bc,
             dataset.near, dataset.far, rcfg,
             cx=dataset.cx, cy=dataset.cy, tile=min(8192, H * W),
-            fine_fn=make_field_fn(torso_params["fine"], tcfg, aud=sig,
-                                  compute_dtype=compute_dtype),
+            fine_fn=fine_fn,
             keys=("acc_map", "last_weight", "depth_band"),
         )
         fg = (np.asarray(outs["acc_map"])

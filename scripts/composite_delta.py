@@ -58,7 +58,12 @@ def main():
     from idealnerf_tpu.train.torso import init_torso_params
 
     cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
-    identity = load_transforms_dataset(cfg.datadir, mode="val")
+    # near/far MUST come from the config: the transforms json carries
+    # none and the loader defaults to [0.3, 0.9] — far off the trained
+    # [0.625, 2.375] interval (this bug made the round-2 delta
+    # measurement render mostly empty space; vs-GT PSNRs were ~16 dB)
+    identity = load_transforms_dataset(cfg.datadir, mode="val",
+                                       near=cfg.near, far=cfg.far)
 
     state = init_train_state(jax.random.PRNGKey(0), cfg, identity.size)
     raw = CheckpointManager(HEAD_CKPT).restore_raw()
@@ -91,7 +96,8 @@ def main():
             subject_depth_range, torso_depth_range,
         )
 
-        ds_train = load_transforms_dataset(cfg.datadir, mode="train")
+        ds_train = load_transforms_dataset(cfg.datadir, mode="train",
+                                           near=cfg.near, far=cfg.far)
         bh = subject_depth_range(cfg, head_params, latents, ds_train)
         bt = torso_depth_range(cfg, torso_params, head_params, ds_train)
         bounds = dict(head=bh, torso=bt)
