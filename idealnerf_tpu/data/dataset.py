@@ -94,6 +94,22 @@ def load_transforms_dataset(
     with open(os.path.join(datadir, f"transforms_exp_{mode}.json")) as fh:
         meta = json.load(fh)
 
+    if near is None or far is None:
+        # the transforms json carries no near/far (reference format —
+        # they live in the config/README, e.g. May 0.577/1.177); read
+        # the subject's own config file before falling back, so a
+        # loader call without explicit bounds doesn't silently sample
+        # the wrong interval
+        cfg_path = os.path.join(datadir, "HeadNeRF_config.txt")
+        if os.path.exists(cfg_path):
+            for line in open(cfg_path):
+                k, _, v = line.partition("=")
+                k = k.strip()
+                if k == "near" and near is None:
+                    near = float(v)
+                elif k == "far" and far is None:
+                    far = float(v)
+
     focal = float(meta["focal_len"])
     cx, cy = float(meta["cx"]), float(meta["cy"])
     auds = np.load(os.path.join(datadir, aud_file)).astype(np.float32)
