@@ -38,6 +38,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=6)
     p.add_argument("--keep", type=float, default=0.4)
+    p.add_argument("--samples", type=int, default=None,
+                   help="override N_samples for the FAST mode (the full "
+                        "reference render keeps the config schedule)")
+    p.add_argument("--importance", type=int, default=None,
+                   help="override N_importance for the FAST mode")
     p.add_argument("--tighten", action="store_true",
                    help="fast mode additionally samples each field's "
                         "own depth band (subject_depth_range + "
@@ -105,12 +110,24 @@ def main():
               f"[{bt[0]:.4f},{bt[1]:.4f}] (config "
               f"[{identity.near:.4f},{identity.far:.4f}])", flush=True)
 
+    import dataclasses
+
+    cfg_fast = cfg
+    if args.samples or args.importance:
+        cfg_fast = dataclasses.replace(
+            cfg,
+            N_samples=args.samples or cfg.N_samples,
+            N_importance=args.importance or cfg.N_importance)
+        print(f"fast-mode schedule: {cfg_fast.N_samples}+"
+              f"{cfg_fast.N_importance} (full stays {cfg.N_samples}+"
+              f"{cfg.N_importance})", flush=True)
+
     t0 = time.time()
-    fast = reenact(cfg, head_params, identity, fast_keep=args.keep,
+    fast = reenact(cfg_fast, head_params, identity, fast_keep=args.keep,
                    use_prior=True, bounds=bounds, **common)
     t_fast = (time.time() - t0) / n
     t0 = time.time()
-    reenact(cfg, head_params, identity, fast_keep=args.keep,
+    reenact(cfg_fast, head_params, identity, fast_keep=args.keep,
             use_prior=True, bounds=bounds, **common)
     t_fast_warm = (time.time() - t0) / n
 
@@ -119,6 +136,7 @@ def main():
         "frames": n,
         "keep": args.keep,
         "tightened_bounds": bounds,
+        "fast_schedule": f"{cfg_fast.N_samples}+{cfg_fast.N_importance}",
         "psnr_fast_vs_full": psnr(fast, full),
         "psnr_full_vs_gt": psnr(full, gt),
         "psnr_fast_vs_gt": psnr(fast, gt),
