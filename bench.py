@@ -267,6 +267,54 @@ def main():
         fps_comp_fast = fps_comp
         comp_fast_ran = False
 
+    # 6. quality-matched reduced sample schedule — EVIDENCE-GATED: only
+    # when scripts/sample_sweep.py has measured (on the converged
+    # rehearsal checkpoint) that a cheaper rung holds quality within
+    # 0.05 dB of the paper 64+192 schedule. Bounds tightening changes
+    # quality, not cost, so fps here only needs the rung.
+    qm = None
+    sweep_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "runs", "rehearsal2", "sample_sweep.json")
+    if on_tpu and os.path.exists(sweep_path):
+        with open(sweep_path) as fh:
+            sweep = json.load(fh)
+        ref_key = next((k for k in sweep
+                        if k.startswith("64+") and "_tight" not in k), None)
+        best = None
+        for k, v in sweep.items():
+            delta = v.get(f"delta_psnr_vs_{ref_key}")
+            if delta is None or delta > 0.05:
+                continue
+            s, imp = map(int, k.replace("_tight", "").split("+"))
+            cost = 2 * s + imp  # coarse s + fine (s+imp) point evals
+            if best is None or cost < best[0]:
+                best = (cost, s, imp, k, delta)
+        if best and best[1:3] != (cfg.N_samples, cfg.N_importance):
+            _, s_qm, imp_qm, rung, delta = best
+            import dataclasses as _dc
+
+            cfg_qm = _dc.replace(cfg, N_samples=s_qm, N_importance=imp_qm)
+            qm_masked = make_pruned_frame_renderer(
+                nerf_cfg, H, W, focal, near, far, cfg_qm.render_config(),
+                cx=cx, cy=cy, tile=(H * W) // 12,
+                keep_fraction=keep_masked, compute_dtype=compute_dtype,
+                prior_mask=mask_dev, k_coarse=k_coarse,
+            )
+            qm_comp = make_composite_fast_renderer(
+                nerf_cfg, torso_cfg, H, W, focal, near, far,
+                cfg_qm.render_config(), cx=cx, cy=cy,
+                compute_dtype=compute_dtype,
+                prior_mask_head=jnp.asarray(mask_h),
+                prior_mask_torso=jnp.asarray(mask_t),
+                keep_head=keep_masked, keep_torso=keep_masked,
+            )
+            qm = {
+                "rung": rung, "delta_db_on_converged_model": delta,
+                "fps_prior_masked": round(timed(qm_masked), 3),
+                "fps_head_torso_composite": round(timed_comp(qm_comp), 3),
+            }
+
     fps = max(fps_full, fps_pruned, fps_masked)
     rays_per_sec = fps * H * W
     baseline_fps = 25.0
@@ -285,6 +333,7 @@ def main():
                     "fps_head_torso_composite_full": round(fps_comp, 3),
                     "fps_head_torso_composite_best": round(fps_comp_fast, 3),
                     "composite_fast_ran": comp_fast_ran,
+                    "quality_matched": qm,
                     "prior_mask_source": mask_src,
                     "prior_mask_coverage": round(mask_coverage, 4),
                     "prior_coverage_head": round(cov_h, 4),
