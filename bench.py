@@ -20,6 +20,28 @@ import jax
 import jax.numpy as jnp
 
 
+def pick_quality_matched_rung(sweep, ref_prefix="64+", max_delta=0.05):
+    """Cheapest (N_samples, N_importance) rung in a sample_sweep.json
+    dict whose measured PSNR delta vs the paper schedule is within
+    ``max_delta`` dB. Cost model: coarse s + fine (s+imp) point evals.
+    Returns (s, imp, rung_key, delta) or None."""
+    ref_key = next((k for k in sweep
+                    if k.startswith(ref_prefix) and "_tight" not in k),
+                   None)
+    if ref_key is None:
+        return None
+    best = None
+    for k, v in sweep.items():
+        delta = v.get(f"delta_psnr_vs_{ref_key}")
+        if delta is None or delta > max_delta:
+            continue
+        s, imp = map(int, k.replace("_tight", "").split("+"))
+        cost = 2 * s + imp
+        if best is None or cost < best[0]:
+            best = (cost, s, imp, k, delta)
+    return best[1:] if best else None
+
+
 def main():
     from idealnerf_tpu.config import ExperimentConfig
     from idealnerf_tpu.eval.renderer import make_frame_renderer
@@ -279,19 +301,9 @@ def main():
     if on_tpu and os.path.exists(sweep_path):
         with open(sweep_path) as fh:
             sweep = json.load(fh)
-        ref_key = next((k for k in sweep
-                        if k.startswith("64+") and "_tight" not in k), None)
-        best = None
-        for k, v in sweep.items():
-            delta = v.get(f"delta_psnr_vs_{ref_key}")
-            if delta is None or delta > 0.05:
-                continue
-            s, imp = map(int, k.replace("_tight", "").split("+"))
-            cost = 2 * s + imp  # coarse s + fine (s+imp) point evals
-            if best is None or cost < best[0]:
-                best = (cost, s, imp, k, delta)
-        if best and best[1:3] != (cfg.N_samples, cfg.N_importance):
-            _, s_qm, imp_qm, rung, delta = best
+        best = pick_quality_matched_rung(sweep)
+        if best and best[:2] != (cfg.N_samples, cfg.N_importance):
+            s_qm, imp_qm, rung, delta = best
             import dataclasses as _dc
 
             cfg_qm = _dc.replace(cfg, N_samples=s_qm, N_importance=imp_qm)

@@ -154,3 +154,30 @@ def test_cli_train_torso_sharded_mesh(tmp_path):
                       "--steps", "2", "--smooth_audio", "0",
                       "--data_devices", "2", "--ray_devices", "4"]))
     assert os.path.isdir(tmp_path / "mesh2_torso" / "ckpt")
+
+
+def test_bench_quality_matched_rung_selection():
+    """bench.pick_quality_matched_rung: cheapest rung within 0.05 dB of
+    the paper schedule, tight variants eligible, missing ref -> None."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    pick = bench.pick_quality_matched_rung
+
+    sweep = {
+        "64+192": {"delta_psnr_vs_64+192": 0.0},
+        "32+64": {"delta_psnr_vs_64+192": 0.03},
+        "32+64_tight": {"delta_psnr_vs_64+192": 0.01},
+        "16+32": {"delta_psnr_vs_64+192": 0.4},   # too lossy
+        "24+48_tight": {"delta_psnr_vs_64+192": 0.04},
+    }
+    s, imp, rung, delta = pick(sweep)
+    assert (s, imp) == (24, 48) and rung == "24+48_tight"
+    assert pick({"48+96": {"delta_psnr_vs_48+96": 0.0}}) is None
+    # nothing within tolerance except the reference itself
+    only_ref = {"64+192": {"delta_psnr_vs_64+192": 0.0},
+                "16+32": {"delta_psnr_vs_64+192": 1.0}}
+    assert pick(only_ref)[:2] == (64, 192)
