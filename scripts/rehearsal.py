@@ -31,9 +31,13 @@ def phase_make(args):
     from idealnerf_tpu.data.export import write_reference_format
     from idealnerf_tpu.data.synthetic import make_synthetic_dataset
 
+    # --with_torso writes the composite (com_imgs carry a torso) variant
+    # of the SAME subject: identical seed/geometry => shared poses/audio
+    # with the head-only run, as the torso stage requires (it trains
+    # against the frozen head; reference run_nerf.py:499)
     ds = make_synthetic_dataset(
         n_frames=args.frames, H=args.hw, W=args.hw, dim_expr=args.dim_expr,
-        seed=7)
+        seed=7, with_torso=args.with_torso)
     cfg_path = write_reference_format(ds, args.out, subject="rehearsal")
     print("wrote subject:", cfg_path)
     return cfg_path
@@ -90,6 +94,9 @@ def main():
     p.add_argument("--epochs", type=int, default=140,
                    help="epochs over the train split (~100 steps each)")
     p.add_argument("--phase", default="all")
+    p.add_argument("--with_torso", action="store_true",
+                   help="make phase: write the composite (with-torso) "
+                        "variant of the subject (for train_torso runs)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU wiring check (small frames/budgets)")
     args = p.parse_args()
