@@ -289,7 +289,60 @@ def main():
         fps_comp_fast = fps_comp
         comp_fast_ran = False
 
-    # 6. quality-matched reduced sample schedule — EVIDENCE-GATED: only
+    # 6. temporal depth-cache composite (eval/temporal.py) — the VIDEO
+    # renderer: keyframes every BENCH_REFRESH frames pay the full
+    # hierarchical schedule on the prior rays; frames in between resample
+    # each ray only inside its cached foreground depth band at
+    # BENCH_S_DELTA samples/ray. Timing is content-independent (static
+    # shapes), so random fields measure real fps; the quality contract is
+    # measured on trained checkpoints by scripts/temporal_delta.py.
+    fps_temporal_video = fps_temporal_delta = None
+    if on_tpu:
+        from idealnerf_tpu.eval.temporal import (
+            make_temporal_composite_renderer,
+        )
+
+        s_delta = int(os.environ.get("BENCH_S_DELTA", "32"))
+        refresh = int(os.environ.get("BENCH_REFRESH", "25"))
+        render_temporal = make_temporal_composite_renderer(
+            nerf_cfg, torso_cfg, H, W, focal, near, far,
+            cfg.render_config(), cx=cx, cy=cy,
+            compute_dtype=compute_dtype,
+            prior_mask_head=jnp.asarray(mask_h),
+            prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
+        )
+
+        def tcall(cache):
+            return render_temporal(params, torso_params, pose, pose, bc,
+                                   aud=aud, signal=signal, expr=expr,
+                                   latent=latent, cache=cache)
+
+        # warm both executables (keyframe and delta programs)
+        for _ in range(2):
+            f, c0 = tcall(None)
+            float(f.mean())
+        for _ in range(3):
+            f, c0 = tcall(c0)
+            float(f.mean())
+        # amortized video fps over one refresh period (1 keyframe +
+        # refresh-1 delta frames), accumulate-then-fetch
+        t0 = time.perf_counter()
+        acc, cache = None, None
+        for i in range(refresh):
+            f, cache = tcall(None if i == 0 else cache)
+            acc = f if acc is None else acc + f
+        float(acc.mean())
+        fps_temporal_video = refresh / (time.perf_counter() - t0)
+        # steady-state delta-frame fps
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(max(n_frames, 8)):
+            f, cache = tcall(cache)
+            acc = f if acc is None else acc + f
+        float(acc.mean())
+        fps_temporal_delta = max(n_frames, 8) / (time.perf_counter() - t0)
+
+    # 7. quality-matched reduced sample schedule — EVIDENCE-GATED: only
     # when scripts/sample_sweep.py has measured (on the converged
     # rehearsal checkpoint) that a cheaper rung holds quality within
     # 0.05 dB of the paper 64+192 schedule. Bounds tightening changes
@@ -345,6 +398,12 @@ def main():
                     "fps_head_torso_composite_full": round(fps_comp, 3),
                     "fps_head_torso_composite_best": round(fps_comp_fast, 3),
                     "composite_fast_ran": comp_fast_ran,
+                    "fps_head_torso_temporal_video": (
+                        round(fps_temporal_video, 3)
+                        if fps_temporal_video else None),
+                    "fps_head_torso_temporal_delta": (
+                        round(fps_temporal_delta, 3)
+                        if fps_temporal_delta else None),
                     "quality_matched": qm,
                     "prior_mask_source": mask_src,
                     "prior_mask_coverage": round(mask_coverage, 4),

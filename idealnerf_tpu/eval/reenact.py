@@ -93,6 +93,8 @@ def reenact(
     use_prior: bool = False,
     mesh=None,
     bounds=None,
+    temporal: Optional[int] = None,
+    s_delta: int = 32,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
 
@@ -119,19 +121,30 @@ def reenact(
     if mesh is not None and fast_keep is not None:
         raise ValueError("mesh sharding requires full fidelity "
                          "(fast_keep=None)")
-    if use_prior and fast_keep is None:
-        raise ValueError("use_prior requires fast_keep (the prior mask "
-                         "only applies to the pruned fast renderers)")
+    if temporal is not None:
+        if torso_params is None:
+            raise ValueError("temporal mode is the composite video "
+                             "renderer (torso_params required)")
+        if mesh is not None or fast_keep is not None:
+            raise ValueError("temporal mode is incompatible with mesh "
+                             "sharding and fast_keep (it has its own "
+                             "keyframe/delta schedule)")
+        if temporal < 1:
+            raise ValueError("temporal must be >= 1 (keyframe interval)")
+    if use_prior and fast_keep is None and temporal is None:
+        raise ValueError("use_prior requires fast_keep or temporal (the "
+                         "prior mask only applies to the fast renderers)")
     if (bounds is not None and torso_params is not None
             and not isinstance(bounds, dict)):
         raise ValueError(
             "composite bounds tightening needs per-field bands: pass "
             "bounds=dict(head=(n,f), torso=(n,f)) (subject_depth_range "
             "+ torso_depth_range) with fast_keep")
-    if isinstance(bounds, dict) and fast_keep is None:
-        raise ValueError("per-field bounds apply to the composite FAST "
-                         "path (fast_keep required); the full-fidelity "
-                         "composite stays at reference bounds")
+    if isinstance(bounds, dict) and fast_keep is None and temporal is None:
+        raise ValueError("per-field bounds apply to the composite FAST/"
+                         "temporal paths (fast_keep or temporal "
+                         "required); the full-fidelity composite stays "
+                         "at reference bounds")
     if isinstance(bounds, dict) and torso_params is None:
         raise ValueError("per-field bounds dict is for the composite; "
                          "head-only renders take bounds=(near, far)")
@@ -209,7 +222,32 @@ def reenact(
                 compute_dtype=compute_dtype, use_pallas=use_pallas,
             )
     else:
-        if fast_keep is not None:
+        if temporal is not None:
+            from idealnerf_tpu.eval.temporal import (
+                make_temporal_composite_renderer,
+            )
+
+            pf = {}
+            if use_prior:
+                from idealnerf_tpu.eval.renderer import (
+                    foreground_prior_fields,
+                )
+
+                mh, mt = foreground_prior_fields(identity)
+                pf = dict(prior_mask_head=mh, prior_mask_torso=mt)
+                logger.info(
+                    "per-field priors: head %.1f%%, torso %.1f%%",
+                    100.0 * float(mh.mean()), 100.0 * float(mt.mean()))
+            if isinstance(bounds, dict):
+                pf.update(bounds_head=bounds.get("head"),
+                          bounds_torso=bounds.get("torso"))
+            render = make_temporal_composite_renderer(
+                head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
+                identity.near, identity.far, render_cfg,
+                cx=identity.cx, cy=identity.cy,
+                compute_dtype=compute_dtype, s_delta=s_delta, **pf,
+            )
+        elif fast_keep is not None:
             from idealnerf_tpu.eval.renderer import (
                 make_composite_fast_renderer,
             )
@@ -318,6 +356,7 @@ def reenact(
         return np.stack(frames)
 
     frames = []
+    cache = None
     for i in range(n_frames):
         pose = jnp.asarray(identity.poses[i % identity.size])
         expr = None
@@ -330,6 +369,15 @@ def reenact(
         if torso_params is None:
             frame = render(head_params, pose, bc, aud=aud_arg, expr=expr_arg,
                            latent=latent)
+        elif temporal is not None:
+            # keyframe every `temporal` frames (cache=None), band-confined
+            # delta renders in between
+            if i % temporal == 0:
+                cache = None
+            signal = torso_signal(aud, pose, cfg.dim_aud_body)
+            frame, cache = render(head_params, torso_params, pose, pose0,
+                                  bc, aud=aud_arg, signal=signal,
+                                  expr=expr_arg, latent=latent, cache=cache)
         else:
             signal = torso_signal(aud, pose, cfg.dim_aud_body)
             frame = render(head_params, torso_params, pose, pose0, bc,

@@ -1,0 +1,133 @@
+"""Temporal depth-cache composite quality delta on the rehearsal models.
+
+Renders a val-split head+torso clip (sequential frames, as the video
+eval does) three ways — full fidelity, and the temporal mode at a couple
+of (refresh, s_delta) operating points — and reports PSNR(temporal vs
+full), PSNR of each vs GT com_imgs, and warm fps. This is the measured
+quality cost of keyframe+delta rendering on converged fields (reference
+renders every frame from scratch: test_torso.py:513-534).
+
+Usage: python scripts/temporal_delta.py [--frames 24] [--refresh 25]
+           [--s_delta 32 16] [--tighten]
+Writes runs/rehearsal2_com/temporal_delta.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COM = os.path.join(ROOT, "runs", "rehearsal2_com")
+HEAD_CKPT = os.path.join(ROOT, "runs", "rehearsal2", "logs",
+                         "rehearsal_head", "ckpt")
+TORSO_CKPT = os.path.join(COM, "logs", "rehearsal_head_torso", "ckpt")
+
+
+def psnr(a, b):
+    import numpy as np
+
+    return float(-10.0 * np.log10(np.mean((a - b) ** 2) + 1e-12))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--refresh", type=int, default=25)
+    p.add_argument("--s_delta", type=int, nargs="+", default=[32, 16])
+    p.add_argument("--tighten", action="store_true",
+                   help="temporal modes additionally start from each "
+                        "field's own depth band (subject_depth_range + "
+                        "torso_depth_range) for keyframes/fallbacks")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idealnerf_tpu.ckpt import CheckpointManager
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.data.dataset import load_transforms_dataset
+    from idealnerf_tpu.eval.reenact import reenact
+    from idealnerf_tpu.train.state import init_train_state
+    from idealnerf_tpu.train.torso import init_torso_params
+
+    cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
+    identity = load_transforms_dataset(cfg.datadir, mode="val",
+                                       near=cfg.near, far=cfg.far)
+
+    state = init_train_state(jax.random.PRNGKey(0), cfg, identity.size)
+    raw = CheckpointManager(HEAD_CKPT).restore_raw()
+    head_params = raw["params"]
+    latents = jnp.asarray(raw["latent_codes"])
+    like = {"torso_params": init_torso_params(jax.random.PRNGKey(0), cfg)}
+    torso_params = CheckpointManager(TORSO_CKPT).restore_partial(like)[0][
+        "torso_params"]
+    print(f"head step {int(raw['step'])}, torso restored", flush=True)
+
+    n = min(args.frames, identity.size)
+    auds = identity.auds[:n]
+    exprs = identity.exprs[:n] if cfg.dim_expr else None
+    common = dict(
+        driving_auds=auds, driving_exprs=exprs, latent_codes=latents,
+        torso_params=torso_params, max_frames=n, smooth_audio=False,
+    )
+
+    bounds = None
+    if args.tighten:
+        from idealnerf_tpu.eval.renderer import (
+            subject_depth_range, torso_depth_range,
+        )
+
+        ds_train = load_transforms_dataset(cfg.datadir, mode="train",
+                                           near=cfg.near, far=cfg.far)
+        bh = subject_depth_range(cfg, head_params, latents, ds_train)
+        bt = torso_depth_range(cfg, torso_params, head_params, ds_train)
+        bounds = dict(head=bh, torso=bt)
+        print(f"tightened: head [{bh[0]:.4f},{bh[1]:.4f}] torso "
+              f"[{bt[0]:.4f},{bt[1]:.4f}]", flush=True)
+
+    t0 = time.time()
+    full = reenact(cfg, head_params, identity, **common)
+    t0 = time.time()
+    reenact(cfg, head_params, identity, **common)
+    t_full_warm = (time.time() - t0) / n
+
+    gt = identity.images[:n].astype(np.float32) / 255.0
+    out = {
+        "frames": n,
+        "refresh": args.refresh,
+        "tightened_bounds": bounds,
+        "psnr_full_vs_gt": psnr(full, gt),
+        "fps_full_warm": round(1.0 / t_full_warm, 3),
+        "modes": {},
+    }
+    for s_delta in args.s_delta:
+        kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
+                  bounds=bounds, **common)
+        tm = reenact(cfg, head_params, identity, **kw)
+        t0 = time.time()
+        reenact(cfg, head_params, identity, **kw)
+        t_warm = (time.time() - t0) / n
+        m = {
+            "psnr_temporal_vs_full": psnr(tm, full),
+            "psnr_temporal_vs_gt": psnr(tm, gt),
+            "delta_psnr_vs_gt": round(
+                out["psnr_full_vs_gt"] - psnr(tm, gt), 3),
+            "fps_temporal_warm": round(1.0 / t_warm, 3),
+        }
+        out["modes"][f"s_delta_{s_delta}"] = m
+        print(f"s_delta={s_delta}: {json.dumps(m)}", flush=True)
+
+    print(json.dumps(out, indent=2))
+    with open(os.path.join(COM, "temporal_delta.json"), "w") as f:
+        json.dump(out, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,210 @@
+"""Temporal depth-cache composite renderer (eval/temporal.py): band
+estimation + dilation units, keyframe exactness vs the full fused
+composite, and delta-frame quality tracking on trained fields."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from idealnerf_tpu.config import ExperimentConfig
+from idealnerf_tpu.eval.temporal import (
+    dilate_bands, fg_band, make_temporal_composite_renderer,
+)
+
+
+def test_fg_band_brackets_concentrated_mass():
+    """A ray whose weight sits in a narrow z range gets a band bracketing
+    it; the plate sample (last column) never contributes."""
+    S = 33
+    z = jnp.tile(jnp.linspace(0.5, 1.5, S)[None], (3, 1))
+    w = np.zeros((3, S), np.float32)
+    w[0, 10:14] = 0.25            # surface near z~0.81-0.9
+    w[1, -1] = 0.9                # plate-only ray: no fg mass
+    w[2, 5] = 0.5
+    w[2, 20] = 0.5                # bimodal: band spans both
+    lo, hi, mass = fg_band(z, jnp.asarray(w))
+    zv = np.asarray(z[0])
+    assert zv[9] <= float(lo[0]) <= zv[11]
+    assert zv[12] <= float(hi[0]) <= zv[14]
+    assert float(mass[0]) > 0.9
+    assert float(mass[1]) < 1e-6          # plate mass excluded
+    assert float(lo[2]) <= zv[5] + 1e-6 and float(hi[2]) >= zv[20] - 1e-6
+
+
+def test_dilate_bands_propagates_and_falls_back():
+    H = W = 8
+    sel = jnp.arange(H * W, dtype=jnp.int32)
+    lo = jnp.full((H * W,), 0.9)
+    hi = jnp.full((H * W,), 1.1)
+    valid = jnp.zeros((H * W,), bool).at[3 * W + 3].set(True)
+    lo_d, hi_d = dilate_bands(lo, hi, valid, sel, H, W, radius=1,
+                              fb_lo=0.5, fb_hi=1.5)
+    lo_d, hi_d = np.asarray(lo_d).reshape(H, W), np.asarray(hi_d).reshape(H, W)
+    # the valid ray's band reaches its 8-neighbourhood
+    assert np.allclose(lo_d[2:5, 2:5], 0.9) and np.allclose(hi_d[2:5, 2:5], 1.1)
+    # everywhere else falls back to the field interval
+    assert np.allclose(lo_d[0, 0], 0.5) and np.allclose(hi_d[7, 7], 1.5)
+
+
+def _random_setup(H=32, W=32):
+    from idealnerf_tpu.models.face_nerf import init_face_nerf
+
+    focal, cx, cy = 48.0, H / 2.0, W / 2.0
+    near, far = 0.5, 1.5
+    cfg = ExperimentConfig(dim_aud=16, dim_expr=8, dim_latent=4,
+                           N_samples=16, N_importance=16)
+    ncfg = cfg.face_nerf_config()
+    tcfg = ExperimentConfig(dim_aud=20, dim_expr=0, dim_latent=0,
+                            N_samples=16, N_importance=16).face_nerf_config()
+    ks = jax.random.split(jax.random.PRNGKey(0), 8)
+    hp = {"coarse": init_face_nerf(ks[0], ncfg),
+          "fine": init_face_nerf(ks[1], ncfg)}
+    tp = {"coarse": init_face_nerf(ks[2], tcfg),
+          "fine": init_face_nerf(ks[3], tcfg)}
+    pose = jnp.concatenate([jnp.eye(3), jnp.array([[0.], [0.], [0.9]])], 1)
+    pose0 = jnp.concatenate([jnp.eye(3), jnp.array([[0.05], [0.], [0.95]])], 1)
+    bc = jax.random.uniform(ks[4], (H, W, 3))
+    call = dict(aud=jax.random.normal(ks[5], (16,)),
+                expr=jax.random.normal(ks[6], (8,)),
+                signal=jax.random.normal(ks[7], (20,)),
+                latent=jnp.ones((4,)))
+    return (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+            pose, pose0, bc, call)
+
+
+def test_temporal_keyframe_matches_full_composite():
+    """A keyframe (cache=None) IS the full fused hierarchical composite:
+    coarse_hier + fine over the merged depths is the identical
+    computation to render_rays_fused's hier path."""
+    from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+
+    full = make_composite_frame_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, use_pallas="ray",
+        cx=cx, cy=cy)
+    ref = np.asarray(full(hp, tp, pose, pose0, bc, **call))
+
+    temporal = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8)
+    frame, cache = temporal(hp, tp, pose, pose0, bc, **call, cache=None)
+    np.testing.assert_allclose(np.asarray(frame), ref, atol=2e-5)
+
+    # cache invariants: bands are valid sub-intervals of [near, far]
+    for f in ("head", "torso"):
+        lo, hi = (np.asarray(cache[f][0]), np.asarray(cache[f][1]))
+        assert (lo >= near - 1e-6).all() and (hi <= far + 1e-6).all()
+        assert (lo <= hi + 1e-6).all()
+
+    # all-true per-field priors exercise the masked path; still exact
+    temporal_pf = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        prior_mask_head=np.ones((H, W), bool),
+        prior_mask_torso=np.ones((H, W), bool))
+    frame_pf, _ = temporal_pf(hp, tp, pose, pose0, bc, **call, cache=None)
+    np.testing.assert_allclose(np.asarray(frame_pf), ref, atol=2e-5)
+
+    # delta frame on the cache: finite, plate outside the union when
+    # per-field priors restrict the rays
+    mask_h = np.zeros((H, W), bool)
+    mask_h[4:20, 6:26] = True
+    mask_t = np.zeros((H, W), bool)
+    mask_t[14:30, 4:28] = True
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        prior_mask_head=mask_h, prior_mask_torso=mask_t)
+    f0, c0 = tm(hp, tp, pose, pose0, bc, **call, cache=None)
+    f1, c1 = tm(hp, tp, pose, pose0, bc, **call, cache=c0)
+    f1 = np.asarray(f1)
+    assert np.isfinite(f1).all()
+    union = mask_h | mask_t
+    ku = min(H * W, ((int(union.sum()) + 255) // 256) * 256)
+    n_padded = ku - int(union.sum())
+    eq_plate = np.abs(f1[~union] - np.asarray(bc)[~union]).max(-1) < 1e-6
+    assert (~eq_plate).sum() <= n_padded
+
+
+def test_temporal_video_tracks_trained_fields():
+    """On TRAINED head+torso fields, delta frames must stay close to the
+    per-frame full render across a moving 4-frame clip (the quality
+    contract of the temporal mode; random fog fields would fail this)."""
+    from idealnerf_tpu.data import make_synthetic_dataset
+    from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
+    from idealnerf_tpu.train import HeadTrainer
+    from idealnerf_tpu.train.head import compute_aud_feature
+    from idealnerf_tpu.train.torso import (
+        TorsoTrainer, torso_nerf_config, torso_signal,
+    )
+
+    cfg = ExperimentConfig(
+        dim_aud=64, dim_expr=8, dim_latent=32, dim_aud_body=32,
+        N_rand=256, mouth_rays=32, torso_rays=32, sample_rate=0.9,
+        N_samples=10, N_importance=10, lrate=5e-4, nosmo_iters=10**9,
+        density_activation="softplus",
+    )
+    ds_head = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8)
+    ds_com = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8,
+                                    with_torso=True)
+    head = HeadTrainer(cfg, ds_head, seed=0)
+    head.run(n_epochs=20, log_every=100, on_metrics=lambda s, m: None)
+    torso = TorsoTrainer(cfg, ds_com, head.state.params,
+                         latent_codes=head.state.latent_codes, seed=1,
+                         smooth_audio=False)
+    torso.run(n_steps=121, log_every=200, on_metrics=lambda s, m: None)
+
+    rc = cfg.render_config()
+    ncfg = cfg.face_nerf_config()
+    tcfg = torso_nerf_config(cfg)
+    data = torso.data
+    bc = data["bc_img"].astype(jnp.float32) / 255.0
+    pose0 = data["poses"][0]
+    full = make_composite_frame_renderer(
+        ncfg, tcfg, 48, 48, ds_com.focal, ds_com.near, ds_com.far, rc,
+        cx=ds_com.cx, cy=ds_com.cy, use_pallas="ray")
+    temporal = make_temporal_composite_renderer(
+        ncfg, tcfg, 48, 48, ds_com.focal, ds_com.near, ds_com.far, rc,
+        cx=ds_com.cx, cy=ds_com.cy, s_delta=8, dilate_px=3)
+
+    hp, tp = head.state.params, torso.torso_params
+    cache = None
+    psnrs = []
+    for i in range(4):      # keyframe + 3 moving delta frames
+        aud = compute_aud_feature(hp, data["auds"], data["aud_ids"], i,
+                                  cfg, False)
+        sig = torso_signal(aud, data["poses"][i], cfg.dim_aud_body)
+        call = dict(aud=aud, signal=sig, expr=data["exprs"][i],
+                    latent=head.state.latent_codes[i])
+        ref = np.asarray(full(hp, tp, data["poses"][i], pose0, bc, **call))
+        frame, cache = temporal(hp, tp, data["poses"][i], pose0, bc,
+                                **call, cache=cache)
+        err = float(np.mean((np.asarray(frame) - ref) ** 2))
+        psnrs.append(-10.0 * np.log10(err + 1e-12))
+    # keyframe is exact; every delta frame stays close to per-frame full
+    assert psnrs[0] > 50.0, psnrs
+    assert min(psnrs[1:]) > 24.0, psnrs
+
+
+def test_reenact_temporal_mode_runs():
+    """reenact(..., temporal=2) threads the cache through the frame loop
+    and produces finite frames of the right shape."""
+    from idealnerf_tpu.data import make_synthetic_dataset
+    from idealnerf_tpu.eval.reenact import reenact
+    from idealnerf_tpu.train.state import init_train_state
+    from idealnerf_tpu.train.torso import init_torso_params
+
+    cfg = ExperimentConfig(dim_aud=64, dim_expr=8, dim_latent=32,
+                           N_samples=8, N_importance=8)
+    ds = make_synthetic_dataset(n_frames=3, H=24, W=24, dim_expr=8,
+                                with_torso=True)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, ds.size)
+    tparams = init_torso_params(jax.random.PRNGKey(1), cfg)
+    frames = reenact(
+        cfg, state.params, ds, driving_auds=ds.auds[:3],
+        driving_exprs=ds.exprs[:3], latent_codes=state.latent_codes,
+        torso_params=tparams, max_frames=3, smooth_audio=False,
+        temporal=2, s_delta=6, use_prior=True,
+    )
+    assert frames.shape == (3, 24, 24, 3)
+    assert np.isfinite(frames).all()
