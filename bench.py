@@ -342,6 +342,46 @@ def main():
         float(acc.mean())
         fps_temporal_delta = max(n_frames, 8) / (time.perf_counter() - t0)
 
+        # head-only temporal (the single-field video path,
+        # eval_aud_exp_nerf.py:437 workload) under the same subject prior
+        # as mode 3
+        from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+        render_temporal_head = make_temporal_frame_renderer(
+            nerf_cfg, H, W, focal, near, far, cfg.render_config(),
+            cx=cx, cy=cy, compute_dtype=compute_dtype,
+            prior_mask=mask_dev, s_delta=s_delta,
+        )
+
+        def hcall(cache):
+            return render_temporal_head(params, pose, bc, aud=aud,
+                                        expr=expr, latent=latent,
+                                        cache=cache)
+
+        for _ in range(2):
+            f, hc = hcall(None)
+            float(f.mean())
+        for _ in range(3):
+            f, hc = hcall(hc)
+            float(f.mean())
+        t0 = time.perf_counter()
+        acc, hc = None, None
+        for i in range(refresh):
+            f, hc = hcall(None if i == 0 else hc)
+            acc = f if acc is None else acc + f
+        float(acc.mean())
+        fps_temporal_head_video = refresh / (time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(max(n_frames, 8)):
+            f, hc = hcall(hc)
+            acc = f if acc is None else acc + f
+        float(acc.mean())
+        fps_temporal_head_delta = (
+            max(n_frames, 8) / (time.perf_counter() - t0))
+    else:
+        fps_temporal_head_video = fps_temporal_head_delta = None
+
     # 7. quality-matched reduced sample schedule — EVIDENCE-GATED: only
     # when scripts/sample_sweep.py has measured (on the converged
     # rehearsal checkpoint) that a cheaper rung holds quality within
@@ -404,6 +444,12 @@ def main():
                     "fps_head_torso_temporal_delta": (
                         round(fps_temporal_delta, 3)
                         if fps_temporal_delta else None),
+                    "fps_head_temporal_video": (
+                        round(fps_temporal_head_video, 3)
+                        if fps_temporal_head_video else None),
+                    "fps_head_temporal_delta": (
+                        round(fps_temporal_head_delta, 3)
+                        if fps_temporal_head_delta else None),
                     "quality_matched": qm,
                     "prior_mask_source": mask_src,
                     "prior_mask_coverage": round(mask_coverage, 4),

@@ -47,6 +47,16 @@ def main(argv=None):
                         help="tighten [near,far] to the trained head's "
                              "own depth band (subject_depth_range); "
                              "head-only renders")
+    parser.add_argument("--temporal", type=int, default=0,
+                        help="temporal depth-cache video mode: keyframe "
+                             "interval in frames (e.g. 25); frames in "
+                             "between resample only each ray's cached "
+                             "foreground depth band (eval/temporal.py). "
+                             "Head-only and composite; not with --fast "
+                             "or mesh flags")
+    parser.add_argument("--s_delta", type=int, default=32,
+                        help="with --temporal: samples per ray on delta "
+                             "frames")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -130,6 +140,7 @@ def main(argv=None):
         fast_keep=args.fast / 100.0 if args.fast else None,
         use_prior=bool(args.prior),
         mesh=mesh, tile=tile, bounds=bounds,
+        temporal=args.temporal or None, s_delta=args.s_delta,
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

@@ -71,6 +71,16 @@ class ExperimentConfig:
                              # 1.7x faster than XLA, convergence-parity
                              # verified — kernels/fused_mlp_grad.py;
                              # ignored off-TPU)
+    flat_optimizer: bool = False  # wrap Adam in optax.flatten: one fused
+                                  # update kernel over a single flat
+                                  # vector instead of per-leaf chains
+                                  # (changes opt_state checkpoint layout;
+                                  # scripts/train_profile.py measures it)
+    sampler_approx: bool = False  # ray sampler uses lax.approx_max_k
+                                  # instead of exact top_k (the "top-k of
+                                  # uniform randoms" IS a random subset,
+                                  # so approximate recall only perturbs
+                                  # region budgets by a few rays)
     lrate: float = 8e-4
     lrate_decay: int = 500
     lc_weight: float = 0.0005

@@ -47,15 +47,25 @@ class RayBudget(NamedTuple):
                    mouth=mouth_rays, torso=torso_rays)
 
 
-def _topk_coords(key, mask_flat: jnp.ndarray, k: int, W: int) -> jnp.ndarray:
+def _topk_coords(key, mask_flat: jnp.ndarray, k: int, W: int,
+                 approx: bool = False) -> jnp.ndarray:
     """k coords sampled uniformly without replacement from mask_flat (H*W,).
 
     If the mask has fewer than k pixels, the remainder comes uniformly from
     outside the mask (the reference would crash; we degrade gracefully).
+
+    ``approx``: ``lax.approx_max_k`` instead of exact top-k — much cheaper
+    on TPU at H·W scale. The top-k of i.i.d. uniforms IS a uniform random
+    subset, so imperfect recall merely swaps some selected pixels for
+    other equally-random ones; with a sufficiently large mask a few
+    selections may fall outside it (budget emphasis, not correctness).
     """
     u = jax.random.uniform(key, mask_flat.shape)
     score = jnp.where(mask_flat, u + 2.0, u)
-    _, idx = jax.lax.top_k(score, k)
+    if approx:
+        _, idx = jax.lax.approx_max_k(score, k, recall_target=0.95)
+    else:
+        _, idx = jax.lax.top_k(score, k)
     return jnp.stack([idx // W, idx % W], axis=-1)
 
 
@@ -67,9 +77,10 @@ def sample_ray_coords(
     mouth_box: jnp.ndarray,   # (4,) [min_x, max_x, min_y, max_y] (lms 48+ ±20)
     torso_mask: jnp.ndarray,  # (H, W) bool
     budget: RayBudget,
+    approx: bool = False,
 ) -> jnp.ndarray:
     """(budget.total, 2) int32 pixel coords [row, col], order
-    [face, background, mouth, torso]."""
+    [face, background, mouth, torso]. ``approx``: see _topk_coords."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
 
@@ -93,7 +104,8 @@ def sample_ray_coords(
         (ks[3], torso_mask.astype(bool), budget.torso),
     ):
         if n > 0:
-            parts.append(_topk_coords(k_r, mask.reshape(-1), n, W))
+            parts.append(_topk_coords(k_r, mask.reshape(-1), n, W,
+                                      approx=approx))
     return jnp.concatenate(parts, axis=0)
 
 

@@ -122,9 +122,6 @@ def reenact(
         raise ValueError("mesh sharding requires full fidelity "
                          "(fast_keep=None)")
     if temporal is not None:
-        if torso_params is None:
-            raise ValueError("temporal mode is the composite video "
-                             "renderer (torso_params required)")
         if mesh is not None or fast_keep is not None:
             raise ValueError("temporal mode is incompatible with mesh "
                              "sharding and fast_keep (it has its own "
@@ -188,7 +185,19 @@ def reenact(
 
     render_video = None
     if torso_params is None:
-        if fast_keep is not None:
+        if temporal is not None:
+            from idealnerf_tpu.eval.temporal import (
+                make_temporal_frame_renderer,
+            )
+
+            # near/far already carry head-only tuple bounds (tightening)
+            render = make_temporal_frame_renderer(
+                head_cfg, H, W, identity.focal, near, far, render_cfg,
+                cx=identity.cx, cy=identity.cy,
+                compute_dtype=compute_dtype, s_delta=s_delta,
+                prior_mask=prior_mask,
+            )
+        elif fast_keep is not None:
             from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
 
             render = make_pruned_frame_renderer(
@@ -366,7 +375,12 @@ def reenact(
             )
         aud = aud_feats[i]
         aud_arg, expr_arg = variant_conditioning(head_params, cfg, aud, expr)
-        if torso_params is None:
+        if torso_params is None and temporal is not None:
+            if i % temporal == 0:
+                cache = None
+            frame, cache = render(head_params, pose, bc, aud=aud_arg,
+                                  expr=expr_arg, latent=latent, cache=cache)
+        elif torso_params is None:
             frame = render(head_params, pose, bc, aud=aud_arg, expr=expr_arg,
                            latent=latent)
         elif temporal is not None:

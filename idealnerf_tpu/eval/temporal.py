@@ -1,4 +1,4 @@
-"""Temporal depth-cache video renderer — the round-3 lever past the
+"""Temporal depth-cache video renderers — the round-3 lever past the
 per-frame fast path.
 
 A talking-head video is one mostly-static surface: between consecutive
@@ -6,19 +6,20 @@ frames the per-pixel depth of the head/torso surface moves by at most a
 few pixels laterally and a tiny fraction of the depth interval axially.
 The reference re-renders every frame from scratch at 64+192 samples over
 the full [near, far] interval (test_torso.py:513-534 — both fields, all
-pixels). Here only KEYFRAMES (every ``refresh_every`` frames) pay the
-full hierarchical schedule; in-between DELTA frames resample each ray
-only inside a narrow per-ray depth band carried over from the previous
-frame (the z interval holding the central 96% of that ray's foreground
-weight mass, spatially dilated to tolerate lateral motion, re-estimated
-every frame from the delta pass's own weights).
+pixels; eval_aud_exp_nerf.py:437 head-only). Here only KEYFRAMES (every
+``refresh_every`` frames) pay the full hierarchical schedule; in-between
+DELTA frames resample each ray only inside a narrow per-ray depth band
+carried over from the previous frame (the z interval holding the central
+96% of that ray's foreground weight mass, spatially dilated to tolerate
+lateral motion, re-estimated every frame from the delta pass's own
+weights).
 
 Exactness structure:
 
 - A keyframe IS the full fused render (fused_render_coarse_hier +
   fused_render_rays over the merged depths — identical computation to
   kernels.fused_render.render_rays_fused's hierarchical path), restricted
-  to the per-field prior rays like the composite fast path.
+  to the prior rays like the fast paths.
 - A delta frame evaluates the FINE network at ``s_delta`` depths per ray
   (band-confined linspace + the pinned plate sample at far, matching the
   reference's t_rand[-1]=1 plate pin — helper.py:66-69 semantics), so its
@@ -93,6 +94,154 @@ def dilate_bands(lo, hi, valid, sel, H, W, radius: int,
     return (jnp.where(ok, lo_d, fb_lo), jnp.where(ok, hi_d, fb_hi))
 
 
+def _prior_sel(mask, n):
+    """Compile-time ray selection for a prior mask (256-aligned, prior
+    rays first — same convention as eval.renderer's fast paths)."""
+    m = np.asarray(mask).reshape(-1).astype(bool)
+    k = min(n, ((int(m.sum()) + 255) // 256) * 256)
+    return np.argsort(~m, kind="stable")[:k].astype(np.int32)
+
+
+def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
+                    s_delta, band_pad_frac, min_band_frac, dilate_px,
+                    fg_thresh, tag):
+    """Per-field temporal stages: ``run(params, pose_f, bc_img, cond,
+    band) -> (rgb, lw, fg, new_band)``. ``band=None`` renders the
+    keyframe (full hierarchical schedule); otherwise a band-confined
+    delta pass. ``tag`` keeps the jitted closures distinct per field."""
+    from idealnerf_tpu.kernels.fused_render import (
+        fused_render_coarse_hier, fused_render_rays,
+    )
+    from idealnerf_tpu.models.face_nerf import fold_conditioning
+
+    @jax.jit
+    def stage_kf_coarse(params, pose_f, bc_img, cond):
+        """Keyframe coarse pass + in-kernel hierarchical sampling on the
+        field's prior rays (one pallas launch) -> rays + merged depths."""
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["coarse"], ncfg, *cond)
+        o, d = get_rays(H, W, focal, pose_f, cx, cy)
+        o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
+        b = bc_img.reshape(-1, 3)[sel]
+        _, z_all = fused_render_coarse_hier(
+            p["coarse"], folded, ncfg, o, d, b, nf[0], nf[1],
+            cfg.n_samples, cfg.n_importance, point_tile=8192,
+        )
+        return dict(o=o, d=d, b=b, z=z_all)
+
+    @jax.jit
+    def stage_fine(params, o, d, z, b, cond):
+        """FINE network at the given depths (one pallas launch) — serves
+        both the keyframe (z = merged hierarchical depths) and the delta
+        pass (z = band-confined grid)."""
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["fine"], ncfg, *cond)
+        out = fused_render_rays(p["fine"], folded, ncfg, o, d, z, b,
+                                point_tile=4096)
+        return (out["rgb_map"], out["last_weight"], out["rgb_fg"],
+                out["weights"])
+
+    @jax.jit
+    def stage_delta_rays(pose_f, bc_img, band_lo, band_hi):
+        """Delta-pass ray + depth-grid construction (no pallas): a
+        band-confined linspace of ``s_delta - 1`` samples plus the
+        pinned plate sample at the field's far."""
+        o, d = get_rays(H, W, focal, pose_f, cx, cy)
+        o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
+        b = bc_img.reshape(-1, 3)[sel]
+        t = jnp.linspace(0.0, 1.0, s_delta - 1, dtype=jnp.float32)
+        z_band = band_lo[:, None] + (band_hi - band_lo)[:, None] * t[None]
+        z = jnp.concatenate(
+            [z_band, jnp.full((z_band.shape[0], 1), nf[1], jnp.float32)], 1)
+        return o, d, z, b
+
+    @jax.jit
+    def stage_band(z, weights):
+        """Next-frame band from this frame's weights (no pallas):
+        96%-mass band -> pad -> width floor -> dilate -> clip."""
+        span = nf[1] - nf[0]
+        lo, hi, mass = fg_band(z, weights)
+        valid = mass > fg_thresh
+        pad = band_pad_frac * span
+        lo, hi = lo - pad, hi + pad
+        width = jnp.maximum(hi - lo, min_band_frac * span)
+        mid = 0.5 * (lo + hi)
+        lo, hi = mid - 0.5 * width, mid + 0.5 * width
+        lo, hi = dilate_bands(lo, hi, valid, sel, H, W, dilate_px,
+                              nf[0], nf[1])
+        return (jnp.clip(lo, nf[0], nf[1]), jnp.clip(hi, nf[0], nf[1]))
+
+    def run(params, pose_f, bc_img, cond, band):
+        if band is None:  # keyframe
+            st = stage_kf_coarse(params, pose_f, bc_img, cond)
+            o, d, z, b = st["o"], st["d"], st["z"], st["b"]
+        else:
+            o, d, z, b = stage_delta_rays(pose_f, bc_img, band[0], band[1])
+        rgb, lw, fg, w = stage_fine(params, o, d, z, b, cond)
+        return rgb, lw, fg, stage_band(z, w)
+
+    run.tag = tag
+    return run
+
+
+def _check_schedule(cfg, s_delta):
+    if cfg.n_importance < 2:
+        raise ValueError(
+            "temporal renderers require n_importance >= 2 (keyframes "
+            "use the in-kernel hierarchical path)")
+    if s_delta < 4:
+        raise ValueError("s_delta must be >= 4")
+
+
+def make_temporal_frame_renderer(
+    nerf_cfg,
+    H: int, W: int, focal, near, far, cfg,
+    cx=None, cy=None, compute_dtype=None,
+    prior_mask=None, bounds=None,
+    s_delta: int = 32,
+    band_pad_frac: float = 0.02,
+    min_band_frac: float = 0.04,
+    dilate_px: int = 4,
+    fg_thresh: float = 0.2,
+):
+    """Single-field (head-only) temporal depth-cache renderer.
+
+    Returns ``render(params, pose, bc_img, aud=None, expr=None,
+    latent=None, cache=None) -> (frame (H, W, 3), cache)``. ``cache=None``
+    renders a keyframe; a previous cache renders a band-confined delta
+    frame. Outside ``prior_mask`` the frame is the plate (trained-field
+    assumption of eval.renderer.render_frame_prior_masked)."""
+    _check_schedule(cfg, s_delta)
+    cfg = cfg.eval_mode()
+    cd = compute_dtype or jnp.float32
+    n = H * W
+    masked = prior_mask is not None
+    sel_np = (_prior_sel(prior_mask, n) if masked
+              else np.arange(n, dtype=np.int32))
+    sel = jnp.asarray(sel_np)
+    nf = tuple(bounds) if bounds is not None else (float(near), float(far))
+
+    field = _field_pipeline(nerf_cfg, H, W, focal, cx, cy, cfg, cd, nf,
+                            sel, s_delta, band_pad_frac, min_band_frac,
+                            dilate_px, fg_thresh, tag="head")
+
+    @jax.jit
+    def assemble(rgb, bc_img):
+        plate = bc_img.reshape(-1, 3)
+        img = plate.at[sel].set(rgb) if masked else rgb
+        return img.reshape(H, W, 3)
+
+    def render(params, pose, bc_img, aud=None, expr=None, latent=None,
+               cache=None):
+        if "fine" not in params:
+            raise ValueError("temporal rendering needs 'fine' params")
+        rgb, _, _, band = field(params, pose, bc_img, (aud, expr, latent),
+                                cache)
+        return assemble(rgb, bc_img), band
+
+    return render
+
+
 def make_temporal_composite_renderer(
     head_cfg, torso_cfg,
     H: int, W: int, focal, near, far, cfg,
@@ -124,31 +273,16 @@ def make_temporal_composite_renderer(
     so its cache is near-stationary; the head band tracks pose motion
     through the dilation.
     """
-    from idealnerf_tpu.kernels.fused_render import (
-        fused_render_coarse_hier, fused_render_rays,
-    )
-    from idealnerf_tpu.models.face_nerf import fold_conditioning
-
-    if cfg.n_importance < 2:
-        raise ValueError(
-            "temporal composite requires n_importance >= 2 (keyframes "
-            "use the in-kernel hierarchical path)")
-    if s_delta < 4:
-        raise ValueError("s_delta must be >= 4")
-
+    _check_schedule(cfg, s_delta)
     cfg = cfg.eval_mode()
     cd = compute_dtype or jnp.float32
     n = H * W
 
-    def _sel(m_np):
-        k = int(m_np.sum())
-        k = min(n, ((k + 255) // 256) * 256)
-        return np.argsort(~m_np, kind="stable")[:k].astype(np.int32)
-
     if prior_mask_head is not None and prior_mask_torso is not None:
         mh = np.asarray(prior_mask_head).reshape(-1).astype(bool)
         mt = np.asarray(prior_mask_torso).reshape(-1).astype(bool)
-        sel_h_np, sel_t_np, sel_u_np = _sel(mh), _sel(mt), _sel(mh | mt)
+        sel_h_np, sel_t_np = _prior_sel(mh, n), _prior_sel(mt, n)
+        sel_u_np = _prior_sel(mh | mt, n)
         masked = True
     else:
         sel_h_np = sel_t_np = sel_u_np = np.arange(n, dtype=np.int32)
@@ -161,8 +295,6 @@ def make_temporal_composite_renderer(
 
     u2h = jnp.asarray(_pos(sel_h_np)[sel_u_np])
     u2t = jnp.asarray(_pos(sel_t_np)[sel_u_np])
-    sel_h = jnp.asarray(sel_h_np)
-    sel_t = jnp.asarray(sel_t_np)
     sel_u = jnp.asarray(sel_u_np)
 
     nf_head = tuple(bounds_head) if bounds_head is not None else (
@@ -170,70 +302,12 @@ def make_temporal_composite_renderer(
     nf_torso = tuple(bounds_torso) if bounds_torso is not None else (
         float(near), float(far))
 
-    def _field(is_torso):
-        return ((torso_cfg, nf_torso, sel_t) if is_torso
-                else (head_cfg, nf_head, sel_h))
-
-    @functools.partial(jax.jit, static_argnames=("is_torso",))
-    def stage_kf_coarse(params, pose_f, bc_img, cond, is_torso=False):
-        """Keyframe coarse pass + in-kernel hierarchical sampling on the
-        field's prior rays (one pallas launch) -> rays + merged depths."""
-        ncfg, nf, sel = _field(is_torso)
-        p = jax.tree.map(lambda x: x.astype(cd), params)
-        folded = fold_conditioning(p["coarse"], ncfg, *cond)
-        o, d = get_rays(H, W, focal, pose_f, cx, cy)
-        o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
-        b = bc_img.reshape(-1, 3)[sel]
-        _, z_all = fused_render_coarse_hier(
-            p["coarse"], folded, ncfg, o, d, b, nf[0], nf[1],
-            cfg.n_samples, cfg.n_importance, point_tile=8192,
-        )
-        return dict(o=o, d=d, b=b, z=z_all)
-
-    @functools.partial(jax.jit, static_argnames=("is_torso",))
-    def stage_fine(params, o, d, z, b, cond, is_torso=False):
-        """FINE network at the given depths (one pallas launch) — serves
-        both the keyframe (z = merged hierarchical depths) and the delta
-        pass (z = band-confined grid)."""
-        ncfg, _, _ = _field(is_torso)
-        p = jax.tree.map(lambda x: x.astype(cd), params)
-        folded = fold_conditioning(p["fine"], ncfg, *cond)
-        out = fused_render_rays(p["fine"], folded, ncfg, o, d, z, b,
-                                point_tile=4096)
-        return (out["rgb_map"], out["last_weight"], out["rgb_fg"],
-                out["weights"])
-
-    @functools.partial(jax.jit, static_argnames=("is_torso",))
-    def stage_delta_rays(pose_f, bc_img, band_lo, band_hi, is_torso=False):
-        """Delta-pass ray + depth-grid construction (no pallas): a
-        band-confined linspace of ``s_delta - 1`` samples plus the
-        pinned plate sample at the field's far."""
-        ncfg, nf, sel = _field(is_torso)
-        o, d = get_rays(H, W, focal, pose_f, cx, cy)
-        o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
-        b = bc_img.reshape(-1, 3)[sel]
-        t = jnp.linspace(0.0, 1.0, s_delta - 1, dtype=jnp.float32)
-        z_band = band_lo[:, None] + (band_hi - band_lo)[:, None] * t[None]
-        z = jnp.concatenate(
-            [z_band, jnp.full((z_band.shape[0], 1), nf[1], jnp.float32)], 1)
-        return o, d, z, b
-
-    @functools.partial(jax.jit, static_argnames=("is_torso",))
-    def stage_band(z, weights, is_torso=False):
-        """Next-frame band from this frame's weights (no pallas):
-        96%-mass band -> pad -> width floor -> dilate -> clip."""
-        _, nf, sel = _field(is_torso)
-        span = nf[1] - nf[0]
-        lo, hi, mass = fg_band(z, weights)
-        valid = mass > fg_thresh
-        pad = band_pad_frac * span
-        lo, hi = lo - pad, hi + pad
-        width = jnp.maximum(hi - lo, min_band_frac * span)
-        mid = 0.5 * (lo + hi)
-        lo, hi = mid - 0.5 * width, mid + 0.5 * width
-        lo, hi = dilate_bands(lo, hi, valid, sel, H, W, dilate_px,
-                              nf[0], nf[1])
-        return (jnp.clip(lo, nf[0], nf[1]), jnp.clip(hi, nf[0], nf[1]))
+    kb = (s_delta, band_pad_frac, min_band_frac, dilate_px, fg_thresh)
+    head = _field_pipeline(head_cfg, H, W, focal, cx, cy, cfg, cd,
+                           nf_head, jnp.asarray(sel_h_np), *kb, tag="head")
+    torso = _field_pipeline(torso_cfg, H, W, focal, cx, cy, cfg, cd,
+                            nf_torso, jnp.asarray(sel_t_np), *kb,
+                            tag="torso")
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):
@@ -254,32 +328,17 @@ def make_temporal_composite_renderer(
             img = rgb_h * lw_t[:, None] + fg_t
         return img.reshape(H, W, 3)
 
-    def _one_field(params, pose_f, bc_img, cond, band, is_torso):
-        if band is None:  # keyframe
-            st = stage_kf_coarse(params, pose_f, bc_img, cond,
-                                 is_torso=is_torso)
-            o, d, z, b = st["o"], st["d"], st["z"], st["b"]
-        else:
-            o, d, z, b = stage_delta_rays(pose_f, bc_img, band[0], band[1],
-                                          is_torso=is_torso)
-        rgb, lw, fg, w = stage_fine(params, o, d, z, b, cond,
-                                    is_torso=is_torso)
-        new_band = stage_band(z, w, is_torso=is_torso)
-        return rgb, lw, fg, new_band
-
     def render(head_params, torso_params, pose, pose0, bc_img,
                aud=None, signal=None, expr=None, latent=None, cache=None):
         if "fine" not in head_params or "fine" not in torso_params:
             raise ValueError("temporal composite needs 'fine' params in "
                              "both fields")
-        cond_h = (aud, expr, latent)
-        cond_t = (signal, None, None)
         band_h = cache["head"] if cache is not None else None
         band_t = cache["torso"] if cache is not None else None
-        rgb_h, _, _, new_h = _one_field(head_params, pose, bc_img, cond_h,
-                                        band_h, is_torso=False)
-        _, lw_t, fg_t, new_t = _one_field(torso_params, pose0, bc_img,
-                                          cond_t, band_t, is_torso=True)
+        rgb_h, _, _, new_h = head(head_params, pose, bc_img,
+                                  (aud, expr, latent), band_h)
+        _, lw_t, fg_t, new_t = torso(torso_params, pose0, bc_img,
+                                     (signal, None, None), band_t)
         frame = stage_composite(rgb_h, lw_t, fg_t, bc_img)
         return frame, {"head": new_h, "torso": new_t}
 

@@ -101,6 +101,7 @@ def make_sharded_train_step(
                 k, H, W,
                 data["face_rects"][i], data["mouth_boxes"][i],
                 data["torso_masks"][i], budget,
+                approx=getattr(cfg, "sampler_approx", False),
             )
         )(k_sample, indices)
         coords = jax.lax.with_sharding_constraint(coords, coords_sharding)
@@ -476,7 +477,8 @@ def make_sharded_torso_train_step(
         keys = jax.random.split(key, 2 * batch)
         coords = jax.vmap(
             lambda k: sample_ray_coords(
-                k, H, W, bottom_rect, zero_box, zero_mask, budget
+                k, H, W, bottom_rect, zero_box, zero_mask, budget,
+                approx=getattr(cfg, "sampler_approx", False),
             )
         )(keys[:batch])
         coords = jax.lax.with_sharding_constraint(coords, coords_sharding)

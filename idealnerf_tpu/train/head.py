@@ -161,6 +161,7 @@ def make_head_train_step(
             k_sample, H, W,
             face_rect, data["mouth_boxes"][index],
             data["torso_masks"][index], budget,
+            approx=getattr(cfg, "sampler_approx", False),
         )
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             (state.params, state.latent_codes), data, index, coords, k_render

@@ -31,7 +31,14 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
-    return optax.adam(exponential_lr(cfg.lrate, cfg.lrate_decay), b1=0.9, b2=0.999)
+    base = optax.adam(exponential_lr(cfg.lrate, cfg.lrate_decay),
+                      b1=0.9, b2=0.999)
+    if getattr(cfg, "flat_optimizer", False):
+        # one fused Adam kernel over a single flat vector instead of a
+        # per-leaf kernel chain (scripts/train_profile.py measures the
+        # step-time delta); NOTE: changes the opt_state checkpoint layout
+        return optax.flatten(base)
+    return base
 
 
 def init_train_state(key, cfg: ExperimentConfig, data_size: int) -> TrainState:

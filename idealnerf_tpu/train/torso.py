@@ -168,6 +168,7 @@ def make_torso_train_step(
         coords = sample_ray_coords(
             k_sample, H, W, bottom_rect, zero_box,
             jnp.zeros((H, W), jnp.uint8), budget,
+            approx=getattr(cfg, "sampler_approx", False),
         )
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             torso_params, head_params, data, index, coords, k_render

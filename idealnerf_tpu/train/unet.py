@@ -138,6 +138,7 @@ def make_unet_train_step(cfg: ExperimentConfig, dataset: FrameDataset):
         coords = sample_ray_coords(
             k_sample, H, W, data["face_rects"][index],
             data["mouth_boxes"][index], data["torso_masks"][index], budget,
+            approx=getattr(cfg, "sampler_approx", False),
         )
         # the frame's 68 landmark pixels lead the batch (get_data.py:133).
         # .lms rows are (x, y); coords are (row, col) = (y, x). (The

@@ -124,6 +124,27 @@ def main():
         out["modes"][f"s_delta_{s_delta}"] = m
         print(f"s_delta={s_delta}: {json.dumps(m)}", flush=True)
 
+    # head-only temporal (eval_aud_exp_nerf.py:437 workload) vs the full
+    # head-only render — quality is measured against the render, not GT
+    # (GT com_imgs contain the torso)
+    common_h = {k: v for k, v in common.items() if k != "torso_params"}
+    full_h = reenact(cfg, head_params, identity, **common_h)
+    t0 = time.time()
+    reenact(cfg, head_params, identity, **common_h)
+    out["fps_head_full_warm"] = round(n / (time.time() - t0), 3)
+    for s_delta in args.s_delta:
+        kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
+                  bounds=bounds["head"] if bounds else None, **common_h)
+        tm = reenact(cfg, head_params, identity, **kw)
+        t0 = time.time()
+        reenact(cfg, head_params, identity, **kw)
+        m = {
+            "psnr_temporal_vs_full": psnr(tm, full_h),
+            "fps_temporal_warm": round(n / (time.time() - t0), 3),
+        }
+        out["modes"][f"head_only_s_delta_{s_delta}"] = m
+        print(f"head-only s_delta={s_delta}: {json.dumps(m)}", flush=True)
+
     print(json.dumps(out, indent=2))
     with open(os.path.join(COM, "temporal_delta.json"), "w") as f:
         json.dump(out, f, indent=2)

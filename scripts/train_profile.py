@@ -71,7 +71,12 @@ def main():
     loss_fn = make_frame_loss(cfg, ds, smooth_audio=False)
 
     def make_step(sample: bool, opt: str):
+        import dataclasses
+
         optimizer = (make_optimizer(cfg) if opt == "adam"
+                     else make_optimizer(
+                         dataclasses.replace(cfg, flat_optimizer=True))
+                     if opt == "flat_adam"
                      else optax.sgd(1e-4) if opt == "sgd" else None)
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -80,7 +85,8 @@ def main():
             coords = (sample_ray_coords(
                 k_sample, H, W, data["face_rects"][index],
                 data["mouth_boxes"][index], data["torso_masks"][index],
-                budget) if sample else coords0)
+                budget, approx=(sample == "approx"))
+                if sample else coords0)
             (loss, aux), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(
                 (state.params, state.latent_codes), data, index, coords,
@@ -103,11 +109,20 @@ def main():
 
     results = {}
     variants = [("full", True, "adam"), ("fixed_coords", False, "adam"),
-                ("sgd", True, "sgd"), ("grad_only", True, "none")]
+                ("sgd", True, "sgd"), ("grad_only", True, "none"),
+                ("flat_adam", True, "flat_adam"),
+                ("approx_sampler", "approx", "adam"),
+                ("flat_adam_approx", "approx", "flat_adam")]
     for name, sample, opt in variants:
         st = init_train_state(jax.random.PRNGKey(0), cfg, ds.size)
         if opt == "sgd":
             st = st._replace(opt_state=optax.sgd(1e-4).init(
+                (st.params, st.latent_codes)))
+        elif opt == "flat_adam":
+            import dataclasses
+
+            st = st._replace(opt_state=make_optimizer(
+                dataclasses.replace(cfg, flat_optimizer=True)).init(
                 (st.params, st.latent_codes)))
         step = make_step(sample, opt)
         key = jax.random.PRNGKey(1)
@@ -131,6 +146,12 @@ def main():
         full - results["sgd"]["ms_per_step"], 2)
     results["optimizer_ms"] = round(
         full - results["grad_only"]["ms_per_step"], 2)
+    results["flat_adam_saves_ms"] = round(
+        full - results["flat_adam"]["ms_per_step"], 2)
+    results["approx_sampler_saves_ms"] = round(
+        full - results["approx_sampler"]["ms_per_step"], 2)
+    results["combined_saves_ms"] = round(
+        full - results["flat_adam_approx"]["ms_per_step"], 2)
     results["backend"] = jax.default_backend()
     with open(os.path.join(ROOT, "runs", "train_profile.json"), "w") as fh:
         json.dump(results, fh, indent=2)

@@ -59,6 +59,51 @@ def test_sample_ray_coords_regions():
     assert len(np.unique(face_ids)) == 64
 
 
+def test_sample_ray_coords_approx_mode():
+    """approx=True (lax.approx_max_k sampler) keeps the region contract:
+    distinct pixels, nearly all inside the requested mask (imperfect
+    recall may misplace a few onto other pixels — emphasis, not
+    correctness). On CPU approx_max_k falls back to exact; the property
+    still holds."""
+    key = jax.random.PRNGKey(3)
+    H = W = 64
+    face_rect = jnp.array([8, 8, 40, 40])
+    mouth_box = jnp.array([20.0, 36.0, 24.0, 40.0])
+    torso = jnp.zeros((H, W), jnp.uint8).at[56:, :].set(1)
+    b = RayBudget(face=128, background=64, mouth=32, torso=16)
+    coords = np.asarray(sample_ray_coords(
+        key, H, W, face_rect, mouth_box, torso, b, approx=True))
+    assert coords.shape == (240, 2)
+    assert (coords >= 0).all() and (coords < 64).all()
+    face_c = coords[:128]
+    in_face = ((face_c[:, 1] >= 8) & (face_c[:, 1] <= 48)
+               & (face_c[:, 0] >= 8) & (face_c[:, 0] <= 48))
+    assert in_face.mean() >= 0.9, in_face.mean()
+    face_ids = face_c[:, 0] * W + face_c[:, 1]
+    assert len(np.unique(face_ids)) == 128      # still w/o replacement
+
+
+def test_flat_optimizer_converges_identically():
+    """optax.flatten-wrapped Adam performs the same per-element update:
+    a few train steps from the same init give (near-)identical params."""
+    import dataclasses
+
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.train import HeadTrainer
+
+    base = dict(dim_aud=64, dim_expr=8, dim_latent=8, N_rand=64,
+                mouth_rays=8, torso_rays=8, N_samples=6, N_importance=0,
+                lrate=5e-4)
+    ds = make_synthetic_dataset(n_frames=2, H=24, W=24, dim_expr=8)
+    outs = []
+    for flat in (False, True):
+        cfg = ExperimentConfig(**base, flat_optimizer=flat)
+        tr = HeadTrainer(cfg, ds, seed=0)
+        tr.run(n_epochs=3, log_every=100, on_metrics=lambda s, m: None)
+        outs.append(np.asarray(tr.state.params["coarse"]["pts"][0]["w"]))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-6)
+
+
 def test_rays_at_coords_matches_full_grid():
     H, W, focal, cx, cy = 24, 30, 50.0, 14.0, 11.0
     q = np.linalg.qr(np.random.RandomState(0).randn(3, 3))[0].astype(np.float32)

@@ -126,6 +126,41 @@ def test_temporal_keyframe_matches_full_composite():
     assert (~eq_plate).sum() <= n_padded
 
 
+def test_temporal_head_only_keyframe_matches_full():
+    """Single-field temporal keyframe == the full fused frame render;
+    delta frames stay finite and respect the prior mask."""
+    from idealnerf_tpu.eval.renderer import make_frame_renderer
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    hcall = dict(aud=call["aud"], expr=call["expr"], latent=call["latent"])
+
+    full = make_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                               cx=cx, cy=cy, use_pallas="ray")
+    ref = np.asarray(full(hp, pose, bc, **hcall))
+
+    tm = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                      cx=cx, cy=cy, s_delta=8)
+    frame, cache = tm(hp, pose, bc, **hcall, cache=None)
+    np.testing.assert_allclose(np.asarray(frame), ref, atol=2e-5)
+
+    mask = np.zeros((H, W), bool)
+    mask[4:28, 6:26] = True
+    tmm = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                       cx=cx, cy=cy, s_delta=8,
+                                       prior_mask=mask)
+    f0, c0 = tmm(hp, pose, bc, **hcall, cache=None)
+    f1, c1 = tmm(hp, pose, bc, **hcall, cache=c0)
+    f1 = np.asarray(f1)
+    assert np.isfinite(f1).all()
+    k = min(H * W, ((int(mask.sum()) + 255) // 256) * 256)
+    n_padded = k - int(mask.sum())
+    eq_plate = np.abs(f1[~mask] - np.asarray(bc)[~mask]).max(-1) < 1e-6
+    assert (~eq_plate).sum() <= n_padded
+
+
 def test_temporal_video_tracks_trained_fields():
     """On TRAINED head+torso fields, delta frames must stay close to the
     per-frame full render across a moving 4-frame clip (the quality
@@ -208,3 +243,13 @@ def test_reenact_temporal_mode_runs():
     )
     assert frames.shape == (3, 24, 24, 3)
     assert np.isfinite(frames).all()
+
+    # head-only temporal through the same loop
+    frames_h = reenact(
+        cfg, state.params, ds, driving_auds=ds.auds[:3],
+        driving_exprs=ds.exprs[:3], latent_codes=state.latent_codes,
+        max_frames=3, smooth_audio=False, temporal=2, s_delta=6,
+        use_prior=True,
+    )
+    assert frames_h.shape == (3, 24, 24, 3)
+    assert np.isfinite(frames_h).all()
