@@ -129,34 +129,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         )
         return dict(o=o, d=d, b=b, z=z_all)
 
-    @jax.jit
-    def stage_fine(params, o, d, z, b, cond):
-        """FINE network at the given depths (one pallas launch) — serves
-        both the keyframe (z = merged hierarchical depths) and the delta
-        pass (z = band-confined grid)."""
-        p = jax.tree.map(lambda x: x.astype(cd), params)
-        folded = fold_conditioning(p["fine"], ncfg, *cond)
-        out = fused_render_rays(p["fine"], folded, ncfg, o, d, z, b,
-                                point_tile=4096)
-        return (out["rgb_map"], out["last_weight"], out["rgb_fg"],
-                out["weights"])
-
-    @jax.jit
-    def stage_delta_rays(pose_f, bc_img, band_lo, band_hi):
-        """Delta-pass ray + depth-grid construction (no pallas): a
-        band-confined linspace of ``s_delta - 1`` samples plus the
-        pinned plate sample at the field's far."""
-        o, d = get_rays(H, W, focal, pose_f, cx, cy)
-        o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
-        b = bc_img.reshape(-1, 3)[sel]
-        t = jnp.linspace(0.0, 1.0, s_delta - 1, dtype=jnp.float32)
-        z_band = band_lo[:, None] + (band_hi - band_lo)[:, None] * t[None]
-        z = jnp.concatenate(
-            [z_band, jnp.full((z_band.shape[0], 1), nf[1], jnp.float32)], 1)
-        return o, d, z, b
-
-    @jax.jit
-    def stage_band(z, weights):
+    def _band_update(z, weights):
         """Next-frame band from this frame's weights (no pallas):
         96%-mass band -> pad -> width floor -> dilate -> clip."""
         span = nf[1] - nf[0]
@@ -171,14 +144,42 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                               nf[0], nf[1])
         return (jnp.clip(lo, nf[0], nf[1]), jnp.clip(hi, nf[0], nf[1]))
 
+    def _fine(params, o, d, z, b, cond):
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["fine"], ncfg, *cond)
+        out = fused_render_rays(p["fine"], folded, ncfg, o, d, z, b,
+                                point_tile=4096)
+        return (out["rgb_map"], out["last_weight"], out["rgb_fg"],
+                out["weights"])
+
+    @jax.jit
+    def stage_kf_fine(params, st, cond):
+        """Keyframe fine pass over the merged hierarchical depths + band
+        init (ONE pallas launch)."""
+        rgb, lw, fg, w = _fine(params, st["o"], st["d"], st["z"], st["b"],
+                               cond)
+        return rgb, lw, fg, _band_update(st["z"], w)
+
+    @jax.jit
+    def stage_delta(params, pose_f, bc_img, cond, band_lo, band_hi):
+        """Whole delta pass in ONE program (one pallas launch): band-
+        confined depth grid (``s_delta - 1`` samples + the pinned plate
+        sample at the field's far), FINE network render, band update."""
+        o, d = get_rays(H, W, focal, pose_f, cx, cy)
+        o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
+        b = bc_img.reshape(-1, 3)[sel]
+        t = jnp.linspace(0.0, 1.0, s_delta - 1, dtype=jnp.float32)
+        z_band = band_lo[:, None] + (band_hi - band_lo)[:, None] * t[None]
+        z = jnp.concatenate(
+            [z_band, jnp.full((z_band.shape[0], 1), nf[1], jnp.float32)], 1)
+        rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
+        return rgb, lw, fg, _band_update(z, w)
+
     def run(params, pose_f, bc_img, cond, band):
-        if band is None:  # keyframe
+        if band is None:  # keyframe: coarse-hier program + fine program
             st = stage_kf_coarse(params, pose_f, bc_img, cond)
-            o, d, z, b = st["o"], st["d"], st["z"], st["b"]
-        else:
-            o, d, z, b = stage_delta_rays(pose_f, bc_img, band[0], band[1])
-        rgb, lw, fg, w = stage_fine(params, o, d, z, b, cond)
-        return rgb, lw, fg, stage_band(z, w)
+            return stage_kf_fine(params, st, cond)
+        return stage_delta(params, pose_f, bc_img, cond, band[0], band[1])
 
     run.tag = tag
     return run
