@@ -123,11 +123,13 @@ def _pdf_merge(s_coarse: int, n_imp: int, near: float, far: float,
     # ---- bitonic merge of the sorted union
     n_total = 1 << (S - 1).bit_length()             # next power of two
     pad = n_total - s_coarse - n_imp
-    c = jnp.concatenate([
-        jnp.broadcast_to(z64, (T, s_coarse)),
-        jnp.full((T, pad), 1e10, jnp.float32),
-        zs,
-    ], axis=1)                                      # (T, n_total) bitonic
+    # pad == 0 when S is already a power of two (e.g. 16+16 sweep rungs):
+    # a zero-width vector fails Mosaic lowering, so skip the filler
+    parts = [jnp.broadcast_to(z64, (T, s_coarse))]
+    if pad:
+        parts.append(jnp.full((T, pad), 1e10, jnp.float32))
+    parts.append(zs)
+    c = jnp.concatenate(parts, axis=1)              # (T, n_total) bitonic
     d = n_total // 2
     while d >= 1:
         lane = jax.lax.broadcasted_iota(jnp.int32, (T, n_total), 1)

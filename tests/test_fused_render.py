@@ -105,15 +105,19 @@ def test_hier_in_kernel_matches_xla_pdf_path():
     rd = jax.random.normal(ks[4], (R, 3))
     rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
     bc = jax.random.uniform(ks[5], (R, 3))
-    kw = dict(near=0.5772, far=1.1772, n_samples=64, n_importance=128,
-              point_tile=1024)
-    out_h = render_rays_fused(params, folded, cfg=ncfg, rays_o=ro,
-                              rays_d=rd, bc_rgb=bc, hier_in_kernel=True,
-                              **kw)
-    out_x = render_rays_fused(params, folded, cfg=ncfg, rays_o=ro,
-                              rays_d=rd, bc_rgb=bc, hier_in_kernel=False,
-                              **kw)
-    for k in ("rgb_map", "acc_map", "last_weight", "depth", "rgb0",
-              "acc0"):
-        np.testing.assert_allclose(np.asarray(out_h[k]),
-                                   np.asarray(out_x[k]), atol=2e-6), k
+    # 64+128 (paper) and 16+16 (a power-of-two total: the bitonic-merge
+    # filler is zero-width there — regression for a Mosaic lowering crash
+    # on the sample-sweep rungs)
+    for n_s, n_i in ((64, 128), (16, 16)):
+        kw = dict(near=0.5772, far=1.1772, n_samples=n_s,
+                  n_importance=n_i, point_tile=1024)
+        out_h = render_rays_fused(params, folded, cfg=ncfg, rays_o=ro,
+                                  rays_d=rd, bc_rgb=bc,
+                                  hier_in_kernel=True, **kw)
+        out_x = render_rays_fused(params, folded, cfg=ncfg, rays_o=ro,
+                                  rays_d=rd, bc_rgb=bc,
+                                  hier_in_kernel=False, **kw)
+        for k in ("rgb_map", "acc_map", "last_weight", "depth", "rgb0",
+                  "acc0"):
+            np.testing.assert_allclose(np.asarray(out_h[k]),
+                                       np.asarray(out_x[k]), atol=2e-6), k
