@@ -181,3 +181,36 @@ def test_bench_quality_matched_rung_selection():
     only_ref = {"64+192": {"delta_psnr_vs_64+192": 0.0},
                 "16+32": {"delta_psnr_vs_64+192": 1.0}}
     assert pick(only_ref)[:2] == (64, 192)
+
+
+def test_bench_temporal_evidence_gates():
+    """bench.temporal_evidence: composite gate ≤0.05 dB vs GT, head gate
+    ≥40 dB agreement vs the full render, missing modes -> not ok."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    td = {
+        "refresh": 25,
+        "modes": {
+            "s_delta_32": {"delta_psnr_vs_gt": 0.02,
+                           "psnr_temporal_vs_full": 43.1},
+            "head_only_s_delta_32": {"psnr_temporal_vs_full": 41.0},
+            "s_delta_16": {"delta_psnr_vs_gt": 0.3,
+                           "psnr_temporal_vs_full": 29.0},
+            "head_only_s_delta_16": {"psnr_temporal_vs_full": 31.0},
+        },
+    }
+    summary, comp_ok, head_ok = bench.temporal_evidence(td, 32)
+    assert comp_ok and head_ok
+    assert summary["composite_delta_db_vs_gt"] == 0.02
+    assert summary["refresh_measured"] == 25
+    summary, comp_ok, head_ok = bench.temporal_evidence(td, 16)
+    assert not comp_ok and not head_ok
+    # the benched operating point was never measured -> gates closed
+    summary, comp_ok, head_ok = bench.temporal_evidence(td, 64)
+    assert not comp_ok and not head_ok
+    assert summary["composite_delta_db_vs_gt"] is None
