@@ -42,32 +42,46 @@ def pick_quality_matched_rung(sweep, ref_prefix="64+", max_delta=0.05):
     return best[1:] if best else None
 
 
-def temporal_evidence(td, s_delta):
-    """Evidence summary + quality gates from a temporal_delta.json dict
-    (scripts/temporal_delta.py, measured on converged checkpoints).
+def pick_temporal_points(td, refresh, default_s_delta=32):
+    """Per-mode temporal operating points from temporal_delta.json
+    evidence (scripts/temporal_delta.py, converged checkpoints).
 
-    Gates: composite temporal video counts as quality-matched when its
-    measured PSNR-vs-GT delta is ≤0.05 dB; head-only when its agreement
-    with the per-frame full render is ≥40 dB (<1% RMS pixel error).
-    Returns (summary_dict, composite_ok, head_ok)."""
-    modes = td.get("modes", {})
-    mc = modes.get(f"s_delta_{s_delta}")
-    mh = modes.get(f"head_only_s_delta_{s_delta}")
-    comp_ok = bool(mc) and mc.get("delta_psnr_vs_gt", 99.0) <= 0.05
-    head_ok = bool(mh) and mh.get("psnr_temporal_vs_full", 0.0) >= 40.0
-    summary = {
-        "s_delta": s_delta,
-        "refresh_measured": td.get("refresh"),
-        "composite_delta_db_vs_gt": (
-            mc.get("delta_psnr_vs_gt") if mc else None),
-        "composite_agreement_db_vs_full": (
-            mc.get("psnr_temporal_vs_full") if mc else None),
-        "head_agreement_db_vs_full": (
-            mh.get("psnr_temporal_vs_full") if mh else None),
-        "composite_video_quality_ok": comp_ok,
-        "head_video_quality_ok": head_ok,
+    For each of composite / head-only, picks the CHEAPEST measured
+    s_delta whose quality gate holds - composite: <=0.05 dB PSNR-vs-GT
+    delta; head-only: >=40 dB agreement with the per-frame full render
+    (<1% RMS pixel error) - provided the evidence was measured at this
+    keyframe interval (drift grows with refresh, so refresh-25 evidence
+    does not cover refresh-50 timing). Falls back to ``default_s_delta``
+    with the quality gate CLOSED when no measured point holds."""
+    modes = td.get("modes", {}) if td else {}
+    usable = bool(td) and td.get("refresh") == refresh
+    comp = sorted((int(k.split("_")[-1]), v) for k, v in modes.items()
+                  if k.startswith("s_delta_"))
+    head = sorted((int(k.split("_")[-1]), v) for k, v in modes.items()
+                  if k.startswith("head_only_s_delta_"))
+    comp_ok_pts = [s for s, v in comp
+                   if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
+    head_ok_pts = [s for s, v in head
+                   if usable
+                   and v.get("psnr_temporal_vs_full", 0.0) >= 40.0]
+    return {
+        "refresh_measured": td.get("refresh") if td else None,
+        # tightened per-field depth bounds change quality, not cost
+        # (same sample counts), so the fps rows time the same work; the
+        # quality claim applies to the configuration measured here
+        "evidence_tightened_bounds": (
+            bool(td.get("tightened_bounds")) if td else None),
+        "evidence_at_this_refresh": usable,
+        "composite_delta_db_vs_gt": {
+            f"s_delta_{s}": v.get("delta_psnr_vs_gt") for s, v in comp},
+        "head_agreement_db_vs_full": {
+            f"s_delta_{s}": v.get("psnr_temporal_vs_full")
+            for s, v in head},
+        "s_delta_comp": comp_ok_pts[0] if comp_ok_pts else default_s_delta,
+        "composite_video_quality_ok": bool(comp_ok_pts),
+        "s_delta_head": head_ok_pts[0] if head_ok_pts else default_s_delta,
+        "head_video_quality_ok": bool(head_ok_pts),
     }
-    return summary, comp_ok, head_ok
 
 
 def main():
@@ -325,13 +339,27 @@ def main():
     # shapes), so random fields measure real fps; the quality contract is
     # measured on trained checkpoints by scripts/temporal_delta.py.
     fps_temporal_video = fps_temporal_delta = None
+    temporal_quality = None
     if on_tpu:
         from idealnerf_tpu.eval.temporal import (
             make_temporal_composite_renderer,
         )
 
-        s_delta = int(os.environ.get("BENCH_S_DELTA", "32"))
         refresh = int(os.environ.get("BENCH_REFRESH", "25"))
+        # operating point: cheapest measured quality-holding s_delta per
+        # mode (scripts/temporal_delta.py evidence), else the env default
+        td = None
+        td_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "runs", "rehearsal2_com", "temporal_delta.json")
+        if os.path.exists(td_path):
+            with open(td_path) as fh:
+                td = json.load(fh)
+        temporal_quality = pick_temporal_points(
+            td, refresh,
+            default_s_delta=int(os.environ.get("BENCH_S_DELTA", "32")))
+        s_delta = temporal_quality["s_delta_comp"]
+        s_delta_head = temporal_quality["s_delta_head"]
         render_temporal = make_temporal_composite_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg.render_config(), cx=cx, cy=cy,
@@ -378,7 +406,7 @@ def main():
         render_temporal_head = make_temporal_frame_renderer(
             nerf_cfg, H, W, focal, near, far, cfg.render_config(),
             cx=cx, cy=cy, compute_dtype=compute_dtype,
-            prior_mask=mask_dev, s_delta=s_delta,
+            prior_mask=mask_dev, s_delta=s_delta_head,
         )
 
         def hcall(cache):
@@ -448,23 +476,17 @@ def main():
                 "fps_head_torso_composite": round(timed_comp(qm_comp), 3),
             }
 
-    # 8. temporal quality evidence — scripts/temporal_delta.py measures,
-    # on the converged rehearsal checkpoints over a sequential val clip,
-    # how far the keyframe+delta video renderer drifts from the
-    # per-frame full render. Only when that measurement exists AND holds
-    # (composite: ≤0.05 dB vs GT; head-only: ≥40 dB agreement with the
-    # full render, i.e. <1% RMS pixel error) do the temporal fps rows
-    # count toward the best-mode numbers below.
-    temporal_quality = None
-    comp_video_ok = head_video_ok = False
-    td_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "runs", "rehearsal2_com", "temporal_delta.json")
-    if on_tpu and os.path.exists(td_path):
-        with open(td_path) as fh:
-            td = json.load(fh)
-        temporal_quality, comp_video_ok, head_video_ok = (
-            temporal_evidence(td, s_delta))
+    # 8. temporal quality gates — scripts/temporal_delta.py measures, on
+    # the converged rehearsal checkpoints over a sequential val clip, how
+    # far the keyframe+delta video renderer drifts from the per-frame
+    # full render. Only when that measurement exists AND holds at the
+    # timed operating point do the temporal fps rows count toward the
+    # best-mode numbers below (gates computed in section 6).
+    comp_video_ok = bool(
+        temporal_quality
+        and temporal_quality["composite_video_quality_ok"])
+    head_video_ok = bool(
+        temporal_quality and temporal_quality["head_video_quality_ok"])
 
     # best-mode rollups: every candidate beyond the directly-timed modes
     # is gated on a measured quality delta from a converged checkpoint

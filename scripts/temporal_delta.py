@@ -40,6 +40,12 @@ def main():
     p.add_argument("--frames", type=int, default=24)
     p.add_argument("--refresh", type=int, default=25)
     p.add_argument("--s_delta", type=int, nargs="+", default=[32, 16])
+    p.add_argument("--out", default=None,
+                   help="output json path (default: "
+                        "runs/rehearsal2_com/temporal_delta.json — the "
+                        "canonical evidence file bench.py gates on; pass "
+                        "a different path for side studies, e.g. other "
+                        "refresh intervals)")
     p.add_argument("--tighten", action="store_true",
                    help="temporal modes additionally start from each "
                         "field's own depth band (subject_depth_range + "
@@ -146,7 +152,8 @@ def main():
         print(f"head-only s_delta={s_delta}: {json.dumps(m)}", flush=True)
 
     print(json.dumps(out, indent=2))
-    with open(os.path.join(COM, "temporal_delta.json"), "w") as f:
+    dest = args.out or os.path.join(COM, "temporal_delta.json")
+    with open(dest, "w") as f:
         json.dump(out, f, indent=2)
 
 

@@ -183,9 +183,9 @@ def test_bench_quality_matched_rung_selection():
     assert pick(only_ref)[:2] == (64, 192)
 
 
-def test_bench_temporal_evidence_gates():
-    """bench.temporal_evidence: composite gate ≤0.05 dB vs GT, head gate
-    ≥40 dB agreement vs the full render, missing modes -> not ok."""
+def test_bench_temporal_operating_point_selection():
+    """bench.pick_temporal_points: cheapest quality-holding s_delta per
+    mode, gates closed when evidence is missing or at another refresh."""
     import importlib.util
 
     spec = importlib.util.spec_from_file_location(
@@ -199,18 +199,21 @@ def test_bench_temporal_evidence_gates():
             "s_delta_32": {"delta_psnr_vs_gt": 0.02,
                            "psnr_temporal_vs_full": 43.1},
             "head_only_s_delta_32": {"psnr_temporal_vs_full": 41.0},
-            "s_delta_16": {"delta_psnr_vs_gt": 0.3,
-                           "psnr_temporal_vs_full": 29.0},
+            "s_delta_16": {"delta_psnr_vs_gt": 0.04,
+                           "psnr_temporal_vs_full": 40.2},
             "head_only_s_delta_16": {"psnr_temporal_vs_full": 31.0},
         },
     }
-    summary, comp_ok, head_ok = bench.temporal_evidence(td, 32)
-    assert comp_ok and head_ok
-    assert summary["composite_delta_db_vs_gt"] == 0.02
-    assert summary["refresh_measured"] == 25
-    summary, comp_ok, head_ok = bench.temporal_evidence(td, 16)
-    assert not comp_ok and not head_ok
-    # the benched operating point was never measured -> gates closed
-    summary, comp_ok, head_ok = bench.temporal_evidence(td, 64)
-    assert not comp_ok and not head_ok
-    assert summary["composite_delta_db_vs_gt"] is None
+    tq = bench.pick_temporal_points(td, 25)
+    # composite holds at both points -> cheapest (16); head only at 32
+    assert tq["s_delta_comp"] == 16 and tq["composite_video_quality_ok"]
+    assert tq["s_delta_head"] == 32 and tq["head_video_quality_ok"]
+    assert tq["composite_delta_db_vs_gt"]["s_delta_32"] == 0.02
+    # evidence measured at refresh 25 does not cover refresh 50
+    tq50 = bench.pick_temporal_points(td, 50)
+    assert not tq50["composite_video_quality_ok"]
+    assert not tq50["head_video_quality_ok"]
+    assert tq50["s_delta_comp"] == 32  # env default fallback
+    # no evidence at all
+    tq0 = bench.pick_temporal_points(None, 25, default_s_delta=24)
+    assert tq0["s_delta_comp"] == 24 and not tq0["composite_video_quality_ok"]
