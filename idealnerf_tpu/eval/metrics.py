@@ -29,6 +29,11 @@ def ssim(
 ) -> jnp.ndarray:
     """Mean SSIM over an (H, W, C) pair (Gaussian-windowed, standard
     constants)."""
+    # the local-variance terms blur(x*x) - mu**2 cancel catastrophically
+    # below f32 (TPU renderers hand in bf16 frames: 8 mantissa bits ->
+    # negative variances -> SSIM far outside [-1, 1])
+    img = img.astype(jnp.float32)
+    ref = ref.astype(jnp.float32)
     hw = filter_size // 2
     offs = jnp.arange(-hw, hw + 1, dtype=img.dtype)
     g = jnp.exp(-(offs**2) / (2.0 * filter_sigma**2))

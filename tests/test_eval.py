@@ -31,6 +31,13 @@ def test_psnr_ssim_basics():
     y = jnp.asarray(rng.rand(32, 32, 3).astype(np.float32))
     assert float(ssim(x, y)) < 0.2  # independent noise ~ 0
     assert float(ssim(x, x)) > 0.99
+    # bf16 frames (the TPU renderers' output dtype) must not blow up the
+    # variance cancellation — SSIM stays in [-1, 1] and near the f32 value
+    xb = x.astype(jnp.bfloat16)
+    yn = jnp.clip(x + 0.02 * jnp.asarray(
+        rng.standard_normal(x.shape).astype(np.float32)), 0, 1)
+    s32, sbf = float(ssim(x, yn)), float(ssim(xb, yn))
+    assert -1.0 <= sbf <= 1.0 and abs(sbf - s32) < 0.05
 
 
 def test_lpips_gated():
