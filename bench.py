@@ -66,6 +66,10 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
                    and v.get("psnr_temporal_vs_full", 0.0) >= 40.0]
     return {
         "refresh_measured": td.get("refresh") if td else None,
+        # keyframe schedule the evidence was measured at — bench times
+        # the temporal renderers at exactly this rung so the fps row and
+        # the quality claim describe the same configuration
+        "keyframe_rung": td.get("keyframe_rung") if usable else None,
         # tightened per-field depth bounds change quality, not cost
         # (same sample counts), so the fps rows time the same work; the
         # quality claim applies to the configuration measured here
@@ -360,9 +364,17 @@ def main():
             default_s_delta=int(os.environ.get("BENCH_S_DELTA", "32")))
         s_delta = temporal_quality["s_delta_comp"]
         s_delta_head = temporal_quality["s_delta_head"]
+        # time keyframes at the rung the quality evidence was measured at
+        cfg_t = cfg
+        if temporal_quality["keyframe_rung"]:
+            import dataclasses as _dc
+
+            s_kf, imp_kf = map(int,
+                               temporal_quality["keyframe_rung"].split("+"))
+            cfg_t = _dc.replace(cfg, N_samples=s_kf, N_importance=imp_kf)
         render_temporal = make_temporal_composite_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
-            cfg.render_config(), cx=cx, cy=cy,
+            cfg_t.render_config(), cx=cx, cy=cy,
             compute_dtype=compute_dtype,
             prior_mask_head=jnp.asarray(mask_h),
             prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
@@ -404,7 +416,7 @@ def main():
         from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
 
         render_temporal_head = make_temporal_frame_renderer(
-            nerf_cfg, H, W, focal, near, far, cfg.render_config(),
+            nerf_cfg, H, W, focal, near, far, cfg_t.render_config(),
             cx=cx, cy=cy, compute_dtype=compute_dtype,
             prior_mask=mask_dev, s_delta=s_delta_head,
         )

@@ -46,6 +46,18 @@ def main():
                         "canonical evidence file bench.py gates on; pass "
                         "a different path for side studies, e.g. other "
                         "refresh intervals)")
+    p.add_argument("--samples", type=int, default=None,
+                   help="keyframe N_samples override (temporal modes "
+                        "only; the full reference render stays at the "
+                        "config schedule so the reported delta prices "
+                        "both levers together)")
+    p.add_argument("--importance", type=int, default=None,
+                   help="keyframe N_importance override")
+    p.add_argument("--auto_rung", action="store_true",
+                   help="pick the keyframe rung from runs/rehearsal2/"
+                        "sample_sweep.json (cheapest rung within 0.05 dB "
+                        "of the paper schedule, bench."
+                        "pick_quality_matched_rung)")
     p.add_argument("--tighten", action="store_true",
                    help="temporal modes additionally start from each "
                         "field's own depth band (subject_depth_range + "
@@ -66,6 +78,29 @@ def main():
     cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
     identity = load_transforms_dataset(cfg.datadir, mode="val",
                                        near=cfg.near, far=cfg.far)
+
+    import dataclasses
+
+    kf_s, kf_imp = cfg.N_samples, cfg.N_importance
+    if args.auto_rung:
+        sweep_path = os.path.join(ROOT, "runs", "rehearsal2",
+                                  "sample_sweep.json")
+        if os.path.exists(sweep_path):
+            from bench import pick_quality_matched_rung
+
+            with open(sweep_path) as fh:
+                best = pick_quality_matched_rung(json.load(fh))
+            if best:
+                kf_s, kf_imp = best[0], best[1]
+                print(f"auto keyframe rung {best[2]} "
+                      f"(sweep delta {best[3]} dB)", flush=True)
+    if args.samples:
+        kf_s = args.samples
+    if args.importance is not None:
+        kf_imp = args.importance
+    # keyframes (and band estimation) at the reduced rung; the reference
+    # "full" render stays at the config schedule
+    cfg_kf = dataclasses.replace(cfg, N_samples=kf_s, N_importance=kf_imp)
 
     state = init_train_state(jax.random.PRNGKey(0), cfg, identity.size)
     raw = CheckpointManager(HEAD_CKPT).restore_raw()
@@ -108,7 +143,10 @@ def main():
     out = {
         "frames": n,
         "refresh": args.refresh,
-        "tightened_bounds": bounds,
+        "keyframe_rung": f"{kf_s}+{kf_imp}",
+        "tightened_bounds": (
+            {k: [float(v[0]), float(v[1])] for k, v in bounds.items()}
+            if bounds else None),
         "psnr_full_vs_gt": psnr(full, gt),
         "fps_full_warm": round(1.0 / t_full_warm, 3),
         "modes": {},
@@ -116,9 +154,9 @@ def main():
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds, **common)
-        tm = reenact(cfg, head_params, identity, **kw)
+        tm = reenact(cfg_kf, head_params, identity, **kw)
         t0 = time.time()
-        reenact(cfg, head_params, identity, **kw)
+        reenact(cfg_kf, head_params, identity, **kw)
         t_warm = (time.time() - t0) / n
         m = {
             "psnr_temporal_vs_full": psnr(tm, full),
@@ -141,9 +179,9 @@ def main():
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds["head"] if bounds else None, **common_h)
-        tm = reenact(cfg, head_params, identity, **kw)
+        tm = reenact(cfg_kf, head_params, identity, **kw)
         t0 = time.time()
-        reenact(cfg, head_params, identity, **kw)
+        reenact(cfg_kf, head_params, identity, **kw)
         m = {
             "psnr_temporal_vs_full": psnr(tm, full_h),
             "fps_temporal_warm": round(n / (time.time() - t0), 3),

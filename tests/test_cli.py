@@ -195,6 +195,7 @@ def test_bench_temporal_operating_point_selection():
 
     td = {
         "refresh": 25,
+        "keyframe_rung": "32+64",
         "modes": {
             "s_delta_32": {"delta_psnr_vs_gt": 0.02,
                            "psnr_temporal_vs_full": 43.1},
@@ -206,11 +207,13 @@ def test_bench_temporal_operating_point_selection():
     }
     tq = bench.pick_temporal_points(td, 25)
     # composite holds at both points -> cheapest (16); head only at 32
+    assert tq["keyframe_rung"] == "32+64"
     assert tq["s_delta_comp"] == 16 and tq["composite_video_quality_ok"]
     assert tq["s_delta_head"] == 32 and tq["head_video_quality_ok"]
     assert tq["composite_delta_db_vs_gt"]["s_delta_32"] == 0.02
     # evidence measured at refresh 25 does not cover refresh 50
     tq50 = bench.pick_temporal_points(td, 50)
+    assert tq50["keyframe_rung"] is None  # wrong refresh -> rung unusable
     assert not tq50["composite_video_quality_ok"]
     assert not tq50["head_video_quality_ok"]
     assert tq50["s_delta_comp"] == 32  # env default fallback
