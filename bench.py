@@ -88,6 +88,45 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     }
 
 
+def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
+    """Per-mode temporal configuration across MULTIPLE evidence files
+    (scripts/temporal_delta.py runs at different keyframe intervals).
+
+    For composite and head-only independently: among the files whose
+    quality gate holds (pick_temporal_points), prefer the LARGEST
+    keyframe interval — keyframe cost amortizes over more frames — with
+    that file's cheapest quality-holding s_delta and its keyframe rung.
+    Falls back to the env defaults with the gate CLOSED."""
+    out = {}
+    for mode, ok_key, sd_key in (
+            ("comp", "composite_video_quality_ok", "s_delta_comp"),
+            ("head", "head_video_quality_ok", "s_delta_head")):
+        best = None
+        for td in cands:
+            tq = pick_temporal_points(td, td.get("refresh"),
+                                      default_s_delta)
+            if tq[ok_key] and (best is None
+                               or td["refresh"] > best["refresh"]):
+                best = {"refresh": td["refresh"], "s_delta": tq[sd_key],
+                        "keyframe_rung": tq["keyframe_rung"]}
+        out[mode] = {
+            "quality_ok": best is not None,
+            "refresh": best["refresh"] if best else default_refresh,
+            "s_delta": best["s_delta"] if best else default_s_delta,
+            "keyframe_rung": best["keyframe_rung"] if best else None,
+        }
+    out["evidence"] = [
+        {"refresh": td.get("refresh"),
+         "keyframe_rung": td.get("keyframe_rung"),
+         "tightened": bool(td.get("tightened_bounds")),
+         "modes": {k: (v.get("delta_psnr_vs_gt")
+                       if not k.startswith("head") else
+                       v.get("psnr_temporal_vs_full"))
+                   for k, v in td.get("modes", {}).items()}}
+        for td in cands]
+    return out
+
+
 def main():
     from idealnerf_tpu.config import ExperimentConfig
     from idealnerf_tpu.eval.renderer import make_frame_renderer
@@ -349,32 +388,40 @@ def main():
             make_temporal_composite_renderer,
         )
 
-        refresh = int(os.environ.get("BENCH_REFRESH", "25"))
-        # operating point: cheapest measured quality-holding s_delta per
-        # mode (scripts/temporal_delta.py evidence), else the env default
-        td = None
-        td_path = os.path.join(
+        # per-mode operating point (refresh interval, s_delta, keyframe
+        # rung) = the quality-holding configuration with the largest
+        # keyframe interval and cheapest s_delta across every
+        # scripts/temporal_delta.py evidence file; env defaults otherwise
+        default_sd = int(os.environ.get("BENCH_S_DELTA", "32"))
+        default_refresh = int(os.environ.get("BENCH_REFRESH", "25"))
+        cands = []
+        td_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
-            "runs", "rehearsal2_com", "temporal_delta.json")
-        if os.path.exists(td_path):
-            with open(td_path) as fh:
-                td = json.load(fh)
-        temporal_quality = pick_temporal_points(
-            td, refresh,
-            default_s_delta=int(os.environ.get("BENCH_S_DELTA", "32")))
-        s_delta = temporal_quality["s_delta_comp"]
-        s_delta_head = temporal_quality["s_delta_head"]
-        # time keyframes at the rung the quality evidence was measured at
-        cfg_t = cfg
-        if temporal_quality["keyframe_rung"]:
-            import dataclasses as _dc
+            "runs", "rehearsal2_com")
+        for fname in ("temporal_delta.json", "temporal_delta_r50.json"):
+            p_td = os.path.join(td_dir, fname)
+            if os.path.exists(p_td):
+                with open(p_td) as fh:
+                    cands.append(json.load(fh))
+        temporal_quality = pick_temporal_mode_configs(
+            cands, default_sd, default_refresh)
+        comp_conf = temporal_quality["comp"]
+        head_conf = temporal_quality["head"]
 
-            s_kf, imp_kf = map(int,
-                               temporal_quality["keyframe_rung"].split("+"))
-            cfg_t = _dc.replace(cfg, N_samples=s_kf, N_importance=imp_kf)
+        import dataclasses as _dc
+
+        def cfg_at(rung):
+            if not rung:
+                return cfg
+            s_kf, imp_kf = map(int, rung.split("+"))
+            return _dc.replace(cfg, N_samples=s_kf, N_importance=imp_kf)
+
+        refresh = comp_conf["refresh"]
+        s_delta = comp_conf["s_delta"]
         render_temporal = make_temporal_composite_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
-            cfg_t.render_config(), cx=cx, cy=cy,
+            cfg_at(comp_conf["keyframe_rung"]).render_config(),
+            cx=cx, cy=cy,
             compute_dtype=compute_dtype,
             prior_mask_head=jnp.asarray(mask_h),
             prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
@@ -415,10 +462,12 @@ def main():
         # as mode 3
         from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
 
+        refresh_h = head_conf["refresh"]
         render_temporal_head = make_temporal_frame_renderer(
-            nerf_cfg, H, W, focal, near, far, cfg_t.render_config(),
+            nerf_cfg, H, W, focal, near, far,
+            cfg_at(head_conf["keyframe_rung"]).render_config(),
             cx=cx, cy=cy, compute_dtype=compute_dtype,
-            prior_mask=mask_dev, s_delta=s_delta_head,
+            prior_mask=mask_dev, s_delta=head_conf["s_delta"],
         )
 
         def hcall(cache):
@@ -434,11 +483,11 @@ def main():
             float(f.mean())
         t0 = time.perf_counter()
         acc, hc = None, None
-        for i in range(refresh):
+        for i in range(refresh_h):
             f, hc = hcall(None if i == 0 else hc)
             acc = f if acc is None else acc + f
         float(acc.mean())
-        fps_temporal_head_video = refresh / (time.perf_counter() - t0)
+        fps_temporal_head_video = refresh_h / (time.perf_counter() - t0)
         t0 = time.perf_counter()
         acc = None
         for _ in range(max(n_frames, 8)):
@@ -495,10 +544,9 @@ def main():
     # timed operating point do the temporal fps rows count toward the
     # best-mode numbers below (gates computed in section 6).
     comp_video_ok = bool(
-        temporal_quality
-        and temporal_quality["composite_video_quality_ok"])
+        temporal_quality and temporal_quality["comp"]["quality_ok"])
     head_video_ok = bool(
-        temporal_quality and temporal_quality["head_video_quality_ok"])
+        temporal_quality and temporal_quality["head"]["quality_ok"])
 
     # best-mode rollups: every candidate beyond the directly-timed modes
     # is gated on a measured quality delta from a converged checkpoint

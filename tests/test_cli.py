@@ -220,3 +220,48 @@ def test_bench_temporal_operating_point_selection():
     # no evidence at all
     tq0 = bench.pick_temporal_points(None, 25, default_s_delta=24)
     assert tq0["s_delta_comp"] == 24 and not tq0["composite_video_quality_ok"]
+
+
+def test_bench_temporal_mode_configs_across_files():
+    """bench.pick_temporal_mode_configs: per mode, largest quality-
+    holding refresh wins; gates independent between modes."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    td25 = {
+        "refresh": 25, "keyframe_rung": "32+64",
+        "tightened_bounds": {"head": [0.8, 1.9]},
+        "modes": {
+            "s_delta_16": {"delta_psnr_vs_gt": 0.01,
+                           "psnr_temporal_vs_full": 45.0},
+            "head_only_s_delta_16": {"psnr_temporal_vs_full": 44.0},
+        },
+    }
+    td50 = {
+        "refresh": 50, "keyframe_rung": "64+192",
+        "modes": {
+            # composite holds at 50 only at s_delta 32; head fails at 50
+            "s_delta_32": {"delta_psnr_vs_gt": 0.04,
+                           "psnr_temporal_vs_full": 41.0},
+            "s_delta_16": {"delta_psnr_vs_gt": 0.2,
+                           "psnr_temporal_vs_full": 30.0},
+            "head_only_s_delta_32": {"psnr_temporal_vs_full": 35.0},
+        },
+    }
+    out = bench.pick_temporal_mode_configs([td25, td50], 32, 25)
+    # composite: refresh 50 holds (at s_delta 32, paper keyframes)
+    assert out["comp"] == {"quality_ok": True, "refresh": 50,
+                           "s_delta": 32, "keyframe_rung": "64+192"}
+    # head: only refresh 25 holds (s_delta 16, qm keyframes)
+    assert out["head"] == {"quality_ok": True, "refresh": 25,
+                           "s_delta": 16, "keyframe_rung": "32+64"}
+    assert len(out["evidence"]) == 2
+    assert out["evidence"][0]["tightened"] is True
+    # no evidence -> env defaults, gates closed
+    out0 = bench.pick_temporal_mode_configs([], 24, 30)
+    assert not out0["comp"]["quality_ok"] and out0["comp"]["refresh"] == 30
+    assert out0["head"]["s_delta"] == 24
