@@ -19,43 +19,35 @@ def psnr(img: jnp.ndarray, ref: jnp.ndarray) -> jnp.ndarray:
 
 
 def ssim(
-    img: jnp.ndarray,
-    ref: jnp.ndarray,
+    img,
+    ref,
     max_val: float = 1.0,
     filter_size: int = 11,
     filter_sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
-) -> jnp.ndarray:
+) -> float:
     """Mean SSIM over an (H, W, C) pair (Gaussian-windowed, standard
-    constants)."""
-    # the local-variance terms blur(x*x) - mu**2 cancel catastrophically
-    # below f32 (TPU renderers hand in bf16 frames: 8 mantissa bits ->
-    # negative variances -> SSIM far outside [-1, 1])
-    img = img.astype(jnp.float32)
-    ref = ref.astype(jnp.float32)
+    constants). Computed HOST-SIDE in float64 numpy: the local-variance
+    terms blur(x*x) - mu**2 cancel catastrophically below full precision,
+    and on TPU even an f32 jnp path multiplies in bf16 at default matmul
+    precision (jnp.convolve lowers to dot_general), which produced SSIM
+    values far outside [-1, 1]. A metric runs once per frame — exact host
+    math is the right trade."""
+    img = np.asarray(img, dtype=np.float64)
+    ref = np.asarray(ref, dtype=np.float64)
     hw = filter_size // 2
-    offs = jnp.arange(-hw, hw + 1, dtype=img.dtype)
-    g = jnp.exp(-(offs**2) / (2.0 * filter_sigma**2))
-    g = g / jnp.sum(g)
+    offs = np.arange(-hw, hw + 1, dtype=np.float64)
+    g = np.exp(-(offs**2) / (2.0 * filter_sigma**2))
+    g = g / np.sum(g)
 
-    def blur(x):  # separable gaussian over H and W, vectorized over C
-        x = jnp.moveaxis(x, -1, 0)  # (C, H, W)
-        pad = [(0, 0), (hw, hw), (0, 0)]
-        xp = jnp.pad(x, pad, mode="symmetric")
-        x = jax.vmap(
-            lambda ch: jnp.apply_along_axis(
-                lambda v: jnp.convolve(v, g, mode="valid"), 0, ch
-            )
-        )(xp)
-        pad = [(0, 0), (0, 0), (hw, hw)]
-        xp = jnp.pad(x, pad, mode="symmetric")
-        x = jax.vmap(
-            lambda ch: jnp.apply_along_axis(
-                lambda v: jnp.convolve(v, g, mode="valid"), 1, ch
-            )
-        )(xp)
-        return jnp.moveaxis(x, 0, -1)
+    def blur(x):  # separable gaussian over H and W, per channel
+        xp = np.pad(x, [(hw, hw), (0, 0), (0, 0)], mode="symmetric")
+        x = np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="valid"), 0, xp)
+        xp = np.pad(x, [(0, 0), (hw, hw), (0, 0)], mode="symmetric")
+        return np.apply_along_axis(
+            lambda v: np.convolve(v, g, mode="valid"), 1, xp)
 
     mu_x, mu_y = blur(img), blur(ref)
     sxx = blur(img * img) - mu_x**2
@@ -65,7 +57,7 @@ def ssim(
     c2 = (k2 * max_val) ** 2
     num = (2 * mu_x * mu_y + c1) * (2 * sxy + c2)
     den = (mu_x**2 + mu_y**2 + c1) * (sxx + syy + c2)
-    return jnp.mean(num / den)
+    return float(np.mean(num / den))
 
 
 def lpips(img: np.ndarray, ref: np.ndarray) -> Optional[float]:

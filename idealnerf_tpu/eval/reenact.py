@@ -13,6 +13,7 @@ compiled executable (eval/renderer.py).
 from __future__ import annotations
 
 import json
+import time
 from typing import Any, Dict, Optional
 
 import jax
@@ -95,6 +96,7 @@ def reenact(
     bounds=None,
     temporal: Optional[int] = None,
     s_delta: int = 32,
+    frame_times: Optional[list] = None,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
 
@@ -334,6 +336,7 @@ def reenact(
 
         frames = []
         for start in range(0, n_frames, B):
+            t_frame = time.time()
             idxs = [min(start + j, n_frames - 1) for j in range(B)]
             poses_b = jnp.stack(
                 [jnp.asarray(identity.poses[i % identity.size])
@@ -354,6 +357,11 @@ def reenact(
                 batch = render_video(head_params, poses_b, bc,
                                      auds_b, exprs_b, lat)
             batch = np.asarray(jnp.clip(batch, 0.0, 1.0))
+            if frame_times is not None:
+                # whole-batch wall clock amortized per emitted frame
+                per = (time.time() - t_frame) / max(
+                    min(B, n_frames - start), 1)
+                frame_times.extend([per] * min(B, n_frames - start))
             for j in range(min(B, n_frames - start)):
                 frames.append(batch[j])
                 if writer is not None:
@@ -367,6 +375,7 @@ def reenact(
     frames = []
     cache = None
     for i in range(n_frames):
+        t_frame = time.time()
         pose = jnp.asarray(identity.poses[i % identity.size])
         expr = None
         if driving_exprs is not None and cfg.dim_expr > 0:
@@ -398,6 +407,10 @@ def reenact(
                            aud=aud_arg, signal=signal, expr=expr_arg,
                            latent=latent)
         frame = np.asarray(jnp.clip(frame, 0.0, 1.0))
+        if frame_times is not None:
+            # per-frame wall clock incl. the host fetch (reference parity:
+            # test_torso.py:46-49); frame 0 carries the compile
+            frame_times.append(time.time() - t_frame)
         frames.append(frame)
         if writer is not None:
             writer.add(frame)

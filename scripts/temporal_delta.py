@@ -18,7 +18,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -133,11 +132,33 @@ def main():
         print(f"tightened: head [{bh[0]:.4f},{bh[1]:.4f}] torso "
               f"[{bt[0]:.4f},{bt[1]:.4f}]", flush=True)
 
-    t0 = time.time()
-    full = reenact(cfg, head_params, identity, **common)
-    t0 = time.time()
-    reenact(cfg, head_params, identity, **common)
-    t_full_warm = (time.time() - t0) / n
+    # steady-state fps from per-frame wall times WITHIN one call (the
+    # jitted renderers are closures built inside reenact — a second
+    # reenact() call recompiles, so rerun-based "warm" timings measured
+    # compile time and doubled the script's wall clock)
+    def timed(render_cfg, **kw):
+        ft: list = []
+        frames_out = reenact(render_cfg, head_params, identity,
+                             frame_times=ft, **kw)
+        warm = (sum(ft[1:]) / (len(ft) - 1)) if len(ft) > 1 else ft[0]
+        return frames_out, warm, ft
+
+    def temporal_fps(ft, refresh):
+        """Amortized steady-state fps for keyframe+delta rendering.
+
+        Delta cost from warm delta frames; keyframe cost from a warm
+        keyframe when the clip contains one (i%refresh==0, i>0), else
+        approximated by the warm FULL-render frame time (a keyframe is a
+        full render at the keyframe rung — same program shape)."""
+        deltas = [t for i, t in enumerate(ft) if i % refresh and i > 0]
+        keys = [t for i, t in enumerate(ft) if i % refresh == 0 and i > 0]
+        t_delta = sum(deltas) / max(len(deltas), 1)
+        t_key = sum(keys) / len(keys) if keys else t_full_warm
+        amortized = (t_key + (refresh - 1) * t_delta) / refresh
+        return (round(1.0 / amortized, 3), round(1.0 / t_delta, 3),
+                bool(keys))
+
+    full, t_full_warm, _ = timed(cfg, **common)
 
     gt = identity.images[:n].astype(np.float32) / 255.0
     out = {
@@ -154,16 +175,16 @@ def main():
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds, **common)
-        tm = reenact(cfg_kf, head_params, identity, **kw)
-        t0 = time.time()
-        reenact(cfg_kf, head_params, identity, **kw)
-        t_warm = (time.time() - t0) / n
+        tm, _, ft = timed(cfg_kf, **kw)
+        fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {
             "psnr_temporal_vs_full": psnr(tm, full),
             "psnr_temporal_vs_gt": psnr(tm, gt),
             "delta_psnr_vs_gt": round(
                 out["psnr_full_vs_gt"] - psnr(tm, gt), 3),
-            "fps_temporal_warm": round(1.0 / t_warm, 3),
+            "fps_temporal_warm": fps_am,
+            "fps_delta_frames": fps_delta,
+            "keyframe_cost_measured": measured_key,
         }
         out["modes"][f"s_delta_{s_delta}"] = m
         print(f"s_delta={s_delta}: {json.dumps(m)}", flush=True)
@@ -172,19 +193,18 @@ def main():
     # head-only render — quality is measured against the render, not GT
     # (GT com_imgs contain the torso)
     common_h = {k: v for k, v in common.items() if k != "torso_params"}
-    full_h = reenact(cfg, head_params, identity, **common_h)
-    t0 = time.time()
-    reenact(cfg, head_params, identity, **common_h)
-    out["fps_head_full_warm"] = round(n / (time.time() - t0), 3)
+    full_h, t_full_warm, _ = timed(cfg, **common_h)  # rebinds keyframe proxy
+    out["fps_head_full_warm"] = round(1.0 / t_full_warm, 3)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds["head"] if bounds else None, **common_h)
-        tm = reenact(cfg_kf, head_params, identity, **kw)
-        t0 = time.time()
-        reenact(cfg_kf, head_params, identity, **kw)
+        tm, _, ft = timed(cfg_kf, **kw)
+        fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {
             "psnr_temporal_vs_full": psnr(tm, full_h),
-            "fps_temporal_warm": round(n / (time.time() - t0), 3),
+            "fps_temporal_warm": fps_am,
+            "fps_delta_frames": fps_delta,
+            "keyframe_cost_measured": measured_key,
         }
         out["modes"][f"head_only_s_delta_{s_delta}"] = m
         print(f"head-only s_delta={s_delta}: {json.dumps(m)}", flush=True)

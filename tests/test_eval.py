@@ -79,13 +79,18 @@ def test_reenactment_cross_subject(tmp_path):
     trainer.run(n_epochs=10, log_every=100, on_metrics=lambda s, m: None)
 
     out = str(tmp_path / "reenact.avi")
+    times: list = []
     frames = reenact(
         cfg, trainer.state.params, subject_a,
         driving_auds=subject_b.auds, driving_exprs=subject_b.exprs,
         latent_codes=trainer.state.latent_codes,
         out_path=out, max_frames=3, smooth_audio=False,
         use_pallas=False, compute_dtype=None, tile=400,
+        frame_times=times,
     )
+    # per-frame wall clock (steady-state fps comes from times[1:] — the
+    # jitted renderer is a fresh closure per reenact() call)
+    assert len(times) == 3 and all(t > 0 for t in times)
     assert frames.shape == (3, 40, 40, 3)
     assert np.isfinite(frames).all()
     assert os.path.getsize(out) > 0
