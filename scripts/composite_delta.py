@@ -68,7 +68,8 @@ def main():
     # [0.625, 2.375] interval (this bug made the round-2 delta
     # measurement render mostly empty space; vs-GT PSNRs were ~16 dB)
     identity = load_transforms_dataset(cfg.datadir, mode="val",
-                                       near=cfg.near, far=cfg.far)
+                                       near=cfg.near, far=cfg.far,
+                                       gt_dirs="com_imgs")
 
     state = init_train_state(jax.random.PRNGKey(0), cfg, identity.size)
     raw = CheckpointManager(HEAD_CKPT).restore_raw()

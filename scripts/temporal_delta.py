@@ -61,6 +61,13 @@ def main():
                    help="temporal modes additionally start from each "
                         "field's own depth band (subject_depth_range + "
                         "torso_depth_range) for keyframes/fallbacks")
+    p.add_argument("--split", default="val", choices=("val", "train"),
+                   help="GT split to render/compare against. The val "
+                        "split is ~10 frames, which silently clamps "
+                        "--frames — any refresh > 10 then never renders "
+                        "a second keyframe and long-interval drift goes "
+                        "unmeasured. Use train (~100 frames) for drift "
+                        "studies spanning whole keyframe cycles")
     args = p.parse_args()
 
     import jax
@@ -75,8 +82,12 @@ def main():
     from idealnerf_tpu.train.torso import init_torso_params
 
     cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
-    identity = load_transforms_dataset(cfg.datadir, mode="val",
-                                       near=cfg.near, far=cfg.far)
+    identity = load_transforms_dataset(cfg.datadir, mode=args.split,
+                                       near=cfg.near, far=cfg.far,
+                                       gt_dirs="com_imgs")
+    if args.frames > identity.size:
+        print(f"NOTE: --frames {args.frames} clamped to the {args.split} "
+              f"split's {identity.size} frames", flush=True)
 
     import dataclasses
 
@@ -163,6 +174,7 @@ def main():
     gt = identity.images[:n].astype(np.float32) / 255.0
     out = {
         "frames": n,
+        "split": args.split,
         "refresh": args.refresh,
         "keyframe_rung": f"{kf_s}+{kf_imp}",
         "tightened_bounds": (
