@@ -106,13 +106,18 @@ def main(argv=None):
                          "composite tightening runs through "
                          "scripts/composite_delta.py --tighten "
                          "(per-field bands)")
-        from idealnerf_tpu.eval.renderer import subject_depth_range
+        from idealnerf_tpu.eval.renderer import (
+            cached_depth_band, subject_depth_range,
+        )
 
-        bounds = subject_depth_range(
-            cfg, state.params, state.latent_codes,
-            resolve_dataset(args, cfg, mode="train"),
-            compute_dtype=(jnp.bfloat16
-                           if jax.default_backend() == "tpu" else None))
+        bounds = cached_depth_band(
+            args.head_ckpt, "head", state.step,
+            lambda: subject_depth_range(
+                cfg, state.params, state.latent_codes,
+                resolve_dataset(args, cfg, mode="train"),
+                compute_dtype=(jnp.bfloat16
+                               if jax.default_backend() == "tpu"
+                               else None)))
         logger.info("tightened bounds: [%.4f, %.4f]", *bounds)
 
     mesh = None

@@ -77,12 +77,16 @@ def main(argv=None):
     near, far = ds.near, ds.far
     ds_train = None
     if args.tighten_bounds:
-        from idealnerf_tpu.eval.renderer import subject_depth_range
+        from idealnerf_tpu.eval.renderer import (
+            cached_depth_band, subject_depth_range,
+        )
 
         ds_train = resolve_dataset(args, cfg, mode="train")
-        near, far = subject_depth_range(
-            cfg, state.params, state.latent_codes, ds_train,
-            compute_dtype=compute_dtype)
+        near, far = cached_depth_band(
+            args.head_ckpt, "head", state.step,
+            lambda: subject_depth_range(
+                cfg, state.params, state.latent_codes, ds_train,
+                compute_dtype=compute_dtype))
         logger.info("tightened bounds: [%.4f, %.4f] (config: "
                     "[%.4f, %.4f])", near, far, ds.near, ds.far)
     if args.pruned:

@@ -109,6 +109,43 @@ def render_frame_outputs(
     return result
 
 
+def cached_depth_band(cache_dir, field: str, step, compute_fn):
+    """Memoize a tightened depth band to ``<cache_dir>/depth_bands.json``
+    keyed by ``(field, checkpoint step)``.
+
+    The band is a per-subject, per-checkpoint constant
+    (subject_depth_range / torso_depth_range), but estimating it costs a
+    multi-frame full-fidelity probe (~2 min at 450² on one chip) — every
+    eval/bench invocation was re-paying that. ``cache_dir`` should be
+    the checkpoint directory (the band is a property of the trained
+    model); pass ``cache_dir=None`` to skip caching."""
+    import json
+    import os
+
+    if cache_dir is None:
+        return tuple(float(v) for v in compute_fn())
+    path = os.path.join(cache_dir, "depth_bands.json")
+    key = f"{field}@{int(step)}"
+    bands = {}
+    try:
+        with open(path) as fh:
+            bands = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    if key in bands:
+        return tuple(bands[key])
+    band = tuple(float(v) for v in compute_fn())
+    bands[key] = list(band)
+    try:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(bands, fh, indent=2)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return band
+
+
 def subject_depth_range(
     cfg, params, latent_codes, dataset,
     n_frames: int = 4, fg_thresh: float = 0.5,

@@ -101,13 +101,19 @@ def main():
     bounds = None
     if args.tighten:
         from idealnerf_tpu.eval.renderer import (
-            subject_depth_range, torso_depth_range,
+            cached_depth_band, subject_depth_range, torso_depth_range,
         )
 
         ds_train = load_transforms_dataset(cfg.datadir, mode="train",
                                            near=cfg.near, far=cfg.far)
-        bh = subject_depth_range(cfg, head_params, latents, ds_train)
-        bt = torso_depth_range(cfg, torso_params, head_params, ds_train)
+        bh = cached_depth_band(
+            HEAD_CKPT, "head", raw["step"],
+            lambda: subject_depth_range(cfg, head_params, latents,
+                                        ds_train))
+        bt = cached_depth_band(
+            TORSO_CKPT, "torso", CheckpointManager(TORSO_CKPT).latest_step(),
+            lambda: torso_depth_range(cfg, torso_params, head_params,
+                                      ds_train))
         bounds = dict(head=bh, torso=bt)
         print(f"tightened: head [{bh[0]:.4f},{bh[1]:.4f}] torso "
               f"[{bt[0]:.4f},{bt[1]:.4f}] (config "

@@ -66,16 +66,20 @@ def main():
         from idealnerf_tpu.ckpt import CheckpointManager
         from idealnerf_tpu.config import ExperimentConfig
         from idealnerf_tpu.data.dataset import load_transforms_dataset
-        from idealnerf_tpu.eval.renderer import subject_depth_range
+        from idealnerf_tpu.eval.renderer import (
+            cached_depth_band, subject_depth_range,
+        )
 
         cfg = ExperimentConfig.from_file(cfg_path, **PAPER)
         ds = load_transforms_dataset(cfg.datadir, mode="train",
                                      near=cfg.near, far=cfg.far)
         raw = CheckpointManager(ckpt).restore_raw()
         cd = (jnp.bfloat16 if jax.default_backend() == "tpu" else None)
-        tight = subject_depth_range(
-            cfg, raw["params"], jnp.asarray(raw["latent_codes"]), ds,
-            compute_dtype=cd)
+        tight = cached_depth_band(
+            ckpt, "head", raw["step"],
+            lambda: subject_depth_range(
+                cfg, raw["params"], jnp.asarray(raw["latent_codes"]), ds,
+                compute_dtype=cd))
         print(f"tightened bounds: [{tight[0]:.4f}, {tight[1]:.4f}] "
               f"(config: [{cfg.near:.4f}, {cfg.far:.4f}])", flush=True)
 

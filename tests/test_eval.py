@@ -40,6 +40,29 @@ def test_psnr_ssim_basics():
     assert -1.0 <= sbf <= 1.0 and abs(sbf - s32) < 0.05
 
 
+def test_cached_depth_band(tmp_path):
+    """The tightened band memoizes per (field, ckpt step) — the probe is
+    a per-checkpoint constant that costs minutes on-chip."""
+    from idealnerf_tpu.eval.renderer import cached_depth_band
+
+    calls = []
+
+    def probe():
+        calls.append(1)
+        return (jnp.asarray(0.5), jnp.asarray(1.25))
+
+    b1 = cached_depth_band(str(tmp_path), "head", 100, probe)
+    b2 = cached_depth_band(str(tmp_path), "head", 100, probe)
+    assert b1 == b2 == (0.5, 1.25) and len(calls) == 1
+    # a different step or field re-probes
+    cached_depth_band(str(tmp_path), "head", 200, probe)
+    cached_depth_band(str(tmp_path), "torso", 100, probe)
+    assert len(calls) == 3
+    # cache_dir=None bypasses
+    cached_depth_band(None, "head", 100, probe)
+    assert len(calls) == 4
+
+
 def test_lpips_gated():
     # must not crash without network; returns float or None
     out = lpips(np.zeros((32, 32, 3), np.float32), np.ones((32, 32, 3), np.float32))
