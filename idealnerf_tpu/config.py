@@ -144,6 +144,7 @@ class ExperimentConfig:
             use_viewdirs=self.use_viewdirs,
             multires=self.multires,
             multires_views=self.multires_views,
+            density_activation=self.density_activation,
         )
 
     @classmethod

@@ -130,8 +130,13 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         return dict(o=o, d=d, b=b, z=z_all)
 
     def _band_update(z, weights):
-        """Next-frame band from this frame's weights (no pallas):
-        96%-mass band -> pad -> width floor -> dilate -> clip."""
+        """Next-frame cache from this frame's depths/weights (no
+        pallas): 96%-mass band -> pad -> width floor -> dilate -> clip,
+        PLUS the raw (z, w) for temporal importance placement — the next
+        delta frame inverse-CDF-samples most of its depths from this
+        frame's weight distribution (the surface moves a tiny fraction
+        of the band per frame, so last frame's weights are a near-exact
+        importance prior; uniform band coverage catches the rest)."""
         span = nf[1] - nf[0]
         lo, hi, mass = fg_band(z, weights)
         valid = mass > fg_thresh
@@ -142,7 +147,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         lo, hi = mid - 0.5 * width, mid + 0.5 * width
         lo, hi = dilate_bands(lo, hi, valid, sel, H, W, dilate_px,
                               nf[0], nf[1])
-        return (jnp.clip(lo, nf[0], nf[1]), jnp.clip(hi, nf[0], nf[1]))
+        return (jnp.clip(lo, nf[0], nf[1]), jnp.clip(hi, nf[0], nf[1]),
+                z.astype(jnp.float32), weights.astype(jnp.float32))
 
     def _fine(params, o, d, z, b, cond):
         p = jax.tree.map(lambda x: x.astype(cd), params)
@@ -161,17 +167,34 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         return rgb, lw, fg, _band_update(st["z"], w)
 
     @jax.jit
-    def stage_delta(params, pose_f, bc_img, cond, band_lo, band_hi):
-        """Whole delta pass in ONE program (one pallas launch): band-
-        confined depth grid (``s_delta - 1`` samples + the pinned plate
-        sample at the field's far), FINE network render, band update."""
+    def stage_delta(params, pose_f, bc_img, cond, band_lo, band_hi,
+                    z_prev, w_prev):
+        """Whole delta pass in ONE program (one pallas launch).
+
+        Depth grid per ray (``s_delta - 1`` in-band samples + the pinned
+        plate sample at the field's far): ~3/4 placed by inverse-CDF
+        over the PREVIOUS frame's weights (temporal importance — the
+        hierarchical-sampling idea applied across time instead of across
+        a coarse pass), ~1/4 uniform across the cached band to catch
+        surface motion the prior misses. FINE network render, cache
+        update."""
+        from idealnerf_tpu.core.sampling import sample_pdf
+
         o, d = get_rays(H, W, focal, pose_f, cx, cy)
         o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
         b = bc_img.reshape(-1, 3)[sel]
-        t = jnp.linspace(0.0, 1.0, s_delta - 1, dtype=jnp.float32)
-        z_band = band_lo[:, None] + (band_hi - band_lo)[:, None] * t[None]
+        n_in = s_delta - 1
+        s_uni = max(2, n_in // 4)
+        s_imp = n_in - s_uni
+        zin = z_prev[..., :-1]                 # drop the plate sample
+        win = w_prev[..., :-1]
+        mids = 0.5 * (zin[..., 1:] + zin[..., :-1])
+        z_imp = sample_pdf(mids, win[..., 1:-1], s_imp, key=None)
+        t = jnp.linspace(0.0, 1.0, s_uni, dtype=jnp.float32)
+        z_uni = band_lo[:, None] + (band_hi - band_lo)[:, None] * t[None]
+        z = jnp.sort(jnp.concatenate([z_imp, z_uni], -1), axis=-1)
         z = jnp.concatenate(
-            [z_band, jnp.full((z_band.shape[0], 1), nf[1], jnp.float32)], 1)
+            [z, jnp.full((z.shape[0], 1), nf[1], jnp.float32)], 1)
         rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
         return rgb, lw, fg, _band_update(z, w)
 
@@ -179,7 +202,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         if band is None:  # keyframe: coarse-hier program + fine program
             st = stage_kf_coarse(params, pose_f, bc_img, cond)
             return stage_kf_fine(params, st, cond)
-        return stage_delta(params, pose_f, bc_img, cond, band[0], band[1])
+        return stage_delta(params, pose_f, bc_img, cond, *band)
 
     run.tag = tag
     return run

@@ -211,7 +211,14 @@ def _render_body(cfg, n_views: int, S: int, z, o8, d8, vd8, rest_refs):
         [z[:, 1:] - z[:, :-1], jnp.full_like(z[:, :1], 1e10)], axis=-1
     ) * d_norm
     sigma = raw[..., 3]
-    alpha = 1.0 - jnp.exp(-(jnp.maximum(sigma, 0.0) + 1e-6) * dists)
+    if cfg.density_activation == "softplus":
+        # stable softplus (matches core.composite.raw2outputs to f32
+        # rounding; branch is static — cfg is baked into the kernel)
+        act = jnp.where(sigma > 20.0, sigma,
+                        jnp.log(1.0 + jnp.exp(jnp.minimum(sigma, 20.0))))
+    else:
+        act = jnp.maximum(sigma, 0.0)
+    alpha = 1.0 - jnp.exp(-(act + 1e-6) * dists)
     # max(), NOT `1-alpha+1e-10`: Mosaic reassociates the latter to
     # (1+1e-10)-alpha == 0 at alpha==1, and log(0)=-inf turns the masked
     # (x·0) lanes of the triangular matmul into NaN

@@ -49,6 +49,10 @@ class FaceNeRFConfig:
     output_ch: int = 4        # only used when use_viewdirs=False
     multires: int = 10
     multires_views: int = 4
+    # the fused render kernels composite in-kernel, so they must know
+    # the density activation ("relu" = reference parity | "softplus");
+    # the MLP itself emits raw logits either way
+    density_activation: str = "relu"
 
     @property
     def dim_cond(self) -> int:

@@ -68,9 +68,18 @@ class RasterConfig(NamedTuple):
         density puts ~220 blur-padded faces in a 16-px-padded 8-px
         tile; cap 256 measures overflow==0 with headroom, span 3 covers
         the ≤8-px padded bboxes (asserted in tests/test_rasterizer.py's
-        BFM-scale case)."""
+        BFM-scale case).
+
+        Below 450² the same mesh projects into quadratically fewer
+        tiles, so per-tile face density grows as (450/min_side)² — the
+        fixed 450² capacity overflowed by ~100k (tile, face) pairs at
+        128². Capacity scales accordingly (per-pixel gather cost is
+        linear in capacity, so low-res renders trade speed for
+        correctness)."""
+        density = max(1.0, (450.0 / max(min(height, width), 1)) ** 2)
+        cap = int(-(-256 * density // 8) * 8)
         return cls(height=height, width=width, tile=8,
-                   max_faces_per_tile=256, span=3)
+                   max_faces_per_tile=cap, span=3)
 
 
 def _ndc_scale(cfg: RasterConfig) -> float:

@@ -134,13 +134,45 @@ class FaceTracker:
         cfg = self.raster_cfg or RasterConfig(height=self.h, width=self.w)
         return Render3DMM(focal, self.h, self.w, self.model.tris, cfg)
 
-    def _render_window(self, renderer, id_c, exp, euler, trans, tex, light):
+    def _renderer_checked(self, focal, id_c, exp, euler, trans, tex,
+                          light) -> Render3DMM:
+        """Renderer whose bin capacity is verified on a probe frame.
+
+        Bin overflow silently drops (tile, face) pairs (rasterize_soft),
+        which poisons photometric fits with missing geometry; the
+        capacity is doubled until the probe renders clean (each retry
+        recompiles, so this runs once per photometric stage)."""
+        renderer = self._make_renderer(focal)
+        for _ in range(4):
+            _, ov = self._render_window(
+                renderer, id_c, exp[:1], euler[:1], trans[:1], tex,
+                light[:1], return_overflow=True)
+            if int(ov) == 0:
+                return renderer
+            # capacity + total dropped pairs upper-bounds the worst
+            # single tile's need, so this converges in one retry
+            cap = renderer.cfg.max_faces_per_tile
+            new_cap = int(-(-max(2 * cap, cap + int(ov)) // 8) * 8)
+            cfg = renderer.cfg._replace(max_faces_per_tile=new_cap)
+            logger.warning(
+                "raster bin overflow %d at capacity %d — raising to %d",
+                int(ov), cap, new_cap)
+            renderer = Render3DMM(focal, self.h, self.w, self.model.tris,
+                                  cfg)
+        logger.error("raster bins still overflow at capacity %d; the "
+                     "photometric fit will see incomplete geometry",
+                     renderer.cfg.max_faces_per_tile)
+        return renderer
+
+    def _render_window(self, renderer, id_c, exp, euler, trans, tex, light,
+                       return_overflow: bool = False):
         geometry = self.model.geometry(id_c[None], exp)
         rot = euler2rot(euler)
         rott = rot_trans_pts(geometry, rot, trans)
         texture = self.model.texture(tex[None])
         texture = jnp.broadcast_to(texture, geometry.shape)
-        return renderer(rott, texture, light)        # (B, H, W, 4)
+        return renderer(rott, texture, light,
+                        return_overflow=return_overflow)  # (B, H, W, 4)
 
     def _photometric_initial(self, params, images, landmarks, focal,
                              batch: int, steps: int):
@@ -148,7 +180,10 @@ class FaceTracker:
         evenly spaced frame batch. Returns updated params + tex + mean
         light (broadcast to every frame, :240-241)."""
         n = images.shape[0]
-        renderer = self._make_renderer(focal)
+        renderer = self._renderer_checked(
+            focal, params["id"], params["exp"], params["euler"],
+            params["trans"], jnp.zeros((self.model.n_tex,)),
+            jnp.zeros((1, 27)))
         sel = np.arange(0, n, max(int(n / batch), 1))[:batch]
         sel_imgs = jnp.asarray(images[sel], jnp.float32)
         sel_lms = jnp.asarray(landmarks[sel], jnp.float32)
@@ -213,7 +248,9 @@ class FaceTracker:
         with a 1e5-weighted temporal Laplacian over the rigid-vertex
         trajectories (previous 5 refined frames + current window)."""
         n = images.shape[0]
-        renderer = self._make_renderer(focal)
+        renderer = self._renderer_checked(
+            focal, params["id"], params["exp"], params["euler"],
+            params["trans"], tex, light)
         rigid = (self.model.rigid_ids if self.model.rigid_ids is not None
                  else self.model.keypoints[:20])
         pre_num = 5

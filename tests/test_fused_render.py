@@ -14,10 +14,15 @@ from idealnerf_tpu.models.face_nerf import (
 )
 
 
-@pytest.mark.parametrize("n_rays,n_samples", [(64, 32), (100, 64)])
-def test_fused_render_matches_xla(n_rays, n_samples):
+@pytest.mark.parametrize("n_rays,n_samples,density", [
+    (64, 32, "relu"), (100, 64, "relu"), (64, 32, "softplus")])
+def test_fused_render_matches_xla(n_rays, n_samples, density):
+    # the softplus case guards against the kernel silently compositing
+    # with relu for softplus-configured fields (it did until round 3 —
+    # every pallas eval path rendered softplus models wrong)
     cfg = ExperimentConfig(dim_aud=16, dim_expr=8, dim_latent=4,
-                           N_samples=n_samples, N_importance=0)
+                           N_samples=n_samples, N_importance=0,
+                           density_activation=density)
     nerf_cfg = cfg.face_nerf_config()
     ks = jax.random.split(jax.random.PRNGKey(0), 7)
     params = init_face_nerf(ks[0], nerf_cfg)
@@ -42,7 +47,7 @@ def test_fused_render_matches_xla(n_rays, n_samples):
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z_vals[..., None]
     viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
     raw = field_fn(pts, viewdirs)
-    ref = raw2outputs(raw, z_vals, rays_d, bc)
+    ref = raw2outputs(raw, z_vals, rays_d, bc, density_activation=density)
 
     np.testing.assert_allclose(out["rgb_map"], ref.rgb, atol=3e-2)
     np.testing.assert_allclose(out["acc_map"], ref.acc, atol=3e-2)

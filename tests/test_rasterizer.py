@@ -281,6 +281,48 @@ def test_photometric_refinement_improves_recovery():
         f"photometric should cut render error: {e_base} -> {e_ref}")
 
 
+def test_bfm_config_capacity_scales_with_resolution():
+    """RasterConfig.bfm below 450² must scale bin capacity with the
+    (450/side)² per-tile density growth — the fixed 450² capacity
+    silently dropped ~100k (tile, face) pairs at 128²."""
+    assert RasterConfig.bfm(450, 450).max_faces_per_tile == 256
+    c128 = RasterConfig.bfm(128, 128).max_faces_per_tile
+    assert c128 >= 256 * (450 / 128) ** 2 * 0.99
+    assert c128 % 8 == 0
+
+
+def test_tracker_renderer_auto_bumps_on_overflow():
+    """_renderer_checked doubles bin capacity until a probe frame
+    renders with zero overflow (overflow = silently missing geometry in
+    the photometric fit)."""
+    from idealnerf_tpu.pipeline.tracking.tracker import FaceTracker
+
+    model = Face3DMM.synthetic(n_id=4, n_exp=3, n_lat=24, n_lon=32,
+                               shell=True, with_contours=True, seed=1)
+    h = w = 48
+    # deliberately undersized bins for this mesh density
+    tiny = RasterConfig(height=h, width=w, tile=8, max_faces_per_tile=8,
+                        span=3)
+    tracker = FaceTracker(model, h, w, focal_candidates=[120.0],
+                          raster_cfg=tiny)
+    n_id, n_exp = model.dims
+    params = {
+        "id": jnp.zeros((n_id,)),
+        "exp": jnp.zeros((2, n_exp)),
+        "euler": jnp.zeros((2, 3)),
+        "trans": jnp.asarray([[0.0, 0.0, -7.0]] * 2, jnp.float32),
+    }
+    renderer = tracker._renderer_checked(
+        120.0, params["id"], params["exp"], params["euler"],
+        params["trans"], jnp.zeros((model.n_tex,)), jnp.zeros((1, 27)))
+    assert renderer.cfg.max_faces_per_tile > tiny.max_faces_per_tile
+    _, ov = tracker._render_window(
+        renderer, params["id"], params["exp"][:1], params["euler"][:1],
+        params["trans"][:1], jnp.zeros((model.n_tex,)),
+        jnp.zeros((1, 27)), return_overflow=True)
+    assert int(ov) == 0
+
+
 def test_bfm_scale_raster_and_tracking():
     """Reference-scale validation (face_tracker.py:37-53 workload): a
     34.5k-vertex / 68k-triangle open face shell with id 100 / exp 79
