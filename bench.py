@@ -398,7 +398,8 @@ def main():
         td_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "runs", "rehearsal2_com")
-        for fname in ("temporal_delta.json", "temporal_delta_r50.json"):
+        for fname in ("temporal_delta.json", "temporal_delta_r50.json",
+                      "temporal_delta_r10.json"):
             p_td = os.path.join(td_dir, fname)
             if os.path.exists(p_td):
                 with open(p_td) as fh:

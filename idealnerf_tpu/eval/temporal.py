@@ -48,6 +48,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from idealnerf_tpu.core.rays import get_rays
+from idealnerf_tpu.core.sampling import sample_pdf
 
 
 def fg_band(z_vals: jnp.ndarray, weights: jnp.ndarray,
@@ -178,8 +179,6 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         a coarse pass), ~1/4 uniform across the cached band to catch
         surface motion the prior misses. FINE network render, cache
         update."""
-        from idealnerf_tpu.core.sampling import sample_pdf
-
         o, d = get_rays(H, W, focal, pose_f, cx, cy)
         o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
         b = bc_img.reshape(-1, 3)[sel]
