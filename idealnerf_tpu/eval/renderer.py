@@ -350,6 +350,7 @@ def make_composite_fast_renderer(
     keep_head: float = 0.4, keep_torso: float = 0.4,
     prior_mask_head=None, prior_mask_torso=None,
     bounds_head=None, bounds_torso=None,
+    _expose_stages: bool = False,
 ):
     """Pruned + prior-masked head+torso composite — the fast mode for the
     north-star workload (reference: test_torso.py:513-534 renders BOTH
@@ -563,6 +564,13 @@ def make_composite_fast_renderer(
         return stage_composite(sh, st_, keep_h, keep_t, head_f, torso_f,
                                bc_img)
 
+    if _expose_stages:
+        # profiling hook (scripts/comp_profile.py): the per-frame stage
+        # programs + the compile-time ray selections, so each dispatch
+        # can be timed in isolation against the end-to-end frame
+        render.stages = dict(coarse=stage_coarse, keep=stage_keep,
+                             fine=stage_fine, composite=stage_composite,
+                             sel_h=sel_h, sel_t=sel_t, sel_u=sel_u)
     return render
 
 
