@@ -55,10 +55,15 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     with the quality gate CLOSED when no measured point holds."""
     modes = td.get("modes", {}) if td else {}
     usable = bool(td) and td.get("refresh") == refresh
+    # delta_keep study keys carry a "_k<pct>" suffix (temporal_delta.py
+    # --delta_keep); those are side evidence, not operating points the
+    # temporal renderers are timed at here — gate on plain rungs only
     comp = sorted((int(k.split("_")[-1]), v) for k, v in modes.items()
-                  if k.startswith("s_delta_"))
+                  if k.startswith("s_delta_")
+                  and k.split("_")[-1].isdigit())
     head = sorted((int(k.split("_")[-1]), v) for k, v in modes.items()
-                  if k.startswith("head_only_s_delta_"))
+                  if k.startswith("head_only_s_delta_")
+                  and k.split("_")[-1].isdigit())
     comp_ok_pts = [s for s, v in comp
                    if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
     head_ok_pts = [s for s, v in head

@@ -57,6 +57,12 @@ def main(argv=None):
     parser.add_argument("--s_delta", type=int, default=32,
                         help="with --temporal: samples per ray on delta "
                              "frames")
+    parser.add_argument("--delta_keep", type=float, default=1.0,
+                        help="with --temporal: fraction of prior rays "
+                             "re-rendered on delta frames (keyframe's "
+                             "top foreground-mass rays, spatially "
+                             "dilated); the rest hold the keyframe's "
+                             "pixels for the cycle")
     args = parser.parse_args(argv)
     cfg = resolve_config(args)
 
@@ -146,6 +152,7 @@ def main(argv=None):
         use_prior=bool(args.prior),
         mesh=mesh, tile=tile, bounds=bounds,
         temporal=args.temporal or None, s_delta=args.s_delta,
+        delta_keep=args.delta_keep,
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

@@ -96,6 +96,7 @@ def reenact(
     bounds=None,
     temporal: Optional[int] = None,
     s_delta: int = 32,
+    delta_keep: float = 1.0,
     frame_times: Optional[list] = None,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
@@ -197,7 +198,7 @@ def reenact(
                 head_cfg, H, W, identity.focal, near, far, render_cfg,
                 cx=identity.cx, cy=identity.cy,
                 compute_dtype=compute_dtype, s_delta=s_delta,
-                prior_mask=prior_mask,
+                prior_mask=prior_mask, delta_keep=delta_keep,
             )
         elif fast_keep is not None:
             from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
@@ -256,7 +257,9 @@ def reenact(
                 head_cfg, torso_nerf_config(cfg), H, W, identity.focal,
                 identity.near, identity.far, render_cfg,
                 cx=identity.cx, cy=identity.cy,
-                compute_dtype=compute_dtype, s_delta=s_delta, **pf,
+                compute_dtype=compute_dtype, s_delta=s_delta,
+                delta_keep_head=delta_keep, delta_keep_torso=delta_keep,
+                **pf,
             )
         elif fast_keep is not None:
             from idealnerf_tpu.eval.renderer import (

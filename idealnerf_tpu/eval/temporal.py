@@ -105,11 +105,22 @@ def _prior_sel(mask, n):
 
 def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                     s_delta, band_pad_frac, min_band_frac, dilate_px,
-                    fg_thresh, tag):
+                    fg_thresh, tag, delta_keep: float = 1.0):
     """Per-field temporal stages: ``run(params, pose_f, bc_img, cond,
     band) -> (rgb, lw, fg, new_band)``. ``band=None`` renders the
     keyframe (full hierarchical schedule); otherwise a band-confined
-    delta pass. ``tag`` keeps the jitted closures distinct per field."""
+    delta pass. ``tag`` keeps the jitted closures distinct per field.
+
+    ``delta_keep < 1`` additionally prunes the DELTA frames to the
+    keyframe's top ``delta_keep`` fraction of prior rays ranked by
+    foreground weight mass (spatially max-dilated by ``dilate_px`` so
+    rays the subject is moving into stay live); the rest of the frame
+    holds the keyframe's rendered values for the whole cycle. For a
+    trained field the dropped rays are the prior's padding — rays whose
+    foreground mass is ~0 composite (nearly) the plate every frame, so
+    re-rendering them each delta frame buys nothing. The torso field
+    (fixed pose0, run_nerf.py:499) is the safest client: its rays never
+    move, so frozen weak rays are exact up to conditioning drift."""
     from idealnerf_tpu.kernels.fused_render import (
         fused_render_coarse_hier, fused_render_rays,
     )
@@ -197,10 +208,91 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
         return rgb, lw, fg, _band_update(z, w)
 
+    n_sel = int(sel.shape[0])
+    k_keep = min(n_sel, max(256, (int(n_sel * delta_keep) // 256) * 256))
+    pruned = delta_keep < 1.0 and k_keep < n_sel
+
+    @jax.jit
+    def stage_select(weights):
+        """Keyframe ray selection for the delta cycle (own program — a
+        top_k must never feed gathers of pallas outputs in the same
+        program, the axon pattern eval.renderer documents). Score = the
+        ray's foreground mass, max-dilated over the image window so
+        rays adjacent to the subject silhouette stay live."""
+        mass = jnp.sum(weights[..., :-1], axis=-1)
+        grid = jnp.zeros((H * W,), jnp.float32).at[sel].set(
+            mass.astype(jnp.float32))
+        k = 2 * dilate_px + 1
+        grid = jax.lax.reduce_window(grid.reshape(H, W), 0.0, jax.lax.max,
+                                     (k, k), (1, 1), "SAME")
+        _, keep_idx = jax.lax.top_k(grid.reshape(-1)[sel], k_keep)
+        return keep_idx
+
+    @jax.jit
+    def stage_cache_init(keep_idx, rgb, lw, fg, band):
+        """Kept-space cache from the keyframe's full-frame outputs."""
+        lo, hi, z, w = band
+        return dict(keep=keep_idx, lo=lo[keep_idx], hi=hi[keep_idx],
+                    z=z[keep_idx], w=w[keep_idx], rgb=rgb, lw=lw, fg=fg)
+
+    @jax.jit
+    def stage_delta_pruned(params, pose_f, bc_img, cond, cache):
+        """Delta pass on the kept rays only (one pallas launch); the
+        untouched rays hold the keyframe's rendered values. Same depth
+        placement as stage_delta, in kept-space."""
+        keep_idx = cache["keep"]
+        sel_kept = sel[keep_idx]
+        o, d = get_rays(H, W, focal, pose_f, cx, cy)
+        o = o.reshape(-1, 3)[sel_kept]
+        d = d.reshape(-1, 3)[sel_kept]
+        b = bc_img.reshape(-1, 3)[sel_kept]
+        n_in = s_delta - 1
+        s_uni = max(2, n_in // 4)
+        s_imp = n_in - s_uni
+        zin = cache["z"][..., :-1]
+        win = cache["w"][..., :-1]
+        mids = 0.5 * (zin[..., 1:] + zin[..., :-1])
+        z_imp = sample_pdf(mids, win[..., 1:-1], s_imp, key=None)
+        t = jnp.linspace(0.0, 1.0, s_uni, dtype=jnp.float32)
+        z_uni = (cache["lo"][:, None]
+                 + (cache["hi"] - cache["lo"])[:, None] * t[None])
+        z = jnp.sort(jnp.concatenate([z_imp, z_uni], -1), axis=-1)
+        z = jnp.concatenate(
+            [z, jnp.full((z.shape[0], 1), nf[1], jnp.float32)], 1)
+        rgb_k, lw_k, fg_k, w = _fine(params, o, d, z, b, cond)
+        # kept-space band maintenance (dilation scatters through the
+        # kept rays' own pixels; pixels with no kept neighbour fall back
+        # to the field interval exactly as the unpruned path does)
+        span = nf[1] - nf[0]
+        lo, hi, mass = fg_band(z, w)
+        valid = mass > fg_thresh
+        pad = band_pad_frac * span
+        lo, hi = lo - pad, hi + pad
+        width = jnp.maximum(hi - lo, min_band_frac * span)
+        mid = 0.5 * (lo + hi)
+        lo, hi = mid - 0.5 * width, mid + 0.5 * width
+        lo, hi = dilate_bands(lo, hi, valid, sel_kept, H, W, dilate_px,
+                              nf[0], nf[1])
+        new = dict(keep=keep_idx,
+                   lo=jnp.clip(lo, nf[0], nf[1]),
+                   hi=jnp.clip(hi, nf[0], nf[1]),
+                   z=z.astype(jnp.float32), w=w.astype(jnp.float32),
+                   rgb=cache["rgb"].at[keep_idx].set(rgb_k),
+                   lw=cache["lw"].at[keep_idx].set(lw_k),
+                   fg=cache["fg"].at[keep_idx].set(fg_k))
+        return new["rgb"], new["lw"], new["fg"], new
+
     def run(params, pose_f, bc_img, cond, band):
         if band is None:  # keyframe: coarse-hier program + fine program
             st = stage_kf_coarse(params, pose_f, bc_img, cond)
-            return stage_kf_fine(params, st, cond)
+            rgb, lw, fg, kf_band = stage_kf_fine(params, st, cond)
+            if not pruned:
+                return rgb, lw, fg, kf_band
+            keep_idx = stage_select(kf_band[3])
+            return rgb, lw, fg, stage_cache_init(keep_idx, rgb, lw, fg,
+                                                 kf_band)
+        if pruned:
+            return stage_delta_pruned(params, pose_f, bc_img, cond, band)
         return stage_delta(params, pose_f, bc_img, cond, *band)
 
     run.tag = tag
@@ -226,6 +318,7 @@ def make_temporal_frame_renderer(
     min_band_frac: float = 0.04,
     dilate_px: int = 4,
     fg_thresh: float = 0.2,
+    delta_keep: float = 1.0,
 ):
     """Single-field (head-only) temporal depth-cache renderer.
 
@@ -246,7 +339,8 @@ def make_temporal_frame_renderer(
 
     field = _field_pipeline(nerf_cfg, H, W, focal, cx, cy, cfg, cd, nf,
                             sel, s_delta, band_pad_frac, min_band_frac,
-                            dilate_px, fg_thresh, tag="head")
+                            dilate_px, fg_thresh, tag="head",
+                            delta_keep=delta_keep)
 
     @jax.jit
     def assemble(rgb, bc_img):
@@ -276,6 +370,8 @@ def make_temporal_composite_renderer(
     min_band_frac: float = 0.04,
     dilate_px: int = 4,
     fg_thresh: float = 0.2,
+    delta_keep_head: float = 1.0,
+    delta_keep_torso: float = 1.0,
 ):
     """Head+torso composite renderer with a temporal depth cache.
 
@@ -327,10 +423,11 @@ def make_temporal_composite_renderer(
 
     kb = (s_delta, band_pad_frac, min_band_frac, dilate_px, fg_thresh)
     head = _field_pipeline(head_cfg, H, W, focal, cx, cy, cfg, cd,
-                           nf_head, jnp.asarray(sel_h_np), *kb, tag="head")
+                           nf_head, jnp.asarray(sel_h_np), *kb, tag="head",
+                           delta_keep=delta_keep_head)
     torso = _field_pipeline(torso_cfg, H, W, focal, cx, cy, cfg, cd,
                             nf_torso, jnp.asarray(sel_t_np), *kb,
-                            tag="torso")
+                            tag="torso", delta_keep=delta_keep_torso)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):

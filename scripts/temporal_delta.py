@@ -52,6 +52,12 @@ def main():
                         "both levers together)")
     p.add_argument("--importance", type=int, default=None,
                    help="keyframe N_importance override")
+    p.add_argument("--delta_keep", type=float, default=1.0,
+                   help="fraction of prior rays re-rendered on delta "
+                        "frames (keyframe's top foreground-mass set; "
+                        "the rest hold the keyframe's pixels). <1 "
+                        "suffixes the mode keys with 'k<pct>' so the "
+                        "evidence stays distinct from unpruned runs")
     p.add_argument("--auto_rung", action="store_true",
                    help="pick the keyframe rung from runs/rehearsal2/"
                         "sample_sweep.json (cheapest rung within 0.05 dB "
@@ -190,9 +196,11 @@ def main():
         "fps_full_warm": round(1.0 / t_full_warm, 3),
         "modes": {},
     }
+    ksuf = ("" if args.delta_keep >= 1.0
+            else f"_k{int(args.delta_keep * 100)}")
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
-                  bounds=bounds, **common)
+                  bounds=bounds, delta_keep=args.delta_keep, **common)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {
@@ -204,8 +212,8 @@ def main():
             "fps_delta_frames": fps_delta,
             "keyframe_cost_measured": measured_key,
         }
-        out["modes"][f"s_delta_{s_delta}"] = m
-        print(f"s_delta={s_delta}: {json.dumps(m)}", flush=True)
+        out["modes"][f"s_delta_{s_delta}{ksuf}"] = m
+        print(f"s_delta={s_delta}{ksuf}: {json.dumps(m)}", flush=True)
 
     # head-only temporal (eval_aud_exp_nerf.py:437 workload) vs the full
     # head-only render — quality is measured against the render, not GT
@@ -215,7 +223,8 @@ def main():
     out["fps_head_full_warm"] = round(1.0 / t_full_warm, 3)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
-                  bounds=bounds["head"] if bounds else None, **common_h)
+                  bounds=bounds["head"] if bounds else None,
+                  delta_keep=args.delta_keep, **common_h)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {
@@ -224,8 +233,9 @@ def main():
             "fps_delta_frames": fps_delta,
             "keyframe_cost_measured": measured_key,
         }
-        out["modes"][f"head_only_s_delta_{s_delta}"] = m
-        print(f"head-only s_delta={s_delta}: {json.dumps(m)}", flush=True)
+        out["modes"][f"head_only_s_delta_{s_delta}{ksuf}"] = m
+        print(f"head-only s_delta={s_delta}{ksuf}: {json.dumps(m)}",
+              flush=True)
 
     print(json.dumps(out, indent=2))
     dest = args.out or os.path.join(COM, "temporal_delta.json")

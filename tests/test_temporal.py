@@ -161,6 +161,35 @@ def test_temporal_head_only_keyframe_matches_full():
     assert (~eq_plate).sum() <= n_padded
 
 
+def test_temporal_delta_keep_freezes_weak_rays():
+    """delta_keep < 1: a pruned delta frame re-renders at most k_keep
+    rays (the keyframe's top foreground-mass set, 256-aligned); every
+    other pixel holds the keyframe's value exactly."""
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    hcall = dict(aud=call["aud"], expr=call["expr"], latent=call["latent"])
+
+    tm = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                      cx=cx, cy=cy, s_delta=8,
+                                      delta_keep=0.5)
+    f0, c0 = tm(hp, pose, bc, **hcall, cache=None)
+    assert int(c0["keep"].shape[0]) == 512        # 1024 rays * 0.5
+    # a different pose forces every re-rendered ray to change
+    pose2 = jnp.concatenate(
+        [jnp.eye(3), jnp.array([[0.2], [0.1], [1.1]])], 1)
+    f1, c1 = tm(hp, pose2, bc, **hcall, cache=c0)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    assert np.isfinite(f1).all()
+    changed = (np.abs(f1 - f0).max(-1) > 1e-7).sum()
+    assert 0 < changed <= 512, changed
+    # second delta frame consumes the delta-shaped cache (retrace path)
+    f2, _ = tm(hp, pose, bc, **hcall, cache=c1)
+    assert np.isfinite(np.asarray(f2)).all()
+
+
 def test_temporal_video_tracks_trained_fields():
     """On TRAINED head+torso fields, delta frames must stay close to the
     per-frame full render across a moving 4-frame clip (the quality
@@ -219,6 +248,29 @@ def test_temporal_video_tracks_trained_fields():
     # keyframe is exact; every delta frame stays close to per-frame full
     assert psnrs[0] > 50.0, psnrs
     assert min(psnrs[1:]) > 24.0, psnrs
+
+    # pruned delta frames (delta_keep) must hold the same quality bar on
+    # trained fields: the frozen rays are exactly the weak-foreground
+    # ones whose full render is (nearly) the plate
+    pruned = make_temporal_composite_renderer(
+        ncfg, tcfg, 48, 48, ds_com.focal, ds_com.near, ds_com.far, rc,
+        cx=ds_com.cx, cy=ds_com.cy, s_delta=8, dilate_px=3,
+        delta_keep_head=0.5, delta_keep_torso=0.5)
+    cache = None
+    psnrs_p = []
+    for i in range(4):
+        aud = compute_aud_feature(hp, data["auds"], data["aud_ids"], i,
+                                  cfg, False)
+        sig = torso_signal(aud, data["poses"][i], cfg.dim_aud_body)
+        call = dict(aud=aud, signal=sig, expr=data["exprs"][i],
+                    latent=head.state.latent_codes[i])
+        ref = np.asarray(full(hp, tp, data["poses"][i], pose0, bc, **call))
+        frame, cache = pruned(hp, tp, data["poses"][i], pose0, bc,
+                              **call, cache=cache)
+        err = float(np.mean((np.asarray(frame) - ref) ** 2))
+        psnrs_p.append(-10.0 * np.log10(err + 1e-12))
+    assert psnrs_p[0] > 50.0, psnrs_p
+    assert min(psnrs_p[1:]) > 23.0, psnrs_p
 
 
 def test_reenact_temporal_mode_runs():
