@@ -55,20 +55,38 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     with the quality gate CLOSED when no measured point holds."""
     modes = td.get("modes", {}) if td else {}
     usable = bool(td) and td.get("refresh") == refresh
-    # delta_keep study keys carry a "_k<pct>" suffix (temporal_delta.py
-    # --delta_keep); those are side evidence, not operating points the
-    # temporal renderers are timed at here — gate on plain rungs only
-    comp = sorted((int(k.split("_")[-1]), v) for k, v in modes.items()
-                  if k.startswith("s_delta_")
-                  and k.split("_")[-1].isdigit())
-    head = sorted((int(k.split("_")[-1]), v) for k, v in modes.items()
-                  if k.startswith("head_only_s_delta_")
-                  and k.split("_")[-1].isdigit())
-    comp_ok_pts = [s for s, v in comp
+
+    def _parse(k, prefix):
+        """Mode key -> (s_delta, delta_keep) or None. Plain rungs are
+        "s_delta_32"; delta_keep study keys (temporal_delta.py
+        --delta_keep) carry a "_k<pct>" suffix: "s_delta_32_k60"."""
+        if not k.startswith(prefix):
+            return None
+        rest = k[len(prefix):].split("_")
+        if len(rest) == 1 and rest[0].isdigit():
+            return int(rest[0]), 1.0
+        if (len(rest) == 2 and rest[0].isdigit()
+                and rest[1].startswith("k") and rest[1][1:].isdigit()):
+            return int(rest[0]), int(rest[1][1:]) / 100.0
+        return None
+
+    def _pts(prefix):
+        pts = [(p[0], p[1], v) for k, v in modes.items()
+               if (p := _parse(k, prefix)) is not None]
+        # cheapest first: delta-frame cost ~ s_delta * delta_keep
+        return sorted(pts, key=lambda p: (p[0] * p[1], p[0]))
+
+    comp = _pts("s_delta_")
+    head = _pts("head_only_s_delta_")
+    comp_ok_pts = [(s, kp) for s, kp, v in comp
                    if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
-    head_ok_pts = [s for s, v in head
+    head_ok_pts = [(s, kp) for s, kp, v in head
                    if usable
                    and v.get("psnr_temporal_vs_full", 0.0) >= 40.0]
+
+    def _key(s, kp):
+        return f"s_delta_{s}" + ("" if kp >= 1.0 else f"_k{int(kp*100)}")
+
     return {
         "refresh_measured": td.get("refresh") if td else None,
         # keyframe schedule the evidence was measured at — bench times
@@ -82,13 +100,17 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
             bool(td.get("tightened_bounds")) if td else None),
         "evidence_at_this_refresh": usable,
         "composite_delta_db_vs_gt": {
-            f"s_delta_{s}": v.get("delta_psnr_vs_gt") for s, v in comp},
+            _key(s, kp): v.get("delta_psnr_vs_gt") for s, kp, v in comp},
         "head_agreement_db_vs_full": {
-            f"s_delta_{s}": v.get("psnr_temporal_vs_full")
-            for s, v in head},
-        "s_delta_comp": comp_ok_pts[0] if comp_ok_pts else default_s_delta,
+            _key(s, kp): v.get("psnr_temporal_vs_full")
+            for s, kp, v in head},
+        "s_delta_comp": (comp_ok_pts[0][0] if comp_ok_pts
+                         else default_s_delta),
+        "delta_keep_comp": comp_ok_pts[0][1] if comp_ok_pts else 1.0,
         "composite_video_quality_ok": bool(comp_ok_pts),
-        "s_delta_head": head_ok_pts[0] if head_ok_pts else default_s_delta,
+        "s_delta_head": (head_ok_pts[0][0] if head_ok_pts
+                         else default_s_delta),
+        "delta_keep_head": head_ok_pts[0][1] if head_ok_pts else 1.0,
         "head_video_quality_ok": bool(head_ok_pts),
     }
 
@@ -110,14 +132,23 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
         for td in cands:
             tq = pick_temporal_points(td, td.get("refresh"),
                                       default_s_delta)
-            if tq[ok_key] and (best is None
-                               or td["refresh"] > best["refresh"]):
+            if not tq[ok_key]:
+                continue
+            cost = tq[sd_key] * tq[f"delta_keep_{mode}"]
+            # largest keyframe interval first; at equal refresh the
+            # cheaper gated point (delta-frame cost ~ s_delta*keep) wins
+            if (best is None or td["refresh"] > best["refresh"]
+                    or (td["refresh"] == best["refresh"]
+                        and cost < best["_cost"])):
                 best = {"refresh": td["refresh"], "s_delta": tq[sd_key],
-                        "keyframe_rung": tq["keyframe_rung"]}
+                        "delta_keep": tq[f"delta_keep_{mode}"],
+                        "keyframe_rung": tq["keyframe_rung"],
+                        "_cost": cost}
         out[mode] = {
             "quality_ok": best is not None,
             "refresh": best["refresh"] if best else default_refresh,
             "s_delta": best["s_delta"] if best else default_s_delta,
+            "delta_keep": best["delta_keep"] if best else 1.0,
             "keyframe_rung": best["keyframe_rung"] if best else None,
         }
     out["evidence"] = [
@@ -404,7 +435,10 @@ def main():
             os.path.dirname(os.path.abspath(__file__)),
             "runs", "rehearsal2_com")
         for fname in ("temporal_delta.json", "temporal_delta_r50.json",
-                      "temporal_delta_r10.json"):
+                      "temporal_delta_r10.json",
+                      "temporal_delta_k60.json",
+                      "temporal_delta_k40.json",
+                      "temporal_delta_r50k60.json"):
             p_td = os.path.join(td_dir, fname)
             if os.path.exists(p_td):
                 with open(p_td) as fh:
@@ -424,6 +458,7 @@ def main():
 
         refresh = comp_conf["refresh"]
         s_delta = comp_conf["s_delta"]
+        dk = comp_conf.get("delta_keep", 1.0)
         render_temporal = make_temporal_composite_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg_at(comp_conf["keyframe_rung"]).render_config(),
@@ -431,6 +466,7 @@ def main():
             compute_dtype=compute_dtype,
             prior_mask_head=jnp.asarray(mask_h),
             prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
+            delta_keep_head=dk, delta_keep_torso=dk,
         )
 
         def tcall(cache):
@@ -474,6 +510,7 @@ def main():
             cfg_at(head_conf["keyframe_rung"]).render_config(),
             cx=cx, cy=cy, compute_dtype=compute_dtype,
             prior_mask=mask_dev, s_delta=head_conf["s_delta"],
+            delta_keep=head_conf.get("delta_keep", 1.0),
         )
 
         def hcall(cache):

@@ -255,13 +255,60 @@ def test_bench_temporal_mode_configs_across_files():
     out = bench.pick_temporal_mode_configs([td25, td50], 32, 25)
     # composite: refresh 50 holds (at s_delta 32, paper keyframes)
     assert out["comp"] == {"quality_ok": True, "refresh": 50,
-                           "s_delta": 32, "keyframe_rung": "64+192"}
+                           "s_delta": 32, "delta_keep": 1.0,
+                           "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
     assert out["head"] == {"quality_ok": True, "refresh": 25,
-                           "s_delta": 16, "keyframe_rung": "32+64"}
+                           "s_delta": 16, "delta_keep": 1.0,
+                           "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
     assert out["evidence"][0]["tightened"] is True
     # no evidence -> env defaults, gates closed
     out0 = bench.pick_temporal_mode_configs([], 24, 30)
     assert not out0["comp"]["quality_ok"] and out0["comp"]["refresh"] == 30
     assert out0["head"]["s_delta"] == 24
+
+
+def test_bench_temporal_delta_keep_points():
+    """_k<pct>-suffixed modes (temporal_delta.py --delta_keep) are
+    operating points: cost-ranked by s_delta*keep, carried into the
+    picked config as delta_keep."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    td = {
+        "refresh": 25, "keyframe_rung": "16+32",
+        "modes": {
+            # unpruned s32 misses the composite gate; pruned s32 holds
+            "s_delta_32": {"delta_psnr_vs_gt": 0.054,
+                           "psnr_temporal_vs_full": 48.7},
+            "s_delta_32_k60": {"delta_psnr_vs_gt": 0.048,
+                               "psnr_temporal_vs_full": 48.7},
+            "head_only_s_delta_32": {"psnr_temporal_vs_full": 54.6},
+            "head_only_s_delta_32_k60": {"psnr_temporal_vs_full": 52.0},
+        },
+    }
+    tq = bench.pick_temporal_points(td, 25)
+    assert tq["composite_video_quality_ok"]
+    assert tq["s_delta_comp"] == 32 and tq["delta_keep_comp"] == 0.6
+    # head: both hold; k60 is cheaper (32*0.6 < 32*1.0)
+    assert tq["s_delta_head"] == 32 and tq["delta_keep_head"] == 0.6
+    assert tq["composite_delta_db_vs_gt"]["s_delta_32_k60"] == 0.048
+    out = bench.pick_temporal_mode_configs([td], 32, 25)
+    assert out["comp"]["quality_ok"] and out["comp"]["delta_keep"] == 0.6
+
+    # across files at the SAME refresh, the cheaper gated point wins
+    # (s_delta * delta_keep), regardless of file order
+    plain = {
+        "refresh": 25, "keyframe_rung": "16+32",
+        "modes": {"s_delta_32": {"delta_psnr_vs_gt": 0.04},
+                  "head_only_s_delta_32":
+                      {"psnr_temporal_vs_full": 54.6}},
+    }
+    out2 = bench.pick_temporal_mode_configs([plain, td], 32, 25)
+    assert out2["comp"]["delta_keep"] == 0.6
+    assert "_cost" not in out2["comp"]
