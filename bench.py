@@ -57,35 +57,47 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     usable = bool(td) and td.get("refresh") == refresh
 
     def _parse(k, prefix):
-        """Mode key -> (s_delta, delta_keep) or None. Plain rungs are
-        "s_delta_32"; delta_keep study keys (temporal_delta.py
-        --delta_keep) carry a "_k<pct>" suffix: "s_delta_32_k60"."""
+        """Mode key -> (s_delta, s_delta_torso, delta_keep) or None.
+        Grammar after the prefix: "<h>[t<t>][_k<pct>]" — plain rungs
+        ("32"), per-field torso counts ("16t32"), delta_keep studies
+        ("32_k60", "16t32_k60"); all from temporal_delta.py flags."""
         if not k.startswith(prefix):
             return None
         rest = k[len(prefix):].split("_")
-        if len(rest) == 1 and rest[0].isdigit():
-            return int(rest[0]), 1.0
-        if (len(rest) == 2 and rest[0].isdigit()
-                and rest[1].startswith("k") and rest[1][1:].isdigit()):
-            return int(rest[0]), int(rest[1][1:]) / 100.0
+        keep = 1.0
+        if len(rest) == 2:
+            if not (rest[1].startswith("k") and rest[1][1:].isdigit()):
+                return None
+            keep = int(rest[1][1:]) / 100.0
+        elif len(rest) != 1:
+            return None
+        seg = rest[0].split("t")
+        if len(seg) == 1 and seg[0].isdigit():
+            return int(seg[0]), None, keep
+        if len(seg) == 2 and seg[0].isdigit() and seg[1].isdigit():
+            return int(seg[0]), int(seg[1]), keep
         return None
 
+    def _cost(s, st, kp):
+        # delta-frame cost ~ mean per-field sample count * kept fraction
+        return (s + (st if st is not None else s)) / 2.0 * kp
+
     def _pts(prefix):
-        pts = [(p[0], p[1], v) for k, v in modes.items()
+        pts = [(p[0], p[1], p[2], v) for k, v in modes.items()
                if (p := _parse(k, prefix)) is not None]
-        # cheapest first: delta-frame cost ~ s_delta * delta_keep
-        return sorted(pts, key=lambda p: (p[0] * p[1], p[0]))
+        return sorted(pts, key=lambda p: (_cost(p[0], p[1], p[2]), p[0]))
 
     comp = _pts("s_delta_")
     head = _pts("head_only_s_delta_")
-    comp_ok_pts = [(s, kp) for s, kp, v in comp
+    comp_ok_pts = [(s, st, kp) for s, st, kp, v in comp
                    if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
-    head_ok_pts = [(s, kp) for s, kp, v in head
+    head_ok_pts = [(s, st, kp) for s, st, kp, v in head
                    if usable
                    and v.get("psnr_temporal_vs_full", 0.0) >= 40.0]
 
-    def _key(s, kp):
-        return f"s_delta_{s}" + ("" if kp >= 1.0 else f"_k{int(kp*100)}")
+    def _key(s, st, kp):
+        return (f"s_delta_{s}" + ("" if st is None else f"t{st}")
+                + ("" if kp >= 1.0 else f"_k{int(kp*100)}"))
 
     return {
         "refresh_measured": td.get("refresh") if td else None,
@@ -100,17 +112,19 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
             bool(td.get("tightened_bounds")) if td else None),
         "evidence_at_this_refresh": usable,
         "composite_delta_db_vs_gt": {
-            _key(s, kp): v.get("delta_psnr_vs_gt") for s, kp, v in comp},
+            _key(s, st, kp): v.get("delta_psnr_vs_gt")
+            for s, st, kp, v in comp},
         "head_agreement_db_vs_full": {
-            _key(s, kp): v.get("psnr_temporal_vs_full")
-            for s, kp, v in head},
+            _key(s, st, kp): v.get("psnr_temporal_vs_full")
+            for s, st, kp, v in head},
         "s_delta_comp": (comp_ok_pts[0][0] if comp_ok_pts
                          else default_s_delta),
-        "delta_keep_comp": comp_ok_pts[0][1] if comp_ok_pts else 1.0,
+        "s_delta_torso_comp": comp_ok_pts[0][1] if comp_ok_pts else None,
+        "delta_keep_comp": comp_ok_pts[0][2] if comp_ok_pts else 1.0,
         "composite_video_quality_ok": bool(comp_ok_pts),
         "s_delta_head": (head_ok_pts[0][0] if head_ok_pts
                          else default_s_delta),
-        "delta_keep_head": head_ok_pts[0][1] if head_ok_pts else 1.0,
+        "delta_keep_head": head_ok_pts[0][2] if head_ok_pts else 1.0,
         "head_video_quality_ok": bool(head_ok_pts),
     }
 
@@ -134,13 +148,17 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                                       default_s_delta)
             if not tq[ok_key]:
                 continue
-            cost = tq[sd_key] * tq[f"delta_keep_{mode}"]
+            st = (tq.get("s_delta_torso_comp") if mode == "comp"
+                  else None)
+            cost = ((tq[sd_key] + (st if st is not None else tq[sd_key]))
+                    / 2.0 * tq[f"delta_keep_{mode}"])
             # largest keyframe interval first; at equal refresh the
-            # cheaper gated point (delta-frame cost ~ s_delta*keep) wins
+            # cheaper gated point (delta-frame cost ~ samples*keep) wins
             if (best is None or td["refresh"] > best["refresh"]
                     or (td["refresh"] == best["refresh"]
                         and cost < best["_cost"])):
                 best = {"refresh": td["refresh"], "s_delta": tq[sd_key],
+                        "s_delta_torso": st,
                         "delta_keep": tq[f"delta_keep_{mode}"],
                         "keyframe_rung": tq["keyframe_rung"],
                         "_cost": cost}
@@ -148,6 +166,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "quality_ok": best is not None,
             "refresh": best["refresh"] if best else default_refresh,
             "s_delta": best["s_delta"] if best else default_s_delta,
+            "s_delta_torso": best["s_delta_torso"] if best else None,
             "delta_keep": best["delta_keep"] if best else 1.0,
             "keyframe_rung": best["keyframe_rung"] if best else None,
         }
@@ -438,7 +457,8 @@ def main():
                       "temporal_delta_r10.json",
                       "temporal_delta_k60.json",
                       "temporal_delta_k40.json",
-                      "temporal_delta_r50k60.json"):
+                      "temporal_delta_r50k60.json",
+                      "temporal_delta_pf60.json"):
             p_td = os.path.join(td_dir, fname)
             if os.path.exists(p_td):
                 with open(p_td) as fh:
@@ -467,6 +487,7 @@ def main():
             prior_mask_head=jnp.asarray(mask_h),
             prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
             delta_keep_head=dk, delta_keep_torso=dk,
+            s_delta_torso=comp_conf.get("s_delta_torso"),
         )
 
         def tcall(cache):

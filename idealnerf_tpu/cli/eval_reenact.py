@@ -57,6 +57,10 @@ def main(argv=None):
     parser.add_argument("--s_delta", type=int, default=32,
                         help="with --temporal: samples per ray on delta "
                              "frames")
+    parser.add_argument("--s_delta_torso", type=int, default=None,
+                        help="with --temporal on a composite: torso-field "
+                             "delta samples (default: same as --s_delta; "
+                             "the torso's wider band usually needs more)")
     parser.add_argument("--delta_keep", type=float, default=1.0,
                         help="with --temporal: fraction of prior rays "
                              "re-rendered on delta frames (keyframe's "
@@ -152,7 +156,7 @@ def main(argv=None):
         use_prior=bool(args.prior),
         mesh=mesh, tile=tile, bounds=bounds,
         temporal=args.temporal or None, s_delta=args.s_delta,
-        delta_keep=args.delta_keep,
+        delta_keep=args.delta_keep, s_delta_torso=args.s_delta_torso,
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

@@ -97,6 +97,7 @@ def reenact(
     temporal: Optional[int] = None,
     s_delta: int = 32,
     delta_keep: float = 1.0,
+    s_delta_torso: Optional[int] = None,
     frame_times: Optional[list] = None,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
@@ -259,6 +260,7 @@ def reenact(
                 cx=identity.cx, cy=identity.cy,
                 compute_dtype=compute_dtype, s_delta=s_delta,
                 delta_keep_head=delta_keep, delta_keep_torso=delta_keep,
+                s_delta_torso=s_delta_torso,
                 **pf,
             )
         elif fast_keep is not None:

@@ -372,6 +372,7 @@ def make_temporal_composite_renderer(
     fg_thresh: float = 0.2,
     delta_keep_head: float = 1.0,
     delta_keep_torso: float = 1.0,
+    s_delta_torso: Optional[int] = None,
 ):
     """Head+torso composite renderer with a temporal depth cache.
 
@@ -421,13 +422,22 @@ def make_temporal_composite_renderer(
     nf_torso = tuple(bounds_torso) if bounds_torso is not None else (
         float(near), float(far))
 
-    kb = (s_delta, band_pad_frac, min_band_frac, dilate_px, fg_thresh)
+    # per-field delta sample counts: the fields' band widths differ a
+    # lot (the torso's tightened interval is ~half its range vs ~19%
+    # for the head), so equal counts give the torso far coarser in-band
+    # density — measured, the composite's quality at small s_delta is
+    # torso-limited while the head holds at half the samples
+    st_torso = s_delta_torso or s_delta
+    if s_delta_torso is not None:
+        _check_schedule(cfg, st_torso)
+    kb = (band_pad_frac, min_band_frac, dilate_px, fg_thresh)
     head = _field_pipeline(head_cfg, H, W, focal, cx, cy, cfg, cd,
-                           nf_head, jnp.asarray(sel_h_np), *kb, tag="head",
-                           delta_keep=delta_keep_head)
+                           nf_head, jnp.asarray(sel_h_np), s_delta, *kb,
+                           tag="head", delta_keep=delta_keep_head)
     torso = _field_pipeline(torso_cfg, H, W, focal, cx, cy, cfg, cd,
-                            nf_torso, jnp.asarray(sel_t_np), *kb,
-                            tag="torso", delta_keep=delta_keep_torso)
+                            nf_torso, jnp.asarray(sel_t_np), st_torso,
+                            *kb, tag="torso",
+                            delta_keep=delta_keep_torso)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):

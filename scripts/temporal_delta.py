@@ -52,6 +52,11 @@ def main():
                         "both levers together)")
     p.add_argument("--importance", type=int, default=None,
                    help="keyframe N_importance override")
+    p.add_argument("--s_delta_torso", type=int, default=None,
+                   help="torso-field delta samples (composite modes "
+                        "only; default: same as each --s_delta value). "
+                        "Suffixes the composite mode keys with "
+                        "'t<val>': s_delta_16t32")
     p.add_argument("--delta_keep", type=float, default=1.0,
                    help="fraction of prior rays re-rendered on delta "
                         "frames (keyframe's top foreground-mass set; "
@@ -198,9 +203,11 @@ def main():
     }
     ksuf = ("" if args.delta_keep >= 1.0
             else f"_k{int(args.delta_keep * 100)}")
+    tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
-                  bounds=bounds, delta_keep=args.delta_keep, **common)
+                  bounds=bounds, delta_keep=args.delta_keep,
+                  s_delta_torso=args.s_delta_torso, **common)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {
@@ -212,8 +219,9 @@ def main():
             "fps_delta_frames": fps_delta,
             "keyframe_cost_measured": measured_key,
         }
-        out["modes"][f"s_delta_{s_delta}{ksuf}"] = m
-        print(f"s_delta={s_delta}{ksuf}: {json.dumps(m)}", flush=True)
+        out["modes"][f"s_delta_{s_delta}{tsuf}{ksuf}"] = m
+        print(f"s_delta={s_delta}{tsuf}{ksuf}: {json.dumps(m)}",
+              flush=True)
 
     # head-only temporal (eval_aud_exp_nerf.py:437 workload) vs the full
     # head-only render — quality is measured against the render, not GT

@@ -255,12 +255,12 @@ def test_bench_temporal_mode_configs_across_files():
     out = bench.pick_temporal_mode_configs([td25, td50], 32, 25)
     # composite: refresh 50 holds (at s_delta 32, paper keyframes)
     assert out["comp"] == {"quality_ok": True, "refresh": 50,
-                           "s_delta": 32, "delta_keep": 1.0,
-                           "keyframe_rung": "64+192"}
+                           "s_delta": 32, "s_delta_torso": None,
+                           "delta_keep": 1.0, "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
     assert out["head"] == {"quality_ok": True, "refresh": 25,
-                           "s_delta": 16, "delta_keep": 1.0,
-                           "keyframe_rung": "32+64"}
+                           "s_delta": 16, "s_delta_torso": None,
+                           "delta_keep": 1.0, "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
     assert out["evidence"][0]["tightened"] is True
     # no evidence -> env defaults, gates closed
@@ -312,3 +312,23 @@ def test_bench_temporal_delta_keep_points():
     out2 = bench.pick_temporal_mode_configs([plain, td], 32, 25)
     assert out2["comp"]["delta_keep"] == 0.6
     assert "_cost" not in out2["comp"]
+
+    # per-field torso counts: "s_delta_16t32_k60" parses to head 16 /
+    # torso 32 / keep 0.6 and, when gated, beats s32 uniform on cost
+    td_t = {
+        "refresh": 25, "keyframe_rung": "16+32",
+        "modes": {
+            "s_delta_32_k60": {"delta_psnr_vs_gt": 0.048},
+            "s_delta_16t32_k60": {"delta_psnr_vs_gt": 0.04},
+            "head_only_s_delta_32": {"psnr_temporal_vs_full": 54.6},
+        },
+    }
+    tqt = bench.pick_temporal_points(td_t, 25)
+    assert tqt["composite_video_quality_ok"]
+    assert tqt["s_delta_comp"] == 16
+    assert tqt["s_delta_torso_comp"] == 32
+    assert tqt["delta_keep_comp"] == 0.6
+    assert tqt["composite_delta_db_vs_gt"]["s_delta_16t32_k60"] == 0.04
+    outt = bench.pick_temporal_mode_configs([td_t], 32, 25)
+    assert outt["comp"]["s_delta_torso"] == 32
+    assert outt["comp"]["s_delta"] == 16

@@ -190,6 +190,26 @@ def test_temporal_delta_keep_freezes_weak_rays():
     assert np.isfinite(np.asarray(f2)).all()
 
 
+def test_temporal_per_field_s_delta():
+    """s_delta_torso gives the torso field its own delta sample count
+    (its band is much wider than the head's); the two field caches then
+    carry different depth-grid widths."""
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+        s_delta=8, s_delta_torso=12)
+    f0, c0 = tm(hp, tp, pose, pose0, bc, **call, cache=None)
+    f1, c1 = tm(hp, tp, pose, pose0, bc, **call, cache=c0)
+    assert np.isfinite(np.asarray(f1)).all()
+    assert c1["head"][2].shape[-1] == 8      # head z grid: s_delta
+    assert c1["torso"][2].shape[-1] == 12    # torso z grid: s_delta_torso
+    # second delta consumes the delta-shaped caches
+    f2, _ = tm(hp, tp, pose, pose0, bc, **call, cache=c1)
+    assert np.isfinite(np.asarray(f2)).all()
+
+
 def test_temporal_video_tracks_trained_fields():
     """On TRAINED head+torso fields, delta frames must stay close to the
     per-frame full render across a moving 4-frame clip (the quality
