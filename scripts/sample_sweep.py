@@ -101,11 +101,21 @@ def main():
             print(f"{s}+{imp}{suffix}:", results[f"{s}+{imp}{suffix}"],
                   flush=True)
 
+    # merge into any existing sweep file (a --rungs subset run must not
+    # wipe previously measured rungs); deltas are recomputed against
+    # this run's reference rung for every entry that has a PSNR
+    dest = os.path.join(args.out, "sample_sweep.json")
+    if os.path.exists(dest):
+        with open(dest) as fh:
+            old = json.load(fh)
+        old.update(results)
+        results = old
     ref_key = f"{rungs[0][0]}+{rungs[0][1]}"
-    for k in results:
-        results[k]["delta_psnr_vs_" + ref_key] = round(
-            results[ref_key]["psnr"] - results[k]["psnr"], 3)
-    with open(os.path.join(args.out, "sample_sweep.json"), "w") as fh:
+    if ref_key in results:
+        for k in results:
+            results[k]["delta_psnr_vs_" + ref_key] = round(
+                results[ref_key]["psnr"] - results[k]["psnr"], 3)
+    with open(dest, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2))
 
