@@ -97,7 +97,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
 
     def _key(s, st, kp):
         return (f"s_delta_{s}" + ("" if st is None else f"t{st}")
-                + ("" if kp >= 1.0 else f"_k{int(kp*100)}"))
+                + ("" if kp >= 1.0 else f"_k{round(kp*100)}"))
 
     return {
         "refresh_measured": td.get("refresh") if td else None,
@@ -121,10 +121,12 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
                          else default_s_delta),
         "s_delta_torso_comp": comp_ok_pts[0][1] if comp_ok_pts else None,
         "delta_keep_comp": comp_ok_pts[0][2] if comp_ok_pts else 1.0,
+        "cost_comp": _cost(*comp_ok_pts[0]) if comp_ok_pts else None,
         "composite_video_quality_ok": bool(comp_ok_pts),
         "s_delta_head": (head_ok_pts[0][0] if head_ok_pts
                          else default_s_delta),
         "delta_keep_head": head_ok_pts[0][2] if head_ok_pts else 1.0,
+        "cost_head": _cost(*head_ok_pts[0]) if head_ok_pts else None,
         "head_video_quality_ok": bool(head_ok_pts),
     }
 
@@ -150,8 +152,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                 continue
             st = (tq.get("s_delta_torso_comp") if mode == "comp"
                   else None)
-            cost = ((tq[sd_key] + (st if st is not None else tq[sd_key]))
-                    / 2.0 * tq[f"delta_keep_{mode}"])
+            cost = tq[f"cost_{mode}"]  # pick_temporal_points' cost model
             # largest keyframe interval first; at equal refresh the
             # cheaper gated point (delta-frame cost ~ samples*keep) wins
             if (best is None or td["refresh"] > best["refresh"]

@@ -141,14 +141,17 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         )
         return dict(o=o, d=d, b=b, z=z_all)
 
-    def _band_update(z, weights):
+    def _band_update(z, weights, sel_scatter=None):
         """Next-frame cache from this frame's depths/weights (no
         pallas): 96%-mass band -> pad -> width floor -> dilate -> clip,
         PLUS the raw (z, w) for temporal importance placement — the next
         delta frame inverse-CDF-samples most of its depths from this
         frame's weight distribution (the surface moves a tiny fraction
         of the band per frame, so last frame's weights are a near-exact
-        importance prior; uniform band coverage catches the rest)."""
+        importance prior; uniform band coverage catches the rest).
+        ``sel_scatter``: pixel ids the rays scatter through for the
+        spatial dilation (the pruned delta path passes its kept subset;
+        default: this field's full prior selection)."""
         span = nf[1] - nf[0]
         lo, hi, mass = fg_band(z, weights)
         valid = mass > fg_thresh
@@ -157,8 +160,9 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         width = jnp.maximum(hi - lo, min_band_frac * span)
         mid = 0.5 * (lo + hi)
         lo, hi = mid - 0.5 * width, mid + 0.5 * width
-        lo, hi = dilate_bands(lo, hi, valid, sel, H, W, dilate_px,
-                              nf[0], nf[1])
+        lo, hi = dilate_bands(lo, hi, valid,
+                              sel if sel_scatter is None else sel_scatter,
+                              H, W, dilate_px, nf[0], nf[1])
         return (jnp.clip(lo, nf[0], nf[1]), jnp.clip(hi, nf[0], nf[1]),
                 z.astype(jnp.float32), weights.astype(jnp.float32))
 
@@ -263,20 +267,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         # kept-space band maintenance (dilation scatters through the
         # kept rays' own pixels; pixels with no kept neighbour fall back
         # to the field interval exactly as the unpruned path does)
-        span = nf[1] - nf[0]
-        lo, hi, mass = fg_band(z, w)
-        valid = mass > fg_thresh
-        pad = band_pad_frac * span
-        lo, hi = lo - pad, hi + pad
-        width = jnp.maximum(hi - lo, min_band_frac * span)
-        mid = 0.5 * (lo + hi)
-        lo, hi = mid - 0.5 * width, mid + 0.5 * width
-        lo, hi = dilate_bands(lo, hi, valid, sel_kept, H, W, dilate_px,
-                              nf[0], nf[1])
-        new = dict(keep=keep_idx,
-                   lo=jnp.clip(lo, nf[0], nf[1]),
-                   hi=jnp.clip(hi, nf[0], nf[1]),
-                   z=z.astype(jnp.float32), w=w.astype(jnp.float32),
+        lo, hi, zf, wf = _band_update(z, w, sel_scatter=sel_kept)
+        new = dict(keep=keep_idx, lo=lo, hi=hi, z=zf, w=wf,
                    rgb=cache["rgb"].at[keep_idx].set(rgb_k),
                    lw=cache["lw"].at[keep_idx].set(lw_k),
                    fg=cache["fg"].at[keep_idx].set(fg_k))
@@ -427,7 +419,7 @@ def make_temporal_composite_renderer(
     # for the head), so equal counts give the torso far coarser in-band
     # density — measured, the composite's quality at small s_delta is
     # torso-limited while the head holds at half the samples
-    st_torso = s_delta_torso or s_delta
+    st_torso = s_delta_torso if s_delta_torso is not None else s_delta
     if s_delta_torso is not None:
         _check_schedule(cfg, st_torso)
     kb = (band_pad_frac, min_band_frac, dilate_px, fg_thresh)

@@ -110,7 +110,12 @@ def main():
             old = json.load(fh)
         old.update(results)
         results = old
-    ref_key = f"{rungs[0][0]}+{rungs[0][1]}"
+    # deltas are ALWAYS anchored at the paper schedule when present
+    # (bench.pick_quality_matched_rung reads delta_psnr_vs_64+192) —
+    # anchoring at this run's first rung would leave a subset run's
+    # entries invisible to the rung selection
+    ref_key = "64+192" if "64+192" in results else (
+        f"{rungs[0][0]}+{rungs[0][1]}")
     if ref_key in results:
         for k in results:
             results[k]["delta_psnr_vs_" + ref_key] = round(

@@ -175,16 +175,23 @@ def main():
         """Amortized steady-state fps for keyframe+delta rendering.
 
         Delta cost from warm delta frames; keyframe cost from a warm
-        keyframe when the clip contains one (i%refresh==0, i>0), else
-        approximated by the warm FULL-render frame time (a keyframe is a
-        full render at the keyframe rung — same program shape)."""
+        keyframe when the clip contains one (i%refresh==0, i>0). When it
+        doesn't (frames <= refresh), the amortized fps is reported as
+        None rather than approximated — the old fallback used the warm
+        full render at the CONFIG schedule, which overstates a reduced
+        keyframe rung's cost 4-8x and deflated the published number.
+        Authoritative timing lives in bench.py anyway; pick --frames >
+        --refresh to get a measured keyframe here."""
         deltas = [t for i, t in enumerate(ft) if i % refresh and i > 0]
         keys = [t for i, t in enumerate(ft) if i % refresh == 0 and i > 0]
         t_delta = sum(deltas) / max(len(deltas), 1)
-        t_key = sum(keys) / len(keys) if keys else t_full_warm
-        amortized = (t_key + (refresh - 1) * t_delta) / refresh
-        return (round(1.0 / amortized, 3), round(1.0 / t_delta, 3),
-                bool(keys))
+        if keys:
+            t_key = sum(keys) / len(keys)
+            amortized = (t_key + (refresh - 1) * t_delta) / refresh
+            fps_am = round(1.0 / amortized, 3)
+        else:
+            fps_am = None
+        return (fps_am, round(1.0 / t_delta, 3), bool(keys))
 
     full, t_full_warm, _ = timed(cfg, **common)
 
@@ -202,7 +209,7 @@ def main():
         "modes": {},
     }
     ksuf = ("" if args.delta_keep >= 1.0
-            else f"_k{int(args.delta_keep * 100)}")
+            else f"_k{round(args.delta_keep * 100)}")
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,

@@ -6,6 +6,7 @@
 #   runs/rehearsal2_com/temporal_delta.json      (refresh 25)
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
+echo $$ > /tmp/r3evid.pid   # follow-on queues wait on this pid
 echo "=== r3 evidence queue start $(date)"
 python scripts/temporal_delta.py --frames 101 --refresh 50 \
   --s_delta 32 16 8 --auto_rung --tighten --split train \

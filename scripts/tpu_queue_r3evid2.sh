@@ -4,7 +4,14 @@
 # at refresh 10 drift shrinks while the amortized fps (~12, keyframes
 # at the qm rung + s_delta 32 deltas) still beats the 11.56 fps
 # quality-matched composite — if the gate opens, composite_best rises.
-while kill -0 $(cat /tmp/r3evid.pid) 2>/dev/null; do sleep 20; done
+# wait for the r3evid queue (it writes its pid at start); a missing
+# pid file means it either finished and cleaned up or was never
+# launched — warn and proceed rather than racing a guess
+if [ -f /tmp/r3evid.pid ]; then
+    while kill -0 "$(cat /tmp/r3evid.pid)" 2>/dev/null; do sleep 20; done
+else
+    echo "WARNING: /tmp/r3evid.pid absent; not waiting" >&2
+fi
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 echo "=== r10 evidence start $(date)"
