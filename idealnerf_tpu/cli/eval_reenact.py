@@ -54,6 +54,16 @@ def main(argv=None):
                              "foreground depth band (eval/temporal.py). "
                              "Head-only and composite; not with --fast "
                              "or mesh flags")
+    parser.add_argument("--auto_temporal", type=str, default=None,
+                        metavar="EVIDENCE_DIR",
+                        help="apply the quality-gated temporal video "
+                             "configuration measured for this subject "
+                             "(directory holding temporal_delta*.json "
+                             "from scripts/temporal_delta.py): sets "
+                             "--temporal/--s_delta/--s_delta_torso/"
+                             "--delta_keep, the keyframe sample rung, "
+                             "and --prior. Errors if no measured point "
+                             "holds the quality gate")
     parser.add_argument("--s_delta", type=int, default=32,
                         help="with --temporal: samples per ray on delta "
                              "frames")
@@ -68,6 +78,32 @@ def main(argv=None):
                              "dilated); the rest hold the keyframe's "
                              "pixels for the cycle")
     args = parser.parse_args(argv)
+    if args.auto_temporal:
+        from idealnerf_tpu.eval.operating_points import gated_video_config
+
+        mode = "comp" if args.torso_ckpt else "head"
+        conf = gated_video_config(args.auto_temporal, mode)
+        if conf is None:
+            parser.error(
+                f"--auto_temporal: no measured {mode} operating point in "
+                f"{args.auto_temporal} holds the quality gate — run "
+                "scripts/temporal_delta.py on this subject's converged "
+                "checkpoint first")
+        args.temporal = conf["refresh"]
+        args.s_delta = conf["s_delta"]
+        args.s_delta_torso = conf["s_delta_torso"]
+        args.delta_keep = conf["delta_keep"]
+        args.prior = 1
+        if conf["keyframe_rung"]:
+            s_kf, imp_kf = map(int, conf["keyframe_rung"].split("+"))
+            args.N_samples, args.N_importance = s_kf, imp_kf
+        logger.info("auto temporal (%s, quality-gated): refresh %d, "
+                    "s_delta %s/%s, delta_keep %.2f, keyframe rung %s "
+                    "(evidence measured WITH tightened per-field depth "
+                    "bounds; pass --tighten_bounds where available to "
+                    "match)", mode, args.temporal, args.s_delta,
+                    args.s_delta_torso, args.delta_keep,
+                    conf["keyframe_rung"])
     cfg = resolve_config(args)
 
     identity = resolve_dataset(args, cfg, mode="val")

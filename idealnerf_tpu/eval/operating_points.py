@@ -1,0 +1,224 @@
+"""Evidence-gated eval operating points.
+
+Every fast rendering mode in this framework is QUALITY-GATED: its
+configuration (sample rung, keyframe interval, delta sample count, ray
+keep fraction) is only used when a measurement on a converged checkpoint
+shows the quality cost is within tolerance. The measurements live in
+JSON evidence files produced by the measurement scripts —
+``scripts/sample_sweep.py`` (per-rung PSNR/SSIM of the val render) and
+``scripts/temporal_delta.py`` (temporal keyframe+delta video vs the
+per-frame full render and vs GT). This module is the single reader of
+those files: ``bench.py`` uses it to decide what to time and claim, and
+``cli/eval_reenact.py --auto_temporal`` uses it to hand a user the
+gated video configuration without reading JSON by hand.
+
+The reference has no analog — it renders everything at the full 64+192
+schedule (eval_aud_exp_nerf.py:437, test_torso.py:513-534).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+# evidence filenames bench.py and --auto_temporal look for, in the
+# subject's run directory (next to temporal_delta.json's canonical home)
+TEMPORAL_EVIDENCE_FILES = (
+    "temporal_delta.json",
+    "temporal_delta_r50.json",
+    "temporal_delta_r10.json",
+    "temporal_delta_k60.json",
+    "temporal_delta_k40.json",
+    "temporal_delta_r50k60.json",
+    "temporal_delta_pf60.json",
+)
+
+
+def load_temporal_evidence(evidence_dir: str) -> list:
+    """All temporal evidence dicts found in ``evidence_dir``."""
+    cands = []
+    for fname in TEMPORAL_EVIDENCE_FILES:
+        p = os.path.join(evidence_dir, fname)
+        if os.path.exists(p):
+            with open(p) as fh:
+                cands.append(json.load(fh))
+    return cands
+
+
+def pick_quality_matched_rung(sweep, ref_prefix="64+", max_delta=0.05):
+    """Cheapest (N_samples, N_importance) rung in a sample_sweep.json
+    dict whose measured PSNR delta vs the paper schedule is within
+    ``max_delta`` dB. Cost model: coarse s + fine (s+imp) point evals.
+    Returns (s, imp, rung_key, delta) or None."""
+    ref_key = next((k for k in sweep
+                    if k.startswith(ref_prefix) and "_tight" not in k),
+                   None)
+    if ref_key is None:
+        return None
+    best = None
+    for k, v in sweep.items():
+        delta = v.get(f"delta_psnr_vs_{ref_key}")
+        if delta is None or delta > max_delta:
+            continue
+        s, imp = map(int, k.replace("_tight", "").split("+"))
+        cost = 2 * s + imp
+        if best is None or cost < best[0]:
+            best = (cost, s, imp, k, delta)
+    return best[1:] if best else None
+
+
+def pick_temporal_points(td, refresh, default_s_delta=32):
+    """Per-mode temporal operating points from temporal_delta.json
+    evidence (scripts/temporal_delta.py, converged checkpoints).
+
+    For each of composite / head-only, picks the CHEAPEST measured
+    s_delta whose quality gate holds - composite: <=0.05 dB PSNR-vs-GT
+    delta; head-only: >=40 dB agreement with the per-frame full render
+    (<1% RMS pixel error) - provided the evidence was measured at this
+    keyframe interval (drift grows with refresh, so refresh-25 evidence
+    does not cover refresh-50 timing). Falls back to ``default_s_delta``
+    with the quality gate CLOSED when no measured point holds."""
+    modes = td.get("modes", {}) if td else {}
+    usable = bool(td) and td.get("refresh") == refresh
+
+    def _parse(k, prefix):
+        """Mode key -> (s_delta, s_delta_torso, delta_keep) or None.
+        Grammar after the prefix: "<h>[t<t>][_k<pct>]" — plain rungs
+        ("32"), per-field torso counts ("16t32"), delta_keep studies
+        ("32_k60", "16t32_k60"); all from temporal_delta.py flags."""
+        if not k.startswith(prefix):
+            return None
+        rest = k[len(prefix):].split("_")
+        keep = 1.0
+        if len(rest) == 2:
+            if not (rest[1].startswith("k") and rest[1][1:].isdigit()):
+                return None
+            keep = int(rest[1][1:]) / 100.0
+        elif len(rest) != 1:
+            return None
+        seg = rest[0].split("t")
+        if len(seg) == 1 and seg[0].isdigit():
+            return int(seg[0]), None, keep
+        if len(seg) == 2 and seg[0].isdigit() and seg[1].isdigit():
+            return int(seg[0]), int(seg[1]), keep
+        return None
+
+    def _cost(s, st, kp):
+        # delta-frame cost ~ mean per-field sample count * kept fraction
+        return (s + (st if st is not None else s)) / 2.0 * kp
+
+    def _pts(prefix):
+        pts = [(p[0], p[1], p[2], v) for k, v in modes.items()
+               if (p := _parse(k, prefix)) is not None]
+        return sorted(pts, key=lambda p: (_cost(p[0], p[1], p[2]), p[0]))
+
+    comp = _pts("s_delta_")
+    head = _pts("head_only_s_delta_")
+    comp_ok_pts = [(s, st, kp) for s, st, kp, v in comp
+                   if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
+    head_ok_pts = [(s, st, kp) for s, st, kp, v in head
+                   if usable
+                   and v.get("psnr_temporal_vs_full", 0.0) >= 40.0]
+
+    def _key(s, st, kp):
+        return (f"s_delta_{s}" + ("" if st is None else f"t{st}")
+                + ("" if kp >= 1.0 else f"_k{round(kp*100)}"))
+
+    return {
+        "refresh_measured": td.get("refresh") if td else None,
+        # keyframe schedule the evidence was measured at — bench times
+        # the temporal renderers at exactly this rung so the fps row and
+        # the quality claim describe the same configuration
+        "keyframe_rung": td.get("keyframe_rung") if usable else None,
+        # tightened per-field depth bounds change quality, not cost
+        # (same sample counts), so the fps rows time the same work; the
+        # quality claim applies to the configuration measured here
+        "evidence_tightened_bounds": (
+            bool(td.get("tightened_bounds")) if td else None),
+        "evidence_at_this_refresh": usable,
+        "composite_delta_db_vs_gt": {
+            _key(s, st, kp): v.get("delta_psnr_vs_gt")
+            for s, st, kp, v in comp},
+        "head_agreement_db_vs_full": {
+            _key(s, st, kp): v.get("psnr_temporal_vs_full")
+            for s, st, kp, v in head},
+        "s_delta_comp": (comp_ok_pts[0][0] if comp_ok_pts
+                         else default_s_delta),
+        "s_delta_torso_comp": comp_ok_pts[0][1] if comp_ok_pts else None,
+        "delta_keep_comp": comp_ok_pts[0][2] if comp_ok_pts else 1.0,
+        "cost_comp": _cost(*comp_ok_pts[0]) if comp_ok_pts else None,
+        "composite_video_quality_ok": bool(comp_ok_pts),
+        "s_delta_head": (head_ok_pts[0][0] if head_ok_pts
+                         else default_s_delta),
+        "delta_keep_head": head_ok_pts[0][2] if head_ok_pts else 1.0,
+        "cost_head": _cost(*head_ok_pts[0]) if head_ok_pts else None,
+        "head_video_quality_ok": bool(head_ok_pts),
+    }
+
+
+def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
+    """Per-mode temporal configuration across MULTIPLE evidence files
+    (scripts/temporal_delta.py runs at different keyframe intervals).
+
+    For composite and head-only independently: among the files whose
+    quality gate holds (pick_temporal_points), prefer the LARGEST
+    keyframe interval — keyframe cost amortizes over more frames — with
+    that file's cheapest quality-holding s_delta and its keyframe rung.
+    Falls back to the env defaults with the gate CLOSED."""
+    out = {}
+    for mode, ok_key, sd_key in (
+            ("comp", "composite_video_quality_ok", "s_delta_comp"),
+            ("head", "head_video_quality_ok", "s_delta_head")):
+        best = None
+        for td in cands:
+            tq = pick_temporal_points(td, td.get("refresh"),
+                                      default_s_delta)
+            if not tq[ok_key]:
+                continue
+            st = (tq.get("s_delta_torso_comp") if mode == "comp"
+                  else None)
+            cost = tq[f"cost_{mode}"]  # pick_temporal_points' cost model
+            # largest keyframe interval first; at equal refresh the
+            # cheaper gated point (delta-frame cost ~ samples*keep) wins
+            if (best is None or td["refresh"] > best["refresh"]
+                    or (td["refresh"] == best["refresh"]
+                        and cost < best["_cost"])):
+                best = {"refresh": td["refresh"], "s_delta": tq[sd_key],
+                        "s_delta_torso": st,
+                        "delta_keep": tq[f"delta_keep_{mode}"],
+                        "keyframe_rung": tq["keyframe_rung"],
+                        "_cost": cost}
+        out[mode] = {
+            "quality_ok": best is not None,
+            "refresh": best["refresh"] if best else default_refresh,
+            "s_delta": best["s_delta"] if best else default_s_delta,
+            "s_delta_torso": best["s_delta_torso"] if best else None,
+            "delta_keep": best["delta_keep"] if best else 1.0,
+            "keyframe_rung": best["keyframe_rung"] if best else None,
+        }
+    out["evidence"] = [
+        {"refresh": td.get("refresh"),
+         "keyframe_rung": td.get("keyframe_rung"),
+         "tightened": bool(td.get("tightened_bounds")),
+         "modes": {k: (v.get("delta_psnr_vs_gt")
+                       if not k.startswith("head") else
+                       v.get("psnr_temporal_vs_full"))
+                   for k, v in td.get("modes", {}).items()}}
+        for td in cands]
+    return out
+
+
+def gated_video_config(evidence_dir: str, mode: str,
+                       default_s_delta: int = 32,
+                       default_refresh: int = 25) -> Optional[dict]:
+    """The quality-gated temporal video configuration for ``mode``
+    ("head" or "comp"), or None when no measured point holds the gate.
+
+    Returns {refresh, s_delta, s_delta_torso, delta_keep,
+    keyframe_rung} ready to hand to eval.reenact / the temporal
+    renderer constructors."""
+    cands = load_temporal_evidence(evidence_dir)
+    conf = pick_temporal_mode_configs(
+        cands, default_s_delta, default_refresh)[mode]
+    return conf if conf["quality_ok"] else None

@@ -58,6 +58,37 @@ def test_cli_train_head_then_eval_chain(tmp_path):
     assert np.isfinite(val_metrics["ssim"])
 
 
+def test_cli_reenact_auto_temporal(tmp_path):
+    """--auto_temporal reads gated evidence and renders a temporal clip
+    at the measured configuration; with no gated point it errors."""
+    import json
+
+    from idealnerf_tpu.cli.eval_reenact import main as eval_main
+    from idealnerf_tpu.cli.train_head import main as train_main
+
+    train_main(_args(tmp_path, "autot", ["--epochs", "1"]))
+    ckpt = str(tmp_path / "autot" / "ckpt")
+
+    ev_dir = tmp_path / "evidence"
+    ev_dir.mkdir()
+    # no evidence at all -> loud error
+    with pytest.raises(SystemExit):
+        eval_main(_args(tmp_path, "autot",
+                        ["--head_ckpt", ckpt, "--max_frames", "1",
+                         "--auto_temporal", str(ev_dir)]))
+    # gated head point at a tiny keyframe rung -> renders
+    with open(ev_dir / "temporal_delta.json", "w") as fh:
+        json.dump({"refresh": 3, "keyframe_rung": "6+6",
+                   "tightened_bounds": None,
+                   "modes": {"head_only_s_delta_6_k60":
+                             {"psnr_temporal_vs_full": 44.0}}}, fh)
+    out = str(tmp_path / "out_autot")
+    eval_main(_args(tmp_path, "autot",
+                    ["--head_ckpt", ckpt, "--max_frames", "4",
+                     "--save_path", out, "--auto_temporal", str(ev_dir)]))
+    assert os.path.getsize(os.path.join(out, "autot.avi")) > 0
+
+
 def test_cli_train_torso_against_head(tmp_path):
     from idealnerf_tpu.cli.train_head import main as train_main
     from idealnerf_tpu.cli.train_torso import main as torso_main
