@@ -298,20 +298,10 @@ def main():
         # scripts/temporal_delta.py evidence file; env defaults otherwise
         default_sd = int(os.environ.get("BENCH_S_DELTA", "32"))
         default_refresh = int(os.environ.get("BENCH_REFRESH", "25"))
-        cands = []
         td_dir = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "runs", "rehearsal2_com")
-        for fname in ("temporal_delta.json", "temporal_delta_r50.json",
-                      "temporal_delta_r10.json",
-                      "temporal_delta_k60.json",
-                      "temporal_delta_k40.json",
-                      "temporal_delta_r50k60.json",
-                      "temporal_delta_pf60.json"):
-            p_td = os.path.join(td_dir, fname)
-            if os.path.exists(p_td):
-                with open(p_td) as fh:
-                    cands.append(json.load(fh))
+        cands = load_temporal_evidence(td_dir)
         temporal_quality = pick_temporal_mode_configs(
             cands, default_sd, default_refresh)
         comp_conf = temporal_quality["comp"]
