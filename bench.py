@@ -327,6 +327,8 @@ def main():
             prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
             delta_keep_head=dk, delta_keep_torso=dk,
             s_delta_torso=comp_conf.get("s_delta_torso"),
+            uni_frac=comp_conf.get("uni_frac", 0.25),
+            kf_blend=comp_conf.get("kf_blend", 0.0),
         )
 
         def tcall(cache):
@@ -371,6 +373,8 @@ def main():
             cx=cx, cy=cy, compute_dtype=compute_dtype,
             prior_mask=mask_dev, s_delta=head_conf["s_delta"],
             delta_keep=head_conf.get("delta_keep", 1.0),
+            uni_frac=head_conf.get("uni_frac", 0.25),
+            kf_blend=head_conf.get("kf_blend", 0.0),
         )
 
         def hcall(cache):

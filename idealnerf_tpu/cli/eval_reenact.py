@@ -77,6 +77,15 @@ def main(argv=None):
                              "top foreground-mass rays, spatially "
                              "dilated); the rest hold the keyframe's "
                              "pixels for the cycle")
+    parser.add_argument("--uni_frac", type=float, default=0.25,
+                        help="with --temporal: fraction of delta "
+                             "in-band samples placed uniformly across "
+                             "the cached band")
+    parser.add_argument("--kf_blend", type=float, default=0.0,
+                        help="with --temporal: fraction of delta "
+                             "importance samples drawn from the "
+                             "keyframe's full-res CDF (anti-drift "
+                             "anchor)")
     args = parser.parse_args(argv)
     if args.auto_temporal:
         from idealnerf_tpu.eval.operating_points import gated_video_config
@@ -93,6 +102,8 @@ def main(argv=None):
         args.s_delta = conf["s_delta"]
         args.s_delta_torso = conf["s_delta_torso"]
         args.delta_keep = conf["delta_keep"]
+        args.uni_frac = conf.get("uni_frac", 0.25)
+        args.kf_blend = conf.get("kf_blend", 0.0)
         args.prior = 1
         if conf["keyframe_rung"]:
             s_kf, imp_kf = map(int, conf["keyframe_rung"].split("+"))
@@ -193,6 +204,7 @@ def main(argv=None):
         mesh=mesh, tile=tile, bounds=bounds,
         temporal=args.temporal or None, s_delta=args.s_delta,
         delta_keep=args.delta_keep, s_delta_torso=args.s_delta_torso,
+        uni_frac=args.uni_frac, kf_blend=args.kf_blend,
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

@@ -83,47 +83,55 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     usable = bool(td) and td.get("refresh") == refresh
 
     def _parse(k, prefix):
-        """Mode key -> (s_delta, s_delta_torso, delta_keep) or None.
-        Grammar after the prefix: "<h>[t<t>][_k<pct>]" — plain rungs
-        ("32"), per-field torso counts ("16t32"), delta_keep studies
-        ("32_k60", "16t32_k60"); all from temporal_delta.py flags."""
+        """Mode key -> point dict or None. Grammar after the prefix:
+        "<h>[t<t>][_k<pct>][_u<pct>][_b<pct>]" — plain rungs ("32"),
+        per-field torso counts ("16t32"), delta_keep studies ("32_k60"),
+        depth-placement studies (uniform fraction "_u50", keyframe CDF
+        blend "_b50"); all from temporal_delta.py flags."""
         if not k.startswith(prefix):
             return None
         rest = k[len(prefix):].split("_")
-        keep = 1.0
-        if len(rest) == 2:
-            if not (rest[1].startswith("k") and rest[1][1:].isdigit()):
+        pt = dict(keep=1.0, uni=0.25, blend=0.0)
+        tags = dict(k=("keep", 100.0), u=("uni", 100.0),
+                    b=("blend", 100.0))
+        for seg in rest[1:]:
+            if not seg or seg[0] not in tags or not seg[1:].isdigit():
                 return None
-            keep = int(rest[1][1:]) / 100.0
-        elif len(rest) != 1:
-            return None
+            name, div = tags[seg[0]]
+            pt[name] = int(seg[1:]) / div
         seg = rest[0].split("t")
         if len(seg) == 1 and seg[0].isdigit():
-            return int(seg[0]), None, keep
-        if len(seg) == 2 and seg[0].isdigit() and seg[1].isdigit():
-            return int(seg[0]), int(seg[1]), keep
-        return None
+            pt.update(s=int(seg[0]), st=None)
+        elif len(seg) == 2 and seg[0].isdigit() and seg[1].isdigit():
+            pt.update(s=int(seg[0]), st=int(seg[1]))
+        else:
+            return None
+        return pt
 
-    def _cost(s, st, kp):
+    def _cost(pt):
         # delta-frame cost ~ mean per-field sample count * kept fraction
-        return (s + (st if st is not None else s)) / 2.0 * kp
+        s, st = pt["s"], pt["st"]
+        return (s + (st if st is not None else s)) / 2.0 * pt["keep"]
 
     def _pts(prefix):
-        pts = [(p[0], p[1], p[2], v) for k, v in modes.items()
+        pts = [(p, v) for k, v in modes.items()
                if (p := _parse(k, prefix)) is not None]
-        return sorted(pts, key=lambda p: (_cost(p[0], p[1], p[2]), p[0]))
+        return sorted(pts, key=lambda pv: (_cost(pv[0]), pv[0]["s"]))
 
     comp = _pts("s_delta_")
     head = _pts("head_only_s_delta_")
-    comp_ok_pts = [(s, st, kp) for s, st, kp, v in comp
+    comp_ok_pts = [p for p, v in comp
                    if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
-    head_ok_pts = [(s, st, kp) for s, st, kp, v in head
+    head_ok_pts = [p for p, v in head
                    if usable
                    and v.get("psnr_temporal_vs_full", 0.0) >= 40.0]
 
-    def _key(s, st, kp):
-        return (f"s_delta_{s}" + ("" if st is None else f"t{st}")
-                + ("" if kp >= 1.0 else f"_k{round(kp*100)}"))
+    def _key(pt):
+        return (f"s_delta_{pt['s']}"
+                + ("" if pt["st"] is None else f"t{pt['st']}")
+                + ("" if pt["keep"] >= 1.0 else f"_k{round(pt['keep']*100)}")
+                + ("" if pt["uni"] == 0.25 else f"_u{round(pt['uni']*100)}")
+                + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}"))
 
     return {
         "refresh_measured": td.get("refresh") if td else None,
@@ -138,21 +146,23 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
             bool(td.get("tightened_bounds")) if td else None),
         "evidence_at_this_refresh": usable,
         "composite_delta_db_vs_gt": {
-            _key(s, st, kp): v.get("delta_psnr_vs_gt")
-            for s, st, kp, v in comp},
+            _key(p): v.get("delta_psnr_vs_gt") for p, v in comp},
         "head_agreement_db_vs_full": {
-            _key(s, st, kp): v.get("psnr_temporal_vs_full")
-            for s, st, kp, v in head},
-        "s_delta_comp": (comp_ok_pts[0][0] if comp_ok_pts
+            _key(p): v.get("psnr_temporal_vs_full") for p, v in head},
+        "s_delta_comp": (comp_ok_pts[0]["s"] if comp_ok_pts
                          else default_s_delta),
-        "s_delta_torso_comp": comp_ok_pts[0][1] if comp_ok_pts else None,
-        "delta_keep_comp": comp_ok_pts[0][2] if comp_ok_pts else 1.0,
-        "cost_comp": _cost(*comp_ok_pts[0]) if comp_ok_pts else None,
+        "s_delta_torso_comp": comp_ok_pts[0]["st"] if comp_ok_pts else None,
+        "delta_keep_comp": comp_ok_pts[0]["keep"] if comp_ok_pts else 1.0,
+        "uni_frac_comp": comp_ok_pts[0]["uni"] if comp_ok_pts else 0.25,
+        "kf_blend_comp": comp_ok_pts[0]["blend"] if comp_ok_pts else 0.0,
+        "cost_comp": _cost(comp_ok_pts[0]) if comp_ok_pts else None,
         "composite_video_quality_ok": bool(comp_ok_pts),
-        "s_delta_head": (head_ok_pts[0][0] if head_ok_pts
+        "s_delta_head": (head_ok_pts[0]["s"] if head_ok_pts
                          else default_s_delta),
-        "delta_keep_head": head_ok_pts[0][2] if head_ok_pts else 1.0,
-        "cost_head": _cost(*head_ok_pts[0]) if head_ok_pts else None,
+        "delta_keep_head": head_ok_pts[0]["keep"] if head_ok_pts else 1.0,
+        "uni_frac_head": head_ok_pts[0]["uni"] if head_ok_pts else 0.25,
+        "kf_blend_head": head_ok_pts[0]["blend"] if head_ok_pts else 0.0,
+        "cost_head": _cost(head_ok_pts[0]) if head_ok_pts else None,
         "head_video_quality_ok": bool(head_ok_pts),
     }
 
@@ -187,6 +197,8 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                 best = {"refresh": td["refresh"], "s_delta": tq[sd_key],
                         "s_delta_torso": st,
                         "delta_keep": tq[f"delta_keep_{mode}"],
+                        "uni_frac": tq[f"uni_frac_{mode}"],
+                        "kf_blend": tq[f"kf_blend_{mode}"],
                         "keyframe_rung": tq["keyframe_rung"],
                         "_cost": cost}
         out[mode] = {
@@ -195,6 +207,8 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "s_delta": best["s_delta"] if best else default_s_delta,
             "s_delta_torso": best["s_delta_torso"] if best else None,
             "delta_keep": best["delta_keep"] if best else 1.0,
+            "uni_frac": best["uni_frac"] if best else 0.25,
+            "kf_blend": best["kf_blend"] if best else 0.0,
             "keyframe_rung": best["keyframe_rung"] if best else None,
         }
     out["evidence"] = [

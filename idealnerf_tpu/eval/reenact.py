@@ -98,6 +98,8 @@ def reenact(
     s_delta: int = 32,
     delta_keep: float = 1.0,
     s_delta_torso: Optional[int] = None,
+    uni_frac: float = 0.25,
+    kf_blend: float = 0.0,
     frame_times: Optional[list] = None,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
@@ -200,6 +202,7 @@ def reenact(
                 cx=identity.cx, cy=identity.cy,
                 compute_dtype=compute_dtype, s_delta=s_delta,
                 prior_mask=prior_mask, delta_keep=delta_keep,
+                uni_frac=uni_frac, kf_blend=kf_blend,
             )
         elif fast_keep is not None:
             from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
@@ -261,6 +264,7 @@ def reenact(
                 compute_dtype=compute_dtype, s_delta=s_delta,
                 delta_keep_head=delta_keep, delta_keep_torso=delta_keep,
                 s_delta_torso=s_delta_torso,
+                uni_frac=uni_frac, kf_blend=kf_blend,
                 **pf,
             )
         elif fast_keep is not None:

@@ -105,7 +105,8 @@ def _prior_sel(mask, n):
 
 def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                     s_delta, band_pad_frac, min_band_frac, dilate_px,
-                    fg_thresh, tag, delta_keep: float = 1.0):
+                    fg_thresh, tag, delta_keep: float = 1.0,
+                    uni_frac: float = 0.25, kf_blend: float = 0.0):
     """Per-field temporal stages: ``run(params, pose_f, bc_img, cond,
     band) -> (rgb, lw, fg, new_band)``. ``band=None`` renders the
     keyframe (full hierarchical schedule); otherwise a band-confined
@@ -120,7 +121,21 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
     foreground mass is ~0 composite (nearly) the plate every frame, so
     re-rendering them each delta frame buys nothing. The torso field
     (fixed pose0, run_nerf.py:499) is the safest client: its rays never
-    move, so frozen weak rays are exact up to conditioning drift."""
+    move, so frozen weak rays are exact up to conditioning drift.
+
+    Delta-frame depth placement knobs (measured: the delta error GROWS
+    with the refresh interval at small ``s_delta`` — r25→r50 doubles it
+    at s16 — i.e. the frame-to-frame importance prior self-collapses
+    when too few samples feed the next frame's CDF):
+
+    - ``uni_frac``: fraction of the in-band samples placed uniformly
+      across the cached band (exploration that tracks surface motion
+      the importance prior misses).
+    - ``kf_blend``: fraction of the IMPORTANCE samples drawn from the
+      KEYFRAME's full-resolution (z, w) CDF instead of the previous
+      delta frame's — a fixed high-quality anchor that cannot drift;
+      the cache then carries the keyframe distribution for the whole
+      cycle."""
     from idealnerf_tpu.kernels.fused_render import (
         fused_render_coarse_hier, fused_render_rays,
     )
@@ -174,43 +189,70 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         return (out["rgb_map"], out["last_weight"], out["rgb_fg"],
                 out["weights"])
 
+    # delta-frame in-band sample budget: s_delta - 1 in-band + the
+    # pinned plate sample at far (reference t_rand[-1]=1 semantics)
+    n_in = s_delta - 1
+    s_uni = max(2, int(round(n_in * uni_frac)))
+    s_imp = n_in - s_uni
+    s_kf = (min(s_imp - 1, max(1, int(round(s_imp * kf_blend))))
+            if kf_blend > 0 else 0)
+    s_prev = s_imp - s_kf
+
+    def _imp_from(z_src, w_src, count):
+        """Deterministic inverse-CDF draw of ``count`` depths from a
+        (z, w) render distribution (plate sample excluded)."""
+        zin = z_src[..., :-1]
+        win = w_src[..., :-1]
+        mids = 0.5 * (zin[..., 1:] + zin[..., :-1])
+        return sample_pdf(mids, win[..., 1:-1], count, key=None)
+
+    def _delta_depths(lo, hi, z_prev, w_prev, kz=None, kw=None):
+        """Per-ray delta depth grid: importance over the previous
+        frame's weights (+ optionally the keyframe's), uniform band
+        coverage, sorted, plate pin at the field far."""
+        parts = [_imp_from(z_prev, w_prev, s_prev)]
+        if s_kf:
+            parts.append(_imp_from(kz, kw, s_kf))
+        t = jnp.linspace(0.0, 1.0, s_uni, dtype=jnp.float32)
+        parts.append(lo[:, None] + (hi - lo)[:, None] * t[None])
+        z = jnp.sort(jnp.concatenate(parts, -1), axis=-1)
+        return jnp.concatenate(
+            [z, jnp.full((z.shape[0], 1), nf[1], jnp.float32)], 1)
+
     @jax.jit
     def stage_kf_fine(params, st, cond):
         """Keyframe fine pass over the merged hierarchical depths + band
         init (ONE pallas launch)."""
         rgb, lw, fg, w = _fine(params, st["o"], st["d"], st["z"], st["b"],
                                cond)
-        return rgb, lw, fg, _band_update(st["z"], w)
+        band = _band_update(st["z"], w)
+        if s_kf:  # anchor distribution for the cycle's delta frames
+            band = band + (st["z"].astype(jnp.float32),
+                           w.astype(jnp.float32))
+        return rgb, lw, fg, band
 
     @jax.jit
     def stage_delta(params, pose_f, bc_img, cond, band_lo, band_hi,
-                    z_prev, w_prev):
+                    z_prev, w_prev, kz=None, kw=None):
         """Whole delta pass in ONE program (one pallas launch).
 
         Depth grid per ray (``s_delta - 1`` in-band samples + the pinned
-        plate sample at the field's far): ~3/4 placed by inverse-CDF
-        over the PREVIOUS frame's weights (temporal importance — the
-        hierarchical-sampling idea applied across time instead of across
-        a coarse pass), ~1/4 uniform across the cached band to catch
-        surface motion the prior misses. FINE network render, cache
-        update."""
+        plate sample at the field's far): importance samples inverse-
+        CDF'd over the PREVIOUS frame's weights (temporal importance —
+        the hierarchical-sampling idea applied across time instead of
+        across a coarse pass) and optionally the keyframe's
+        (``kf_blend``), plus ``uni_frac`` uniform across the cached band
+        to catch surface motion the prior misses. FINE network render,
+        cache update."""
         o, d = get_rays(H, W, focal, pose_f, cx, cy)
         o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
         b = bc_img.reshape(-1, 3)[sel]
-        n_in = s_delta - 1
-        s_uni = max(2, n_in // 4)
-        s_imp = n_in - s_uni
-        zin = z_prev[..., :-1]                 # drop the plate sample
-        win = w_prev[..., :-1]
-        mids = 0.5 * (zin[..., 1:] + zin[..., :-1])
-        z_imp = sample_pdf(mids, win[..., 1:-1], s_imp, key=None)
-        t = jnp.linspace(0.0, 1.0, s_uni, dtype=jnp.float32)
-        z_uni = band_lo[:, None] + (band_hi - band_lo)[:, None] * t[None]
-        z = jnp.sort(jnp.concatenate([z_imp, z_uni], -1), axis=-1)
-        z = jnp.concatenate(
-            [z, jnp.full((z.shape[0], 1), nf[1], jnp.float32)], 1)
+        z = _delta_depths(band_lo, band_hi, z_prev, w_prev, kz, kw)
         rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
-        return rgb, lw, fg, _band_update(z, w)
+        band = _band_update(z, w)
+        if s_kf:
+            band = band + (kz, kw)
+        return rgb, lw, fg, band
 
     n_sel = int(sel.shape[0])
     k_keep = min(n_sel, max(256, (int(n_sel * delta_keep) // 256) * 256))
@@ -235,9 +277,13 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
     @jax.jit
     def stage_cache_init(keep_idx, rgb, lw, fg, band):
         """Kept-space cache from the keyframe's full-frame outputs."""
-        lo, hi, z, w = band
-        return dict(keep=keep_idx, lo=lo[keep_idx], hi=hi[keep_idx],
-                    z=z[keep_idx], w=w[keep_idx], rgb=rgb, lw=lw, fg=fg)
+        lo, hi, z, w = band[:4]
+        out = dict(keep=keep_idx, lo=lo[keep_idx], hi=hi[keep_idx],
+                   z=z[keep_idx], w=w[keep_idx], rgb=rgb, lw=lw, fg=fg)
+        if s_kf:
+            out["kz"] = band[4][keep_idx]
+            out["kw"] = band[5][keep_idx]
+        return out
 
     @jax.jit
     def stage_delta_pruned(params, pose_f, bc_img, cond, cache):
@@ -250,19 +296,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         o = o.reshape(-1, 3)[sel_kept]
         d = d.reshape(-1, 3)[sel_kept]
         b = bc_img.reshape(-1, 3)[sel_kept]
-        n_in = s_delta - 1
-        s_uni = max(2, n_in // 4)
-        s_imp = n_in - s_uni
-        zin = cache["z"][..., :-1]
-        win = cache["w"][..., :-1]
-        mids = 0.5 * (zin[..., 1:] + zin[..., :-1])
-        z_imp = sample_pdf(mids, win[..., 1:-1], s_imp, key=None)
-        t = jnp.linspace(0.0, 1.0, s_uni, dtype=jnp.float32)
-        z_uni = (cache["lo"][:, None]
-                 + (cache["hi"] - cache["lo"])[:, None] * t[None])
-        z = jnp.sort(jnp.concatenate([z_imp, z_uni], -1), axis=-1)
-        z = jnp.concatenate(
-            [z, jnp.full((z.shape[0], 1), nf[1], jnp.float32)], 1)
+        z = _delta_depths(cache["lo"], cache["hi"], cache["z"],
+                          cache["w"], cache.get("kz"), cache.get("kw"))
         rgb_k, lw_k, fg_k, w = _fine(params, o, d, z, b, cond)
         # kept-space band maintenance (dilation scatters through the
         # kept rays' own pixels; pixels with no kept neighbour fall back
@@ -272,6 +307,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                    rgb=cache["rgb"].at[keep_idx].set(rgb_k),
                    lw=cache["lw"].at[keep_idx].set(lw_k),
                    fg=cache["fg"].at[keep_idx].set(fg_k))
+        if s_kf:
+            new["kz"], new["kw"] = cache["kz"], cache["kw"]
         return new["rgb"], new["lw"], new["fg"], new
 
     def run(params, pose_f, bc_img, cond, band):
@@ -311,6 +348,8 @@ def make_temporal_frame_renderer(
     dilate_px: int = 4,
     fg_thresh: float = 0.2,
     delta_keep: float = 1.0,
+    uni_frac: float = 0.25,
+    kf_blend: float = 0.0,
 ):
     """Single-field (head-only) temporal depth-cache renderer.
 
@@ -332,7 +371,8 @@ def make_temporal_frame_renderer(
     field = _field_pipeline(nerf_cfg, H, W, focal, cx, cy, cfg, cd, nf,
                             sel, s_delta, band_pad_frac, min_band_frac,
                             dilate_px, fg_thresh, tag="head",
-                            delta_keep=delta_keep)
+                            delta_keep=delta_keep, uni_frac=uni_frac,
+                            kf_blend=kf_blend)
 
     @jax.jit
     def assemble(rgb, bc_img):
@@ -365,6 +405,9 @@ def make_temporal_composite_renderer(
     delta_keep_head: float = 1.0,
     delta_keep_torso: float = 1.0,
     s_delta_torso: Optional[int] = None,
+    uni_frac: float = 0.25,
+    kf_blend: float = 0.0,
+    _expose_stages: bool = False,
 ):
     """Head+torso composite renderer with a temporal depth cache.
 
@@ -425,11 +468,13 @@ def make_temporal_composite_renderer(
     kb = (band_pad_frac, min_band_frac, dilate_px, fg_thresh)
     head = _field_pipeline(head_cfg, H, W, focal, cx, cy, cfg, cd,
                            nf_head, jnp.asarray(sel_h_np), s_delta, *kb,
-                           tag="head", delta_keep=delta_keep_head)
+                           tag="head", delta_keep=delta_keep_head,
+                           uni_frac=uni_frac, kf_blend=kf_blend)
     torso = _field_pipeline(torso_cfg, H, W, focal, cx, cy, cfg, cd,
                             nf_torso, jnp.asarray(sel_t_np), st_torso,
                             *kb, tag="torso",
-                            delta_keep=delta_keep_torso)
+                            delta_keep=delta_keep_torso,
+                            uni_frac=uni_frac, kf_blend=kf_blend)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):
@@ -464,4 +509,7 @@ def make_temporal_composite_renderer(
         frame = stage_composite(rgb_h, lw_t, fg_t, bc_img)
         return frame, {"head": new_h, "torso": new_t}
 
+    if _expose_stages:  # scripts/temporal_profile.py times each program
+        render.stages = {"head": head, "torso": torso,
+                         "composite": stage_composite}
     return render

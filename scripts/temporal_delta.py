@@ -63,6 +63,17 @@ def main():
                         "the rest hold the keyframe's pixels). <1 "
                         "suffixes the mode keys with 'k<pct>' so the "
                         "evidence stays distinct from unpruned runs")
+    p.add_argument("--uni_frac", type=float, default=0.25,
+                   help="fraction of delta in-band samples placed "
+                        "uniformly across the cached band (exploration "
+                        "vs importance). Non-default suffixes mode keys "
+                        "with 'u<pct>'")
+    p.add_argument("--kf_blend", type=float, default=0.0,
+                   help="fraction of delta importance samples drawn "
+                        "from the KEYFRAME's full-res CDF instead of "
+                        "the previous frame's (anchors the temporal "
+                        "importance prior against drift). >0 suffixes "
+                        "mode keys with 'b<pct>'")
     p.add_argument("--auto_rung", action="store_true",
                    help="pick the keyframe rung from runs/rehearsal2/"
                         "sample_sweep.json (cheapest rung within 0.05 dB "
@@ -211,10 +222,15 @@ def main():
     ksuf = ("" if args.delta_keep >= 1.0
             else f"_k{round(args.delta_keep * 100)}")
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
+    if args.uni_frac != 0.25:
+        ksuf += f"_u{round(args.uni_frac * 100)}"
+    if args.kf_blend > 0:
+        ksuf += f"_b{round(args.kf_blend * 100)}"
+    place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds, delta_keep=args.delta_keep,
-                  s_delta_torso=args.s_delta_torso, **common)
+                  s_delta_torso=args.s_delta_torso, **place, **common)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {
@@ -239,7 +255,7 @@ def main():
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds["head"] if bounds else None,
-                  delta_keep=args.delta_keep, **common_h)
+                  delta_keep=args.delta_keep, **place, **common_h)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {

@@ -287,11 +287,13 @@ def test_bench_temporal_mode_configs_across_files():
     # composite: refresh 50 holds (at s_delta 32, paper keyframes)
     assert out["comp"] == {"quality_ok": True, "refresh": 50,
                            "s_delta": 32, "s_delta_torso": None,
-                           "delta_keep": 1.0, "keyframe_rung": "64+192"}
+                           "delta_keep": 1.0, "uni_frac": 0.25,
+                           "kf_blend": 0.0, "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
     assert out["head"] == {"quality_ok": True, "refresh": 25,
                            "s_delta": 16, "s_delta_torso": None,
-                           "delta_keep": 1.0, "keyframe_rung": "32+64"}
+                           "delta_keep": 1.0, "uni_frac": 0.25,
+                           "kf_blend": 0.0, "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
     assert out["evidence"][0]["tightened"] is True
     # no evidence -> env defaults, gates closed
@@ -363,3 +365,27 @@ def test_bench_temporal_delta_keep_points():
     outt = bench.pick_temporal_mode_configs([td_t], 32, 25)
     assert outt["comp"]["s_delta_torso"] == 32
     assert outt["comp"]["s_delta"] == 16
+
+    # depth-placement suffixes (temporal_delta.py --uni_frac/--kf_blend)
+    # parse into the picked config so bench/auto_temporal rebuild the
+    # exact renderer the evidence measured
+    td_b = {
+        "refresh": 25, "keyframe_rung": "16+32",
+        "modes": {
+            "s_delta_32_k60": {"delta_psnr_vs_gt": 0.09},
+            "s_delta_16_k60_u50_b50": {"delta_psnr_vs_gt": 0.03},
+            "head_only_s_delta_16_k60_b50":
+                {"psnr_temporal_vs_full": 47.0},
+        },
+    }
+    tqb = bench.pick_temporal_points(td_b, 25)
+    assert tqb["composite_video_quality_ok"]
+    assert tqb["s_delta_comp"] == 16 and tqb["delta_keep_comp"] == 0.6
+    assert tqb["uni_frac_comp"] == 0.5 and tqb["kf_blend_comp"] == 0.5
+    assert tqb["uni_frac_head"] == 0.25 and tqb["kf_blend_head"] == 0.5
+    assert (tqb["composite_delta_db_vs_gt"]["s_delta_16_k60_u50_b50"]
+            == 0.03)
+    outb = bench.pick_temporal_mode_configs([td_b], 32, 25)
+    assert outb["comp"]["uni_frac"] == 0.5
+    assert outb["comp"]["kf_blend"] == 0.5
+    assert outb["head"]["kf_blend"] == 0.5

@@ -210,6 +210,57 @@ def test_temporal_per_field_s_delta():
     assert np.isfinite(np.asarray(f2)).all()
 
 
+def test_temporal_kf_blend_and_uni_frac():
+    """kf_blend anchors part of each delta frame's importance draw to
+    the KEYFRAME's full-resolution CDF: keyframes are unchanged (still
+    the exact full render), delta caches carry the keyframe (z, w)
+    through the cycle, and the delta z-grid width stays s_delta. Both
+    pruned and unpruned paths."""
+    from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+
+    full = make_composite_frame_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, use_pallas="ray",
+        cx=cx, cy=cy)
+    ref = np.asarray(full(hp, tp, pose, pose0, bc, **call))
+
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+        s_delta=8, uni_frac=0.5, kf_blend=0.5)
+    f0, c0 = tm(hp, tp, pose, pose0, bc, **call, cache=None)
+    np.testing.assert_allclose(np.asarray(f0), ref, atol=2e-5)
+    # keyframe cache carries the anchor distribution (6-tuple)
+    assert len(c0["head"]) == 6
+    kf_w = int(cfg.N_samples + cfg.N_importance)
+    assert c0["head"][4].shape[-1] == kf_w
+    f1, c1 = tm(hp, tp, pose, pose0, bc, **call, cache=c0)
+    assert np.isfinite(np.asarray(f1)).all()
+    assert c1["head"][2].shape[-1] == 8      # delta grid width: s_delta
+    assert c1["head"][4].shape[-1] == kf_w   # anchor kept through cycle
+    np.testing.assert_allclose(np.asarray(c1["head"][4]),
+                               np.asarray(c0["head"][4]))
+    f2, _ = tm(hp, tp, pose, pose0, bc, **call, cache=c1)
+    assert np.isfinite(np.asarray(f2)).all()
+
+    # pruned path: kept-space anchor rides the dict cache
+    tmp = make_temporal_frame_renderer(
+        ncfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        delta_keep=0.5, kf_blend=0.5)
+    hcall = dict(aud=call["aud"], expr=call["expr"],
+                 latent=call["latent"])
+    g0, d0 = tmp(hp, pose, bc, **hcall, cache=None)
+    assert d0["kz"].shape == (512, kf_w)
+    g1, d1 = tmp(hp, pose, bc, **hcall, cache=d0)
+    assert np.isfinite(np.asarray(g1)).all()
+    np.testing.assert_allclose(np.asarray(d1["kz"]), np.asarray(d0["kz"]))
+    g2, _ = tmp(hp, pose, bc, **hcall, cache=d1)
+    assert np.isfinite(np.asarray(g2)).all()
+
+
 def test_temporal_video_tracks_trained_fields():
     """On TRAINED head+torso fields, delta frames must stay close to the
     per-frame full render across a moving 4-frame clip (the quality
