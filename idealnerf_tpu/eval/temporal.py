@@ -192,7 +192,10 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
     # delta-frame in-band sample budget: s_delta - 1 in-band + the
     # pinned plate sample at far (reference t_rand[-1]=1 semantics)
     n_in = s_delta - 1
-    s_uni = max(2, int(round(n_in * uni_frac)))
+    # floor, not round: uni_frac=0.25 must reproduce the historical
+    # n_in // 4 split exactly (the committed evidence JSONs were
+    # measured with it)
+    s_uni = max(2, int(n_in * uni_frac))
     s_imp = n_in - s_uni
     s_kf = (min(s_imp - 1, max(1, int(round(s_imp * kf_blend))))
             if kf_blend > 0 else 0)
