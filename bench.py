@@ -286,6 +286,7 @@ def main():
     # shapes), so random fields measure real fps; the quality contract is
     # measured on trained checkpoints by scripts/temporal_delta.py.
     fps_temporal_video = fps_temporal_delta = None
+    fps_temporal_video_loop = fps_temporal_head_video_loop = None
     temporal_quality = None
     if on_tpu:
         from idealnerf_tpu.eval.temporal import (
@@ -344,15 +345,15 @@ def main():
             f, c0 = tcall(c0)
             float(f.mean())
         # amortized video fps over one refresh period (1 keyframe +
-        # refresh-1 delta frames), accumulate-then-fetch
+        # refresh-1 delta frames), accumulate-then-fetch — per-frame loop
         t0 = time.perf_counter()
         acc, cache = None, None
         for i in range(refresh):
             f, cache = tcall(None if i == 0 else cache)
             acc = f if acc is None else acc + f
         float(acc.mean())
-        fps_temporal_video = refresh / (time.perf_counter() - t0)
-        # steady-state delta-frame fps
+        fps_temporal_video_loop = refresh / (time.perf_counter() - t0)
+        # steady-state delta-frame fps (per-frame loop)
         t0 = time.perf_counter()
         acc = None
         for _ in range(max(n_frames, 8)):
@@ -360,6 +361,42 @@ def main():
             acc = f if acc is None else acc + f
         float(acc.mean())
         fps_temporal_delta = max(n_frames, 8) / (time.perf_counter() - t0)
+
+        # production video path (cli/eval_reenact.py --cycle, default):
+        # each cycle's delta frames after the first run as ONE scanned
+        # program — identical frames (equivalence-tested), one dispatch
+        # + one bulk fetch per cycle
+        T_cyc = refresh - 2
+        fps_temporal_video = fps_temporal_video_loop
+        if T_cyc > 0:
+            xs_c = dict(
+                poses=jnp.tile(pose[None], (T_cyc, 1, 1)),
+                auds=jnp.tile(aud[None], (T_cyc, 1)),
+                signals=jnp.tile(signal[None], (T_cyc, 1)),
+                exprs=jnp.tile(expr[None], (T_cyc, 1)),
+                latents=jnp.tile(latent[None], (T_cyc, 1)))
+
+            def ccall(c):
+                return render_temporal.cycle(
+                    params, torso_params, xs_c["poses"], pose, bc, c,
+                    auds=xs_c["auds"], signals=xs_c["signals"],
+                    exprs=xs_c["exprs"], latents=xs_c["latents"])
+
+            fr, cache = ccall(cache)
+            float(fr.mean())        # compile + warm
+            t0 = time.perf_counter()
+            acc = None
+            for rep in range(3):    # 3 cycles: kf + delta + scan chunk
+                f, c0 = tcall(None)
+                a = f.mean()
+                f, c0 = tcall(c0)
+                a = a + f.mean()
+                fr, c0 = ccall(c0)
+                a = a + fr.mean()
+                acc = a if acc is None else acc + a
+            float(acc)
+            fps_temporal_video = (
+                3 * refresh / (time.perf_counter() - t0))
 
         # head-only temporal (the single-field video path,
         # eval_aud_exp_nerf.py:437 workload) under the same subject prior
@@ -394,7 +431,8 @@ def main():
             f, hc = hcall(None if i == 0 else hc)
             acc = f if acc is None else acc + f
         float(acc.mean())
-        fps_temporal_head_video = refresh_h / (time.perf_counter() - t0)
+        fps_temporal_head_video_loop = (
+            refresh_h / (time.perf_counter() - t0))
         t0 = time.perf_counter()
         acc = None
         for _ in range(max(n_frames, 8)):
@@ -403,6 +441,36 @@ def main():
         float(acc.mean())
         fps_temporal_head_delta = (
             max(n_frames, 8) / (time.perf_counter() - t0))
+
+        # scanned-cycle head video (production path)
+        T_h = refresh_h - 2
+        fps_temporal_head_video = fps_temporal_head_video_loop
+        if T_h > 0:
+            xs_h = dict(poses=jnp.tile(pose[None], (T_h, 1, 1)),
+                        auds=jnp.tile(aud[None], (T_h, 1)),
+                        exprs=jnp.tile(expr[None], (T_h, 1)),
+                        latents=jnp.tile(latent[None], (T_h, 1)))
+
+            def hccall(c):
+                return render_temporal_head.cycle(
+                    params, xs_h["poses"], bc, c, auds=xs_h["auds"],
+                    exprs=xs_h["exprs"], latents=xs_h["latents"])
+
+            fr, hc = hccall(hc)
+            float(fr.mean())
+            t0 = time.perf_counter()
+            acc = None
+            for rep in range(3):
+                f, h0 = hcall(None)
+                a = f.mean()
+                f, h0 = hcall(h0)
+                a = a + f.mean()
+                fr, h0 = hccall(h0)
+                a = a + fr.mean()
+                acc = a if acc is None else acc + a
+            float(acc)
+            fps_temporal_head_video = (
+                3 * refresh_h / (time.perf_counter() - t0))
     else:
         fps_temporal_head_video = fps_temporal_head_delta = None
 
@@ -491,12 +559,18 @@ def main():
                     "fps_head_torso_temporal_video": (
                         round(fps_temporal_video, 3)
                         if fps_temporal_video else None),
+                    "fps_head_torso_temporal_video_loop": (
+                        round(fps_temporal_video_loop, 3)
+                        if fps_temporal_video_loop else None),
                     "fps_head_torso_temporal_delta": (
                         round(fps_temporal_delta, 3)
                         if fps_temporal_delta else None),
                     "fps_head_temporal_video": (
                         round(fps_temporal_head_video, 3)
                         if fps_temporal_head_video else None),
+                    "fps_head_temporal_video_loop": (
+                        round(fps_temporal_head_video_loop, 3)
+                        if fps_temporal_head_video_loop else None),
                     "fps_head_temporal_delta": (
                         round(fps_temporal_head_delta, 3)
                         if fps_temporal_head_delta else None),

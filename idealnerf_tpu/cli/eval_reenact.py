@@ -86,6 +86,12 @@ def main(argv=None):
                              "importance samples drawn from the "
                              "keyframe's full-res CDF (anti-drift "
                              "anchor)")
+    parser.add_argument("--cycle", type=int, default=1,
+                        help="with --temporal: render each cycle's "
+                             "delta frames as ONE scanned program "
+                             "(identical frames, equivalence-tested; "
+                             "amortizes per-frame dispatch/fetch). 0 = "
+                             "per-frame loop")
     args = parser.parse_args(argv)
     if args.auto_temporal:
         from idealnerf_tpu.eval.operating_points import gated_video_config
@@ -205,6 +211,7 @@ def main(argv=None):
         temporal=args.temporal or None, s_delta=args.s_delta,
         delta_keep=args.delta_keep, s_delta_torso=args.s_delta_torso,
         uni_frac=args.uni_frac, kf_blend=args.kf_blend,
+        cycle=bool(args.cycle),
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

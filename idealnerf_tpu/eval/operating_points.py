@@ -22,27 +22,23 @@ import json
 import os
 from typing import Optional
 
-# evidence filenames bench.py and --auto_temporal look for, in the
-# subject's run directory (next to temporal_delta.json's canonical home)
-TEMPORAL_EVIDENCE_FILES = (
-    "temporal_delta.json",
-    "temporal_delta_r50.json",
-    "temporal_delta_r10.json",
-    "temporal_delta_k60.json",
-    "temporal_delta_k40.json",
-    "temporal_delta_r50k60.json",
-    "temporal_delta_pf60.json",
-)
+# evidence filename pattern bench.py and --auto_temporal look for, in
+# the subject's run directory: every scripts/temporal_delta.py output
+# (canonical temporal_delta.json plus side studies like
+# temporal_delta_b50.json) is considered — study files need no
+# registration here, the mode keys inside carry the configuration.
+TEMPORAL_EVIDENCE_FILES = "temporal_delta*.json"
 
 
 def load_temporal_evidence(evidence_dir: str) -> list:
     """All temporal evidence dicts found in ``evidence_dir``."""
+    import glob as _glob
+
     cands = []
-    for fname in TEMPORAL_EVIDENCE_FILES:
-        p = os.path.join(evidence_dir, fname)
-        if os.path.exists(p):
-            with open(p) as fh:
-                cands.append(json.load(fh))
+    for p in sorted(_glob.glob(
+            os.path.join(evidence_dir, TEMPORAL_EVIDENCE_FILES))):
+        with open(p) as fh:
+            cands.append(json.load(fh))
     return cands
 
 

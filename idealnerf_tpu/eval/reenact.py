@@ -100,6 +100,7 @@ def reenact(
     s_delta_torso: Optional[int] = None,
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
+    cycle: bool = False,
     frame_times: Optional[list] = None,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
@@ -377,6 +378,99 @@ def reenact(
                     writer.add(batch[j])
             logger.info("reenact frames %d-%d/%d", start,
                         min(start + B, n_frames) - 1, n_frames)
+        if writer is not None:
+            writer.close()
+        return np.stack(frames)
+
+    if temporal is not None and cycle:
+        # scanned-cycle temporal video: keyframes render per-frame; the
+        # delta frames of each cycle run as ONE lax.scan program
+        # (render.cycle) with one dispatch + one bulk frame fetch —
+        # identical math to the per-frame path (equivalence-tested),
+        # minus its per-frame fixed cost. A shorter tail chunk compiles
+        # a second executable once.
+        def cond_at(i):
+            expr = None
+            if driving_exprs is not None and cfg.dim_expr > 0:
+                expr = jnp.asarray(
+                    driving_exprs[min(i, driving_exprs.shape[0] - 1)])
+            return variant_conditioning(head_params, cfg, aud_feats[i],
+                                        expr)
+
+        frames = []
+        cache = None
+        i = 0
+
+        def one_frame(i, cache):
+            """Per-frame path (keyframe when cache is None, else the
+            first delta of the cycle — the scan carry needs its
+            delta-shaped cache)."""
+            t_frame = time.time()
+            pose = jnp.asarray(identity.poses[i % identity.size])
+            aud_arg, expr_arg = cond_at(i)
+            if torso_params is None:
+                frame, cache = render(head_params, pose, bc, aud=aud_arg,
+                                      expr=expr_arg, latent=latent,
+                                      cache=cache)
+            else:
+                signal = torso_signal(aud_feats[i], pose, cfg.dim_aud_body)
+                frame, cache = render(head_params, torso_params, pose,
+                                      pose0, bc, aud=aud_arg,
+                                      signal=signal, expr=expr_arg,
+                                      latent=latent, cache=cache)
+            frame = np.asarray(jnp.clip(frame, 0.0, 1.0))
+            if frame_times is not None:
+                frame_times.append(time.time() - t_frame)
+            frames.append(frame)
+            if writer is not None:
+                writer.add(frame)
+            return cache
+
+        while i < n_frames:
+            cache = one_frame(i, None)      # keyframe
+            i += 1
+            if i < n_frames and temporal > 1:
+                cache = one_frame(i, cache)  # first delta: reshapes cache
+                i += 1
+
+            T = min(temporal - 2, n_frames - i)
+            if T <= 0:
+                continue
+            t_chunk = time.time()
+            idxs = list(range(i, i + T))
+            poses_c = jnp.stack(
+                [jnp.asarray(identity.poses[j % identity.size])
+                 for j in idxs])
+            conds = [cond_at(j) for j in idxs]
+            auds_c = (jnp.stack([c[0] for c in conds])
+                      if conds[0][0] is not None else None)
+            exprs_c = (jnp.stack([c[1] for c in conds])
+                       if conds[0][1] is not None else None)
+            lats_c = (jnp.tile(latent[None], (T, 1))
+                      if latent is not None else None)
+            if torso_params is None:
+                chunk, cache = render.cycle(head_params, poses_c, bc,
+                                            cache, auds=auds_c,
+                                            exprs=exprs_c, latents=lats_c)
+            else:
+                sigs_c = jnp.stack([
+                    torso_signal(aud_feats[j], poses_c[k], cfg.dim_aud_body)
+                    for k, j in enumerate(idxs)])
+                chunk, cache = render.cycle(head_params, torso_params,
+                                            poses_c, pose0, bc, cache,
+                                            auds=auds_c, signals=sigs_c,
+                                            exprs=exprs_c, latents=lats_c)
+            chunk = np.asarray(jnp.clip(chunk, 0.0, 1.0))
+            if frame_times is not None:
+                per = (time.time() - t_chunk) / T
+                frame_times.extend([per] * T)
+            for k in range(T):
+                frames.append(chunk[k])
+                if writer is not None:
+                    writer.add(chunk[k])
+            logger.info("reenact frames %d-%d/%d (scanned cycle)", i,
+                        i + T - 1, n_frames)
+            i += T
         if writer is not None:
             writer.close()
         return np.stack(frames)

@@ -327,7 +327,18 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
             return stage_delta_pruned(params, pose_f, bc_img, cond, band)
         return stage_delta(params, pose_f, bc_img, cond, *band)
 
+    def delta_step(params, pose_f, bc_img, cond, band):
+        """One delta frame as a plain traceable fn (no band-is-None
+        branch) — the scanned cycle renderers inline this in a lax.scan
+        body so a whole keyframe cycle of delta frames runs as ONE
+        program (one dispatch, one bulk fetch) instead of 3 programs +
+        a sync per frame."""
+        if pruned:
+            return stage_delta_pruned(params, pose_f, bc_img, cond, band)
+        return stage_delta(params, pose_f, bc_img, cond, *band)
+
     run.tag = tag
+    run.delta_step = delta_step
     return run
 
 
@@ -391,6 +402,31 @@ def make_temporal_frame_renderer(
                                 cache)
         return assemble(rgb, bc_img), band
 
+    @jax.jit
+    def render_cycle(params, poses, bc_img, cache, auds=None, exprs=None,
+                     latents=None):
+        """All delta frames of one keyframe cycle in ONE scanned program
+        (see make_temporal_composite_renderer.render.cycle; ``cache``
+        must be delta-shaped — one per-frame delta render after the
+        keyframe)."""
+        xs = {"pose": poses}
+        if auds is not None:
+            xs["aud"] = auds
+        if exprs is not None:
+            xs["expr"] = exprs
+        if latents is not None:
+            xs["latent"] = latents
+
+        def body(band, x):
+            rgb, _, _, new = field.delta_step(
+                params, x["pose"], bc_img,
+                (x.get("aud"), x.get("expr"), x.get("latent")), band)
+            return new, assemble(rgb, bc_img)
+
+        cache2, frames = jax.lax.scan(body, cache, xs)
+        return frames, cache2
+
+    render.cycle = render_cycle
     return render
 
 
@@ -512,6 +548,50 @@ def make_temporal_composite_renderer(
         frame = stage_composite(rgb_h, lw_t, fg_t, bc_img)
         return frame, {"head": new_h, "torso": new_t}
 
+    @jax.jit
+    def render_cycle(head_params, torso_params, poses, pose0, bc_img,
+                     cache, auds=None, signals=None, exprs=None,
+                     latents=None):
+        """All delta frames of one keyframe cycle in ONE scanned
+        program.
+
+        ``poses/auds/signals/exprs/latents`` carry a leading frame axis
+        (T, ...); ``cache`` must be DELTA-shaped — produced by at least
+        one delta-frame ``render`` call after the keyframe (the keyframe
+        cache carries full-schedule-width (z, w), a scan carry must be
+        shape-stable at the s_delta width). Returns
+        ``(frames (T, H, W, 3), cache)``. Identical math to T calls of
+        ``render`` — the scan body inlines the same delta-step +
+        composite stages — but pays ONE program dispatch and ONE bulk
+        frame fetch per cycle instead of 3 dispatches and a host sync
+        per frame (the per-frame fixed cost the delta-frame slope fit
+        isolates — runs/temporal_profile.json). Two pallas launches
+        traced once (under the axon 3-launch limit)."""
+        xs = {"pose": poses}
+        if auds is not None:
+            xs["aud"] = auds
+        if signals is not None:
+            xs["signal"] = signals
+        if exprs is not None:
+            xs["expr"] = exprs
+        if latents is not None:
+            xs["latent"] = latents
+
+        def body(carry, x):
+            ch, ct = carry["head"], carry["torso"]
+            rgb_h, _, _, nh = head.delta_step(
+                head_params, x["pose"], bc_img,
+                (x.get("aud"), x.get("expr"), x.get("latent")), ch)
+            _, lw_t, fg_t, nt = torso.delta_step(
+                torso_params, pose0, bc_img, (x.get("signal"), None, None),
+                ct)
+            frame = stage_composite(rgb_h, lw_t, fg_t, bc_img)
+            return {"head": nh, "torso": nt}, frame
+
+        cache2, frames = jax.lax.scan(body, cache, xs)
+        return frames, cache2
+
+    render.cycle = render_cycle
     if _expose_stages:  # scripts/temporal_profile.py times each program
         render.stages = {"head": head, "torso": torso,
                          "composite": stage_composite}

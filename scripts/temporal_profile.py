@@ -177,6 +177,46 @@ def main():
         res["ms_per_sample"] = round(slope, 3)
         res["fixed_ms"] = round(res["end_to_end_ms"] - slope * s1, 2)
 
+    # scanned-cycle path: T delta frames per lax.scan program
+    # (render.cycle) — how much of the fixed cost is per-frame
+    # dispatch/glue the scan amortizes?
+    def steady_cycle(r, T):
+        def call(c):
+            return r(params, torso_params, pose, pose, bc, aud=aud,
+                     signal=signal, expr=expr, latent=latent, cache=c)
+        f, c = call(None)
+        float(f.mean())
+        f, c = call(c)          # delta-shaped cache (scan carry shape)
+        float(f.mean())
+        xs = dict(poses=jnp.tile(pose[None], (T, 1, 1)),
+                  auds=jnp.tile(aud[None], (T, 1)),
+                  signals=jnp.tile(signal[None], (T, 1)),
+                  exprs=jnp.tile(expr[None], (T, 1)),
+                  latents=jnp.tile(latent[None], (T, 1)))
+        fr, c = r.cycle(params, torso_params, xs["poses"], pose, bc, c,
+                        auds=xs["auds"], signals=xs["signals"],
+                        exprs=xs["exprs"], latents=xs["latents"])
+        float(fr.mean())        # compile + warm
+        reps = max(2, args.reps // 4)
+        t0 = time.perf_counter()
+        acc = None
+        for _ in range(reps):
+            fr, c = r.cycle(params, torso_params, xs["poses"], pose, bc,
+                            c, auds=xs["auds"], signals=xs["signals"],
+                            exprs=xs["exprs"], latents=xs["latents"])
+            acc = fr if acc is None else acc + fr
+        float(acc.mean())
+        return (time.perf_counter() - t0) / (reps * T) * 1e3
+
+    T_cyc = 4 if args.smoke else 24
+    res["cycle_ms_per_frame"] = round(
+        steady_cycle(build(args.s_delta), T_cyc), 2)
+    res["cycle_T"] = T_cyc
+    res["cycle_fps"] = round(1e3 / res["cycle_ms_per_frame"], 2)
+    if args.s_delta2 and args.s_delta2 != args.s_delta:
+        res["cycle_ms_per_frame_s2"] = round(
+            steady_cycle(build(args.s_delta2), T_cyc), 2)
+
     print(json.dumps(res, indent=2))
     with open(os.path.join(ROOT, "runs", "temporal_profile.json"),
               "w") as fh:

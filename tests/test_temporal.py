@@ -261,6 +261,70 @@ def test_temporal_kf_blend_and_uni_frac():
     assert np.isfinite(np.asarray(g2)).all()
 
 
+def test_temporal_cycle_matches_per_frame():
+    """render.cycle (one lax.scan program per keyframe cycle) computes
+    exactly the per-frame delta path: same frames, same final cache —
+    the fps win is dispatch/fetch structure, not different math. Richest
+    cache shape: pruned (delta_keep) + keyframe anchor (kf_blend)."""
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    T = 3
+    ks = jax.random.split(jax.random.PRNGKey(42), 4)
+    poses_c = jnp.stack([
+        jnp.concatenate(
+            [jnp.eye(3), jnp.array([[0.02 * i], [0.01 * i], [0.9]])], 1)
+        for i in range(T)])
+    auds_c = jax.random.normal(ks[0], (T, 16))
+    exprs_c = jax.random.normal(ks[1], (T, 8))
+    sigs_c = jax.random.normal(ks[2], (T, 20))
+    lats_c = jnp.tile(call["latent"][None], (T, 1))
+
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        delta_keep_head=0.5, delta_keep_torso=0.5, kf_blend=0.5)
+    _, cache = tm(hp, tp, pose, pose0, bc, **call, cache=None)
+    # one per-frame delta reshapes the cache to the scan carry's
+    # (s_delta-wide) shape — the cycle's entry contract
+    _, cache = tm(hp, tp, pose, pose0, bc, **call, cache=cache)
+
+    ref_frames, c_ref = [], cache
+    for i in range(T):
+        f, c_ref = tm(hp, tp, poses_c[i], pose0, bc, aud=auds_c[i],
+                      signal=sigs_c[i], expr=exprs_c[i],
+                      latent=call["latent"], cache=c_ref)
+        ref_frames.append(np.asarray(f))
+
+    frames, c_cyc = tm.cycle(hp, tp, poses_c, pose0, bc, cache,
+                             auds=auds_c, signals=sigs_c, exprs=exprs_c,
+                             latents=lats_c)
+    np.testing.assert_allclose(np.asarray(frames), np.stack(ref_frames),
+                               atol=2e-5)
+    for a, b in zip(jax.tree.leaves(c_cyc), jax.tree.leaves(c_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5)
+
+    # head-only cycle, unpruned tuple cache
+    tmh = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                       cx=cx, cy=cy, s_delta=8)
+    hcall = dict(aud=call["aud"], expr=call["expr"],
+                 latent=call["latent"])
+    _, hc = tmh(hp, pose, bc, **hcall, cache=None)
+    _, hc = tmh(hp, pose, bc, **hcall, cache=hc)
+    ref_h, c_ref = [], hc
+    for i in range(T):
+        f, c_ref = tmh(hp, poses_c[i], bc, aud=auds_c[i],
+                       expr=exprs_c[i], latent=call["latent"],
+                       cache=c_ref)
+        ref_h.append(np.asarray(f))
+    frames_h, _ = tmh.cycle(hp, poses_c, bc, hc, auds=auds_c,
+                            exprs=exprs_c, latents=lats_c)
+    np.testing.assert_allclose(np.asarray(frames_h), np.stack(ref_h),
+                               atol=2e-5)
+
+
 def test_temporal_video_tracks_trained_fields():
     """On TRAINED head+torso fields, delta frames must stay close to the
     per-frame full render across a moving 4-frame clip (the quality
@@ -376,3 +440,14 @@ def test_reenact_temporal_mode_runs():
     )
     assert frames_h.shape == (3, 24, 24, 3)
     assert np.isfinite(frames_h).all()
+
+    # scanned-cycle flag: same frames as the per-frame temporal loop
+    # (temporal=3 so the 3-frame clip exercises keyframe + per-frame
+    # first delta + a scanned chunk of 1)
+    com = dict(driving_auds=ds.auds[:3], driving_exprs=ds.exprs[:3],
+               latent_codes=state.latent_codes, torso_params=tparams,
+               max_frames=3, smooth_audio=False, temporal=3, s_delta=6,
+               use_prior=True)
+    ref = reenact(cfg, state.params, ds, **com)
+    cyc = reenact(cfg, state.params, ds, cycle=True, **com)
+    np.testing.assert_allclose(cyc, ref, atol=2e-5)
