@@ -71,11 +71,14 @@ class ExperimentConfig:
                              # 1.7x faster than XLA, convergence-parity
                              # verified — kernels/fused_mlp_grad.py;
                              # ignored off-TPU)
-    flat_optimizer: bool = False  # wrap Adam in optax.flatten: one fused
+    flat_optimizer: bool = True   # wrap Adam in optax.flatten: one fused
                                   # update kernel over a single flat
                                   # vector instead of per-leaf chains
-                                  # (changes opt_state checkpoint layout;
-                                  # scripts/train_profile.py measures it)
+                                  # (~9 ms/step at paper scale,
+                                  # runs/train_profile.json; per-element-
+                                  # identical update). Checkpoints of
+                                  # either layout resume via
+                                  # train.state.migrate_opt_state_layout
     sampler_approx: bool = True   # ray sampler uses lax.approx_max_k
                                   # instead of exact top_k (the "top-k of
                                   # uniform randoms" IS a random subset,

@@ -12,6 +12,7 @@ from typing import Any, Dict, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from idealnerf_tpu.config import ExperimentConfig
@@ -33,12 +34,53 @@ class TrainState(NamedTuple):
 def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     base = optax.adam(exponential_lr(cfg.lrate, cfg.lrate_decay),
                       b1=0.9, b2=0.999)
-    if getattr(cfg, "flat_optimizer", False):
+    if getattr(cfg, "flat_optimizer", True):
         # one fused Adam kernel over a single flat vector instead of a
-        # per-leaf kernel chain (scripts/train_profile.py measures the
-        # step-time delta); NOTE: changes the opt_state checkpoint layout
+        # per-leaf kernel chain — saves ~9 ms/step at paper scale
+        # (runs/train_profile.json) with a per-element-identical update
+        # (tests/test_data_and_train.py). Changes the opt_state
+        # checkpoint layout; resume of either layout works through
+        # migrate_opt_state_layout (HeadTrainer falls back to it).
         return optax.flatten(base)
     return base
+
+
+def migrate_opt_state_layout(old, template):
+    """Convert an optax.adam(+flatten) state between the per-leaf-tree
+    and flat-vector layouts.
+
+    ``old`` is a restored optimizer state whose ScaleByAdamState mu/nu
+    layout differs from ``template``'s (the freshly-initialized state for
+    the current ``cfg.flat_optimizer``); all other chain members (step
+    counts, schedule states) are layout-independent and pass through.
+    Flattening follows jax.flatten_util.ravel_pytree — the same order
+    optax.flatten uses — so momenta are preserved exactly in either
+    direction and resume continues bit-identically."""
+    from jax.flatten_util import ravel_pytree
+
+    def cvt(x_old, x_new):
+        if (jax.tree.structure(x_old) == jax.tree.structure(x_new)
+                and all(np.shape(a) == np.shape(b) for a, b in zip(
+                    jax.tree.leaves(x_old), jax.tree.leaves(x_new)))):
+            return x_old
+        if hasattr(x_new, "ndim") and x_new.ndim == 1:   # tree -> flat
+            return ravel_pytree(x_old)[0]
+        _, unravel = ravel_pytree(x_new)                 # flat -> tree
+        return unravel(jnp.asarray(x_old))
+
+    def walk(o, n):
+        if hasattr(n, "_fields"):                        # NamedTuple
+            if set(n._fields) >= {"mu", "nu"}:
+                return n._replace(
+                    **{f: (cvt(getattr(o, f), getattr(n, f))
+                           if f in ("mu", "nu") else getattr(o, f))
+                       for f in n._fields})
+            return type(n)(*[walk(a, b) for a, b in zip(o, n)])
+        if isinstance(n, (tuple, list)):
+            return type(n)(walk(a, b) for a, b in zip(o, n))
+        return o
+
+    return walk(old, template)
 
 
 def init_train_state(key, cfg: ExperimentConfig, data_size: int) -> TrainState:

@@ -104,6 +104,49 @@ def test_flat_optimizer_converges_identically():
     np.testing.assert_allclose(outs[0], outs[1], rtol=2e-4, atol=2e-6)
 
 
+def test_flat_optimizer_resume_migrates_layout(tmp_path):
+    """A checkpoint written with the OTHER flat_optimizer layout resumes
+    through HeadTrainer's migration fallback: momenta carry over exactly
+    (ravel_pytree order) and training continues bit-identically to a
+    same-layout resume."""
+    import dataclasses
+
+    from jax.flatten_util import ravel_pytree
+
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.train import HeadTrainer
+
+    base = dict(dim_aud=64, dim_expr=8, dim_latent=8, N_rand=64,
+                mouth_rays=8, torso_rays=8, N_samples=6, N_importance=0,
+                lrate=5e-4)
+    ds = make_synthetic_dataset(n_frames=2, H=24, W=24, dim_expr=8)
+    for old_flat in (False, True):
+        d = str(tmp_path / f"ck_{old_flat}")
+        cfg_old = ExperimentConfig(**base, flat_optimizer=old_flat)
+        tr = HeadTrainer(cfg_old, ds, seed=0, ckpt_dir=d)
+        tr.run(n_epochs=3, log_every=100, on_metrics=lambda s, m: None)
+        tr.save()
+        mu_old = tr.state.opt_state[0].mu
+
+        cfg_new = ExperimentConfig(**base, flat_optimizer=not old_flat)
+        tr2 = HeadTrainer(cfg_new, ds, seed=0, ckpt_dir=d)
+        assert tr2.global_step == tr.global_step
+        mu_new = tr2.state.opt_state[0].mu
+        np.testing.assert_allclose(
+            np.asarray(ravel_pytree(mu_old)[0]),
+            np.asarray(ravel_pytree(mu_new)[0]), rtol=0, atol=0)
+        # continuing from the migrated state == a native-layout resume
+        # (same seed => same ray stream; flat vs tree Adam is the same
+        # per-element update, so only accumulation-order noise remains)
+        tr3 = HeadTrainer(cfg_old, ds, seed=0, ckpt_dir=d)
+        tr2.run(n_epochs=1, log_every=100, on_metrics=lambda s, m: None)
+        tr3.run(n_epochs=1, log_every=100, on_metrics=lambda s, m: None)
+        np.testing.assert_allclose(
+            np.asarray(tr2.state.params["coarse"]["pts"][0]["w"]),
+            np.asarray(tr3.state.params["coarse"]["pts"][0]["w"]),
+            rtol=2e-4, atol=2e-6)
+
+
 def test_rays_at_coords_matches_full_grid():
     H, W, focal, cx, cy = 24, 30, 50.0, 14.0, 11.0
     q = np.linalg.qr(np.random.RandomState(0).randn(3, 3))[0].astype(np.float32)
