@@ -27,6 +27,11 @@ run() {  # run <timeout_s> <log> <cmd...>
 COM=runs/rehearsal2_com
 TD="python scripts/temporal_delta.py --split train --auto_rung --tighten"
 
+# -1. scanned-cycle delta-frame cost first (10 min, checkpoint-free):
+#     its numbers decide whether further in-scan work is worth building
+#     while the evidence grid below runs
+run 1800 /tmp/tprof.log python scripts/temporal_profile.py --reps 20
+
 # 0. rung evidence on the new checkpoint (auto_rung reads this; the old
 #    file describes the deleted checkpoint — regenerate, don't merge)
 rm -f runs/rehearsal2/sample_sweep.json
