@@ -18,6 +18,11 @@ run() {
   tail -3 "$log" >> /tmp/tpu_prof.log
 }
 
+# re-evaluate the rebuilt checkpoint: val PSNR/SSIM + pruned-mode deltas
+# (results.json currently describes the deleted round-3 checkpoint)
+run 2400 /tmp/reval.log python scripts/rehearsal.py \
+  --out runs/rehearsal2 --phase eval
+
 run 3600 /tmp/bench.log python bench.py
 cp /tmp/bench.log runs/bench_r3cycle.log 2>/dev/null
 echo "=== prof queue done $(date)" >> /tmp/tpu_prof.log
