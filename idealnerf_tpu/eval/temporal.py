@@ -141,6 +141,25 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
     )
     from idealnerf_tpu.models.face_nerf import fold_conditioning
 
+    # static camera-space directions of THIS FIELD's prior rays: delta
+    # frames compute their rays as one (n_sel, 3) x (3, 3) matmul
+    # against the frame's pose instead of generating the full H*W grid
+    # and gathering (same math as core.rays.get_rays, restricted to sel)
+    sel_np = np.asarray(sel)
+    _cx = W * 0.5 if cx is None else cx
+    _cy = H * 0.5 if cy is None else cy
+    rows = (sel_np // W).astype(np.float32)
+    cols = (sel_np % W).astype(np.float32)
+    dirs_sel = jnp.asarray(np.stack(
+        [(cols - _cx) / focal, -(rows - _cy) / focal,
+         -np.ones_like(cols)], axis=-1))
+
+    def _rays_sel(pose_f, idx=None):
+        dirs = dirs_sel if idx is None else dirs_sel[idx]
+        d = jnp.einsum("nc,kc->nk", dirs, pose_f[:3, :3],
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.broadcast_to(pose_f[:3, -1], d.shape), d
+
     @jax.jit
     def stage_kf_coarse(params, pose_f, bc_img, cond):
         """Keyframe coarse pass + in-kernel hierarchical sampling on the
@@ -247,8 +266,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         (``kf_blend``), plus ``uni_frac`` uniform across the cached band
         to catch surface motion the prior misses. FINE network render,
         cache update."""
-        o, d = get_rays(H, W, focal, pose_f, cx, cy)
-        o, d = o.reshape(-1, 3)[sel], d.reshape(-1, 3)[sel]
+        o, d = _rays_sel(pose_f)
         b = bc_img.reshape(-1, 3)[sel]
         z = _delta_depths(band_lo, band_hi, z_prev, w_prev, kz, kw)
         rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
@@ -295,9 +313,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         placement as stage_delta, in kept-space."""
         keep_idx = cache["keep"]
         sel_kept = sel[keep_idx]
-        o, d = get_rays(H, W, focal, pose_f, cx, cy)
-        o = o.reshape(-1, 3)[sel_kept]
-        d = d.reshape(-1, 3)[sel_kept]
+        o, d = _rays_sel(pose_f, keep_idx)
         b = bc_img.reshape(-1, 3)[sel_kept]
         z = _delta_depths(cache["lo"], cache["hi"], cache["z"],
                           cache["w"], cache.get("kz"), cache.get("kw"))
