@@ -71,6 +71,13 @@ def fg_band(z_vals: jnp.ndarray, weights: jnp.ndarray,
     return lo, hi, cw[..., -1]
 
 
+def _window2d(grid, init, op, k):
+    """(k, k) min/max window as two 1-D passes (min/max are separable:
+    2k taps instead of k² — this runs per delta frame per field)."""
+    g = jax.lax.reduce_window(grid, init, op, (k, 1), (1, 1), "SAME")
+    return jax.lax.reduce_window(g, init, op, (1, k), (1, 1), "SAME")
+
+
 def dilate_bands(lo, hi, valid, sel, H, W, radius: int,
                  fb_lo: float, fb_hi: float):
     """Spatially dilate per-ray bands over the image grid.
@@ -85,10 +92,8 @@ def dilate_bands(lo, hi, valid, sel, H, W, radius: int,
     ghi = jnp.full((H * W,), -big, jnp.float32).at[sel].set(
         jnp.where(valid, hi, -big))
     k = 2 * radius + 1
-    glo = jax.lax.reduce_window(glo.reshape(H, W), big, jax.lax.min,
-                                (k, k), (1, 1), "SAME")
-    ghi = jax.lax.reduce_window(ghi.reshape(H, W), -big, jax.lax.max,
-                                (k, k), (1, 1), "SAME")
+    glo = _window2d(glo.reshape(H, W), big, jax.lax.min, k)
+    ghi = _window2d(ghi.reshape(H, W), -big, jax.lax.max, k)
     lo_d = glo.reshape(-1)[sel]
     hi_d = ghi.reshape(-1)[sel]
     ok = lo_d < big * 0.5
@@ -290,8 +295,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         grid = jnp.zeros((H * W,), jnp.float32).at[sel].set(
             mass.astype(jnp.float32))
         k = 2 * dilate_px + 1
-        grid = jax.lax.reduce_window(grid.reshape(H, W), 0.0, jax.lax.max,
-                                     (k, k), (1, 1), "SAME")
+        grid = _window2d(grid.reshape(H, W), 0.0, jax.lax.max, k)
         _, keep_idx = jax.lax.top_k(grid.reshape(-1)[sel], k_keep)
         return keep_idx
 
