@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 
 from idealnerf_tpu.cli.common import (
     build_parser, make_summary, resolve_config, resolve_dataset,
@@ -45,7 +46,15 @@ def main(argv=None):
     if args.head_ckpt:
         from idealnerf_tpu.ckpt import CheckpointManager
 
-        state = CheckpointManager(args.head_ckpt).restore(state)
+        # raw restore: the head is FROZEN here — only params, latents
+        # and the step matter; the checkpointed opt_state may carry
+        # either flat_optimizer layout and the latent table is sized to
+        # the head's train set (same pattern as cli/eval_reenact.py)
+        raw = CheckpointManager(args.head_ckpt).restore_raw()
+        state = state._replace(
+            step=jnp.asarray(raw["step"], jnp.int32),
+            params=jax.tree.map(jnp.asarray, raw["params"]),
+            latent_codes=jnp.asarray(raw["latent_codes"]))
         logger.info("loaded frozen head from %s (step %d)",
                     args.head_ckpt, int(state.step))
     else:

@@ -70,7 +70,9 @@ class ShardedHeadTrainer:
 
             self.ckpt = CheckpointManager(ckpt_dir)
             if resume and self.ckpt.latest_step() is not None:
-                state = self.ckpt.restore(state)
+                from idealnerf_tpu.train.state import restore_train_state
+
+                state = restore_train_state(self.ckpt, state, cfg)
                 logger.info("resumed from step %d", int(state.step))
         self.state = jax.device_put(state, replicated)
         self._steps: Dict[bool, Any] = {}

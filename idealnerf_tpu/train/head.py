@@ -210,34 +210,13 @@ class HeadTrainer:
 
             self.ckpt = CheckpointManager(ckpt_dir)
             if resume and self.ckpt.latest_step() is not None:
-                try:
-                    self.state = self.ckpt.restore(self.state)
-                except ValueError as e:
-                    # opt_state layout mismatch (checkpoint written with
-                    # the other cfg.flat_optimizer setting): restore
-                    # against the other layout and migrate — momenta are
-                    # preserved exactly (migrate_opt_state_layout)
-                    import dataclasses as _dc
+                # restore with opt_state layout migration: checkpoints
+                # written under the other cfg.flat_optimizer setting
+                # convert momenta exactly instead of failing
+                from idealnerf_tpu.train.state import restore_train_state
 
-                    from idealnerf_tpu.train.state import (
-                        make_optimizer, migrate_opt_state_layout,
-                    )
-
-                    other = _dc.replace(
-                        cfg, flat_optimizer=not cfg.flat_optimizer)
-                    like = self.state._replace(
-                        opt_state=make_optimizer(other).init(
-                            (self.state.params, self.state.latent_codes)))
-                    try:
-                        restored = self.ckpt.restore(like)
-                    except ValueError:
-                        raise e from None
-                    self.state = restored._replace(
-                        opt_state=migrate_opt_state_layout(
-                            restored.opt_state, self.state.opt_state))
-                    logger.info(
-                        "opt_state migrated to flat_optimizer=%s layout",
-                        cfg.flat_optimizer)
+                self.state = restore_train_state(self.ckpt, self.state,
+                                                 cfg)
                 logger.info("resumed from step %d", self.global_step)
             elif cfg.ft_path:
                 # fine-tune surgery: load foreign checkpoint params with

@@ -83,6 +83,28 @@ def migrate_opt_state_layout(old, template):
     return walk(old, template)
 
 
+def restore_train_state(ckpt, state: TrainState, cfg) -> TrainState:
+    """CheckpointManager.restore of a TrainState with opt_state layout
+    migration: a checkpoint written under the other ``cfg.flat_optimizer``
+    setting restores against its own layout and converts momenta exactly
+    (migrate_opt_state_layout) instead of failing the structure check."""
+    try:
+        return ckpt.restore(state)
+    except ValueError as e:
+        import dataclasses as _dc
+
+        other = _dc.replace(
+            cfg, flat_optimizer=not getattr(cfg, "flat_optimizer", True))
+        like = state._replace(opt_state=make_optimizer(other).init(
+            (state.params, state.latent_codes)))
+        try:
+            restored = ckpt.restore(like)
+        except ValueError:
+            raise e from None
+        return restored._replace(opt_state=migrate_opt_state_layout(
+            restored.opt_state, state.opt_state))
+
+
 def init_train_state(key, cfg: ExperimentConfig, data_size: int) -> TrainState:
     ks = jax.random.split(key, 6)
     nerf_cfg = variant_nerf_config(cfg)
