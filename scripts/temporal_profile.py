@@ -218,8 +218,10 @@ def main():
             steady_cycle(build(args.s_delta2), T_cyc), 2)
 
     print(json.dumps(res, indent=2))
-    with open(os.path.join(ROOT, "runs", "temporal_profile.json"),
-              "w") as fh:
+    # smoke runs must not clobber the measured TPU evidence
+    name = ("temporal_profile_smoke.json" if args.smoke
+            else "temporal_profile.json")
+    with open(os.path.join(ROOT, "runs", name), "w") as fh:
         json.dump(res, fh, indent=2)
 
 
