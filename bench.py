@@ -326,7 +326,8 @@ def main():
             compute_dtype=compute_dtype,
             prior_mask_head=jnp.asarray(mask_h),
             prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
-            delta_keep_head=dk, delta_keep_torso=dk,
+            delta_keep_head=dk,
+            delta_keep_torso=(comp_conf.get("delta_keep_torso") or dk),
             s_delta_torso=comp_conf.get("s_delta_torso"),
             uni_frac=comp_conf.get("uni_frac", 0.25),
             kf_blend=comp_conf.get("kf_blend", 0.0),

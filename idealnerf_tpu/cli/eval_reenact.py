@@ -77,6 +77,12 @@ def main(argv=None):
                              "top foreground-mass rays, spatially "
                              "dilated); the rest hold the keyframe's "
                              "pixels for the cycle")
+    parser.add_argument("--delta_keep_torso", type=float, default=None,
+                        help="with --temporal + --torso_ckpt: torso-"
+                             "field delta keep (default: --delta_keep). "
+                             "The torso's rays come from the fixed "
+                             "first-frame pose, so it tolerates a "
+                             "lower keep than the moving head")
     parser.add_argument("--uni_frac", type=float, default=0.25,
                         help="with --temporal: fraction of delta "
                              "in-band samples placed uniformly across "
@@ -108,6 +114,7 @@ def main(argv=None):
         args.s_delta = conf["s_delta"]
         args.s_delta_torso = conf["s_delta_torso"]
         args.delta_keep = conf["delta_keep"]
+        args.delta_keep_torso = conf.get("delta_keep_torso")
         args.uni_frac = conf.get("uni_frac", 0.25)
         args.kf_blend = conf.get("kf_blend", 0.0)
         args.prior = 1
@@ -209,7 +216,9 @@ def main(argv=None):
         use_prior=bool(args.prior),
         mesh=mesh, tile=tile, bounds=bounds,
         temporal=args.temporal or None, s_delta=args.s_delta,
-        delta_keep=args.delta_keep, s_delta_torso=args.s_delta_torso,
+        delta_keep=args.delta_keep,
+        delta_keep_torso=args.delta_keep_torso,
+        s_delta_torso=args.s_delta_torso,
         uni_frac=args.uni_frac, kf_blend=args.kf_blend,
         cycle=bool(args.cycle),
     )

@@ -80,21 +80,25 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
 
     def _parse(k, prefix):
         """Mode key -> point dict or None. Grammar after the prefix:
-        "<h>[t<t>][_k<pct>][_u<pct>][_b<pct>]" — plain rungs ("32"),
-        per-field torso counts ("16t32"), delta_keep studies ("32_k60"),
-        depth-placement studies (uniform fraction "_u50", keyframe CDF
-        blend "_b50"); all from temporal_delta.py flags."""
+        "<h>[t<t>][_k<pct>][_kt<pct>][_u<pct>][_b<pct>]" — plain rungs
+        ("32"), per-field torso counts ("16t32"), delta_keep studies
+        ("32_k60"; per-field torso keep "32_k60_kt40"), depth-placement
+        studies (uniform fraction "_u50", keyframe CDF blend "_b50");
+        all from temporal_delta.py flags."""
         if not k.startswith(prefix):
             return None
         rest = k[len(prefix):].split("_")
-        pt = dict(keep=1.0, uni=0.25, blend=0.0)
-        tags = dict(k=("keep", 100.0), u=("uni", 100.0),
-                    b=("blend", 100.0))
+        pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0)
+        tags = dict(kt=("keep_t", 100.0), k=("keep", 100.0),
+                    u=("uni", 100.0), b=("blend", 100.0))
         for seg in rest[1:]:
-            if not seg or seg[0] not in tags or not seg[1:].isdigit():
+            tag = next((t for t in ("kt", "k", "u", "b")
+                        if seg.startswith(t) and seg[len(t):].isdigit()),
+                       None)
+            if tag is None:
                 return None
-            name, div = tags[seg[0]]
-            pt[name] = int(seg[1:]) / div
+            name, div = tags[tag]
+            pt[name] = int(seg[len(tag):]) / div
         seg = rest[0].split("t")
         if len(seg) == 1 and seg[0].isdigit():
             pt.update(s=int(seg[0]), st=None)
@@ -105,9 +109,12 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         return pt
 
     def _cost(pt):
-        # delta-frame cost ~ mean per-field sample count * kept fraction
+        # delta-frame cost ~ mean over fields of (sample count * kept
+        # fraction); the torso defaults to the head's values
         s, st = pt["s"], pt["st"]
-        return (s + (st if st is not None else s)) / 2.0 * pt["keep"]
+        kt = pt["keep_t"] if pt["keep_t"] is not None else pt["keep"]
+        return (s * pt["keep"]
+                + (st if st is not None else s) * kt) / 2.0
 
     def _pts(prefix):
         pts = [(p, v) for k, v in modes.items()
@@ -126,6 +133,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         return (f"s_delta_{pt['s']}"
                 + ("" if pt["st"] is None else f"t{pt['st']}")
                 + ("" if pt["keep"] >= 1.0 else f"_k{round(pt['keep']*100)}")
+                + ("" if pt["keep_t"] is None
+                   else f"_kt{round(pt['keep_t']*100)}")
                 + ("" if pt["uni"] == 0.25 else f"_u{round(pt['uni']*100)}")
                 + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}"))
 
@@ -149,6 +158,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
                          else default_s_delta),
         "s_delta_torso_comp": comp_ok_pts[0]["st"] if comp_ok_pts else None,
         "delta_keep_comp": comp_ok_pts[0]["keep"] if comp_ok_pts else 1.0,
+        "delta_keep_torso_comp": (comp_ok_pts[0]["keep_t"] if comp_ok_pts
+                                  else None),
         "uni_frac_comp": comp_ok_pts[0]["uni"] if comp_ok_pts else 0.25,
         "kf_blend_comp": comp_ok_pts[0]["blend"] if comp_ok_pts else 0.0,
         "cost_comp": _cost(comp_ok_pts[0]) if comp_ok_pts else None,
@@ -193,6 +204,9 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                 best = {"refresh": td["refresh"], "s_delta": tq[sd_key],
                         "s_delta_torso": st,
                         "delta_keep": tq[f"delta_keep_{mode}"],
+                        "delta_keep_torso": (
+                            tq.get("delta_keep_torso_comp")
+                            if mode == "comp" else None),
                         "uni_frac": tq[f"uni_frac_{mode}"],
                         "kf_blend": tq[f"kf_blend_{mode}"],
                         "keyframe_rung": tq["keyframe_rung"],
@@ -203,6 +217,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "s_delta": best["s_delta"] if best else default_s_delta,
             "s_delta_torso": best["s_delta_torso"] if best else None,
             "delta_keep": best["delta_keep"] if best else 1.0,
+            "delta_keep_torso": best["delta_keep_torso"] if best else None,
             "uni_frac": best["uni_frac"] if best else 0.25,
             "kf_blend": best["kf_blend"] if best else 0.0,
             "keyframe_rung": best["keyframe_rung"] if best else None,

@@ -97,6 +97,7 @@ def reenact(
     temporal: Optional[int] = None,
     s_delta: int = 32,
     delta_keep: float = 1.0,
+    delta_keep_torso: Optional[float] = None,
     s_delta_torso: Optional[int] = None,
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
@@ -263,7 +264,9 @@ def reenact(
                 identity.near, identity.far, render_cfg,
                 cx=identity.cx, cy=identity.cy,
                 compute_dtype=compute_dtype, s_delta=s_delta,
-                delta_keep_head=delta_keep, delta_keep_torso=delta_keep,
+                delta_keep_head=delta_keep,
+                delta_keep_torso=(delta_keep if delta_keep_torso is None
+                                  else delta_keep_torso),
                 s_delta_torso=s_delta_torso,
                 uni_frac=uni_frac, kf_blend=kf_blend,
                 **pf,

@@ -63,6 +63,15 @@ def main():
                         "the rest hold the keyframe's pixels). <1 "
                         "suffixes the mode keys with 'k<pct>' so the "
                         "evidence stays distinct from unpruned runs")
+    p.add_argument("--delta_keep_torso", type=float, default=None,
+                   help="torso-field delta keep fraction (composite "
+                        "modes only; default: same as --delta_keep). "
+                        "The torso casts rays from the FIXED first "
+                        "frame pose (run_nerf.py:499), so its frozen "
+                        "rays are exact up to conditioning drift and "
+                        "it tolerates a lower keep than the moving "
+                        "head. Suffixes the composite mode keys with "
+                        "'kt<pct>'")
     p.add_argument("--uni_frac", type=float, default=0.25,
                    help="fraction of delta in-band samples placed "
                         "uniformly across the cached band (exploration "
@@ -219,17 +228,25 @@ def main():
         "fps_full_warm": round(1.0 / t_full_warm, 3),
         "modes": {},
     }
-    ksuf = ("" if args.delta_keep >= 1.0
-            else f"_k{round(args.delta_keep * 100)}")
+    # mode-key grammar: "<s>[t<st>][_k<pct>][_kt<pct>][_u<pct>][_b<pct>]";
+    # the torso tags (t, kt) are composite-only and must not leak into
+    # the head-only keys
+    k_tag = ("" if args.delta_keep >= 1.0
+             else f"_k{round(args.delta_keep * 100)}")
+    kt_tag = ("" if args.delta_keep_torso is None
+              else f"_kt{round(args.delta_keep_torso * 100)}")
+    u_tag = ("" if args.uni_frac == 0.25
+             else f"_u{round(args.uni_frac * 100)}")
+    b_tag = ("" if args.kf_blend <= 0
+             else f"_b{round(args.kf_blend * 100)}")
+    ksuf = k_tag + u_tag + b_tag
+    ksuf_comp = k_tag + kt_tag + u_tag + b_tag
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
-    if args.uni_frac != 0.25:
-        ksuf += f"_u{round(args.uni_frac * 100)}"
-    if args.kf_blend > 0:
-        ksuf += f"_b{round(args.kf_blend * 100)}"
     place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds, delta_keep=args.delta_keep,
+                  delta_keep_torso=args.delta_keep_torso,
                   s_delta_torso=args.s_delta_torso, **place, **common)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
@@ -242,8 +259,8 @@ def main():
             "fps_delta_frames": fps_delta,
             "keyframe_cost_measured": measured_key,
         }
-        out["modes"][f"s_delta_{s_delta}{tsuf}{ksuf}"] = m
-        print(f"s_delta={s_delta}{tsuf}{ksuf}: {json.dumps(m)}",
+        out["modes"][f"s_delta_{s_delta}{tsuf}{ksuf_comp}"] = m
+        print(f"s_delta={s_delta}{tsuf}{ksuf_comp}: {json.dumps(m)}",
               flush=True)
 
     # head-only temporal (eval_aud_exp_nerf.py:437 workload) vs the full

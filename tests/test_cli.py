@@ -252,6 +252,26 @@ def test_bench_temporal_operating_point_selection():
     tq0 = bench.pick_temporal_points(None, 25, default_s_delta=24)
     assert tq0["s_delta_comp"] == 24 and not tq0["composite_video_quality_ok"]
 
+    # per-field torso keep grammar (kt): parsed, costed per field,
+    # reported back as delta_keep_torso_comp
+    td_kt = {
+        "refresh": 25,
+        "keyframe_rung": "16+32",
+        "modes": {
+            "s_delta_32_k60": {"delta_psnr_vs_gt": 0.03},
+            "s_delta_32t16_k60_kt40": {"delta_psnr_vs_gt": 0.04},
+        },
+    }
+    tqkt = bench.pick_temporal_points(td_kt, 25)
+    # cost: 32*.6 both fields = 19.2 vs (32*.6 + 16*.4)/2 = 12.8 -> the
+    # asymmetric point is cheaper and wins
+    assert tqkt["composite_video_quality_ok"]
+    assert tqkt["s_delta_comp"] == 32
+    assert tqkt["s_delta_torso_comp"] == 16
+    assert tqkt["delta_keep_comp"] == 0.6
+    assert tqkt["delta_keep_torso_comp"] == 0.4
+    assert "s_delta_32t16_k60_kt40" in tqkt["composite_delta_db_vs_gt"]
+
 
 def test_bench_temporal_mode_configs_across_files():
     """bench.pick_temporal_mode_configs: per mode, largest quality-
@@ -287,12 +307,14 @@ def test_bench_temporal_mode_configs_across_files():
     # composite: refresh 50 holds (at s_delta 32, paper keyframes)
     assert out["comp"] == {"quality_ok": True, "refresh": 50,
                            "s_delta": 32, "s_delta_torso": None,
-                           "delta_keep": 1.0, "uni_frac": 0.25,
+                           "delta_keep": 1.0, "delta_keep_torso": None,
+                           "uni_frac": 0.25,
                            "kf_blend": 0.0, "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
     assert out["head"] == {"quality_ok": True, "refresh": 25,
                            "s_delta": 16, "s_delta_torso": None,
-                           "delta_keep": 1.0, "uni_frac": 0.25,
+                           "delta_keep": 1.0, "delta_keep_torso": None,
+                           "uni_frac": 0.25,
                            "kf_blend": 0.0, "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
     assert out["evidence"][0]["tightened"] is True

@@ -210,6 +210,27 @@ def test_temporal_per_field_s_delta():
     assert np.isfinite(np.asarray(f2)).all()
 
 
+def test_temporal_per_field_delta_keep():
+    """delta_keep_head != delta_keep_torso: each field prunes its delta
+    frames to its own keep fraction (the torso's rays come from the
+    fixed first-frame pose, so it tolerates a lower keep than the
+    moving head); kept-set sizes differ accordingly."""
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+        s_delta=8, delta_keep_head=1.0, delta_keep_torso=0.5)
+    f0, c0 = tm(hp, tp, pose, pose0, bc, **call, cache=None)
+    f1, c1 = tm(hp, tp, pose, pose0, bc, **call, cache=c0)
+    assert np.isfinite(np.asarray(f1)).all()
+    # head unpruned: plain band tuple; torso pruned: kept-space cache
+    assert isinstance(c1["head"], tuple)
+    assert int(c1["torso"]["keep"].shape[0]) == 512   # 1024 * 0.5
+    f2, _ = tm(hp, tp, pose, pose0, bc, **call, cache=c1)
+    assert np.isfinite(np.asarray(f2)).all()
+
+
 def test_temporal_kf_blend_and_uni_frac():
     """kf_blend anchors part of each delta frame's importance draw to
     the KEYFRAME's full-resolution CDF: keyframes are unchanged (still
