@@ -1,25 +1,30 @@
 #!/bin/bash
-# Round-3 adaptive probe queue — runs AFTER tpu_queue_r3x.sh.
+# Round-3 final measurement queue (replaces tpu_queue_r3x/r3y, which
+# never started TPU work). Runs AFTER tpu_queue_r3orch.sh finishes.
 #
 # Context (rebuilt-checkpoint evidence): the composite temporal gate is
 # closed at s32/k60 (0.224 dB vs the 0.05 bar; unpruned 0.229 — pruning
 # the weak rays neither helps nor hurts, so the error lives in the
-# RE-RENDERED rays' in-band sampling), while head-only agreement is
-# 53.5 dB. The torso therefore carries ~2/3 of the temporal error.
-# Probe ladder, cheapest-to-run first:
+# RE-RENDERED rays), while head-only agreement is 53.5 dB: the torso
+# carries ~2/3 of the composite temporal error. Probe ladder, highest
+# value first:
 #   kt1  — freeze (nearly) the whole torso between keyframes: its rays
-#          come from the fixed first-frame pose, so frozen pixels are
-#          exact up to conditioning drift; only the top-mass ~1% of
-#          torso rays (neck/silhouette, the conditioning-sensitive
-#          region) re-render. Composite delta cost drops ~45%.
-#   kt25 — dose-response point if full-freeze drifts too far.
-#   u50 / s48 — in-band placement/count probes if both kt points fail.
-# Then the final headline bench over the full evidence set.
-#   nohup setsid bash scripts/tpu_queue_r3y.sh > /tmp/tpu_r3y.out 2>&1 &
+#          come from the fixed first-frame pose (run_nerf.py:499), so
+#          frozen pixels are exact up to conditioning drift; only the
+#          top-mass ~1% of torso rays (neck/shoulder silhouette, the
+#          conditioning-sensitive region) re-render. Composite delta
+#          cost drops ~45%.
+#   kt1 r50 — amortization variant if kt1 passes.
+#   kt25 — dose-response point if the full freeze drifts too far.
+#   32t16 / u50 / s48 — torso-count and in-band placement/count probes
+#          if the kt ladder fails.
+# Then composite_delta.py (the committed one described the deleted
+# checkpoint) and ONE final headline bench over the full evidence set.
+#   nohup setsid bash scripts/tpu_queue_r3z.sh > /tmp/tpu_r3z.out 2>&1 &
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
-LOG=/tmp/tpu_r3y.log
-echo "=== r3y start $(date)" > $LOG
+LOG=/tmp/tpu_r3z.log
+echo "=== r3z start $(date)" > $LOG
 
 tpu_ok() {
   timeout 120 python -c "
@@ -46,10 +51,10 @@ run() {
   return $rc
 }
 
-until grep -q "r3x done" /tmp/tpu_r3x.log 2>/dev/null; do
+until grep -q "orchestrator done" /tmp/tpu_orch.log 2>/dev/null; do
   sleep 120
 done
-echo "r3x finished" >> $LOG
+echo "orchestrator finished: $(tail -1 /tmp/tpu_orch.log)" >> $LOG
 
 COM=runs/rehearsal2_com
 TD="python scripts/temporal_delta.py --split train --auto_rung --tighten"
@@ -77,13 +82,17 @@ ev $COM/temporal_delta_kt1.json 1800 --refresh 25 --frames 50 \
   --s_delta 32 --delta_keep 0.6 --delta_keep_torso 0.01
 
 if gate $COM/temporal_delta_kt1.json s_delta_32_k60_kt1; then
-  # full torso freeze holds at r25 — measure the r50 amortization too
   ev $COM/temporal_delta_kt1r50.json 2400 --refresh 50 --frames 100 \
     --s_delta 32 --delta_keep 0.6 --delta_keep_torso 0.01
 else
   ev $COM/temporal_delta_kt25.json 1800 --refresh 25 --frames 50 \
     --s_delta 32 --delta_keep 0.6 --delta_keep_torso 0.25
-  if ! gate $COM/temporal_delta_kt25.json s_delta_32_k60_kt25; then
+  if gate $COM/temporal_delta_kt25.json s_delta_32_k60_kt25; then
+    ev $COM/temporal_delta_kt25r50.json 2400 --refresh 50 --frames 100 \
+      --s_delta 32 --delta_keep 0.6 --delta_keep_torso 0.25
+  else
+    ev $COM/temporal_delta_a.json 1800 --refresh 25 --frames 50 \
+      --s_delta 32 --s_delta_torso 16 --delta_keep 0.6
     ev $COM/temporal_delta_u50.json 1800 --refresh 25 --frames 50 \
       --s_delta 32 --delta_keep 0.6 --uni_frac 0.5
     ev $COM/temporal_delta_s48.json 1800 --refresh 25 --frames 50 \
@@ -91,8 +100,13 @@ else
   fi
 fi
 
+# composite fast-path quality deltas on the rebuilt checkpoint
 wait_tpu
-run 3600 /tmp/bench_r3y.log python bench.py
-cp /tmp/bench_r3y.log runs/bench_r3y.log 2>/dev/null
+run 2400 /tmp/compdelta.log python scripts/composite_delta.py
 
-echo "=== r3y done $(date)" >> $LOG
+# final headline bench over the complete evidence set
+wait_tpu
+run 3600 /tmp/bench_r3z.log python bench.py
+cp /tmp/bench_r3z.log runs/bench_r3z.log 2>/dev/null
+
+echo "=== r3z done $(date)" >> $LOG
