@@ -115,6 +115,26 @@ def test_second_stage_finetune_improves():
     assert hist[-1]["aux_loss"] > 0  # aux loss participated
 
 
+def test_second_stage_nondivisible_crop_pads():
+    """A crop whose square is not a multiple of the 8192-ray tile (the
+    advisor-flagged case: crop=min(256, min(hw)) on a small dataset)
+    must pad the ray set to a whole tile count and slice back — the
+    round-2 code reshaped (n_rays,) -> (n_tiles, 8192) and crashed at
+    trace time for e.g. 100*100 = 10000 rays."""
+    cfg = ExperimentConfig(**TINY)
+    identity = make_synthetic_dataset(n_frames=2, H=100, W=100,
+                                      dim_expr=8, seed=0)
+    driving = make_synthetic_dataset(n_frames=2, H=100, W=100,
+                                     dim_expr=8, seed=7)
+    trainer = SecondStageTrainer(
+        cfg, identity, driving.auds, driving.exprs, crop=100, seed=1,
+    )
+    hist = []
+    trainer.run(n_steps=2, log_every=1,
+                on_metrics=lambda s, m: hist.append(m))
+    assert np.isfinite(hist[-1]["loss"]) and hist[-1]["loss"] > 0
+
+
 def test_second_stage_sharded_matches_single_device():
     """8-device-sharded second-stage step == 1-device-mesh step
     bit-for-bit (identical tiled program, sharding constraints only —
