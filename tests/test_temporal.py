@@ -210,6 +210,38 @@ def test_temporal_per_field_s_delta():
     assert np.isfinite(np.asarray(f2)).all()
 
 
+def test_temporal_delta_rays_match_keyframe_geometry():
+    """Delta frames compute rays from a static per-field direction table
+    (one (n, 3) x (3, 3) matmul against the pose) instead of get_rays
+    over the full grid. With a ROTATED pose and an off-center principal
+    point — which the other temporal tests never use — a transposed
+    rotation or a cx/cy sign error in the table would misalign the
+    delta frame against the keyframe. Rendering the SAME pose as both a
+    keyframe and a delta frame must agree closely; geometry bugs drop
+    agreement to ~10 dB."""
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, _, _, near, far, hp, tp,
+     pose_id, pose0, bc, call) = _random_setup()
+    cx, cy = W * 0.41, H * 0.57          # deliberately off-center
+    th = 0.35                            # a real rotation
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    pose = jnp.asarray(np.concatenate(
+        [R, np.array([[0.3], [0.1], [0.9]], np.float32)], 1))
+    rc = cfg.render_config()
+    hcall = dict(aud=call["aud"], expr=call["expr"], latent=call["latent"])
+
+    tm = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                      cx=cx, cy=cy, s_delta=32)
+    kf, c0 = tm(hp, pose, bc, **hcall, cache=None)
+    delta, _ = tm(hp, pose, bc, **hcall, cache=c0)   # same pose
+    err = float(np.mean((np.asarray(kf) - np.asarray(delta)) ** 2))
+    psnr = -10.0 * np.log10(err + 1e-12)
+    assert psnr > 20.0, psnr
+
+
 def test_temporal_per_field_delta_keep():
     """delta_keep_head != delta_keep_torso: each field prunes its delta
     frames to its own keep fraction (the torso's rays come from the
