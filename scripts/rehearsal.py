@@ -65,9 +65,17 @@ def phase_eval(args):
     for k, v in PAPER.items():
         base += [f"--{k}", str(v)]
     results = {}
+    # masked keep fractions apply WITHIN the prior mask (~47% of the
+    # frame), so masked_40's fine budget is only ~19% of frame rays vs
+    # pruned_40's 40% — on a sharp model that starves the subject's fine
+    # pass (measured 0.378 dB on the rebuilt 100k ckpt while GT == plate
+    # outside the mask, i.e. the prior itself is lossless). masked_60
+    # measures the budget-restored point.
     for name, extra in (("full", []), ("pruned_40", ["--pruned", "40"]),
                         ("pruned_60", ["--pruned", "60"]),
                         ("masked_40", ["--pruned", "40",
+                                       "--prior_masked", "1"]),
+                        ("masked_60", ["--pruned", "60",
                                        "--prior_masked", "1"]),
                         ("masked_40_tight", ["--pruned", "40",
                                              "--prior_masked", "1",
@@ -77,7 +85,8 @@ def phase_eval(args):
         results[name] = {"psnr": m["psnr"], "ssim": m["ssim"],
                          "wall_s": round(time.time() - t0, 1)}
         print(name, results[name])
-    for mode in ("pruned_40", "pruned_60", "masked_40", "masked_40_tight"):
+    for mode in ("pruned_40", "pruned_60", "masked_40", "masked_60",
+                 "masked_40_tight"):
         results[f"delta_psnr_{mode}"] = round(
             results["full"]["psnr"] - results[mode]["psnr"], 3)
     with open(os.path.join(args.out, "results.json"), "w") as fh:
