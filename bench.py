@@ -331,6 +331,7 @@ def main():
             s_delta_torso=comp_conf.get("s_delta_torso"),
             uni_frac=comp_conf.get("uni_frac", 0.25),
             kf_blend=comp_conf.get("kf_blend", 0.0),
+            freeze_z_torso=comp_conf.get("freeze_z_torso", False),
         )
 
         def tcall(cache):

@@ -83,6 +83,12 @@ def main(argv=None):
                              "The torso's rays come from the fixed "
                              "first-frame pose, so it tolerates a "
                              "lower keep than the moving head")
+    parser.add_argument("--freeze_z_torso", type=int, default=0,
+                        help="with --temporal + --torso_ckpt: torso "
+                             "delta frames re-evaluate the network at "
+                             "the keyframe's exact depth grid (static "
+                             "torso rays keep the keyframe quadrature "
+                             "valid all cycle)")
     parser.add_argument("--uni_frac", type=float, default=0.25,
                         help="with --temporal: fraction of delta "
                              "in-band samples placed uniformly across "
@@ -115,6 +121,7 @@ def main(argv=None):
         args.s_delta_torso = conf["s_delta_torso"]
         args.delta_keep = conf["delta_keep"]
         args.delta_keep_torso = conf.get("delta_keep_torso")
+        args.freeze_z_torso = int(conf.get("freeze_z_torso", False))
         args.uni_frac = conf.get("uni_frac", 0.25)
         args.kf_blend = conf.get("kf_blend", 0.0)
         args.prior = 1
@@ -218,6 +225,7 @@ def main(argv=None):
         temporal=args.temporal or None, s_delta=args.s_delta,
         delta_keep=args.delta_keep,
         delta_keep_torso=args.delta_keep_torso,
+        freeze_z_torso=bool(args.freeze_z_torso),
         s_delta_torso=args.s_delta_torso,
         uni_frac=args.uni_frac, kf_blend=args.kf_blend,
         cycle=bool(args.cycle),

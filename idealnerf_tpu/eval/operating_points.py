@@ -88,10 +88,13 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         if not k.startswith(prefix):
             return None
         rest = k[len(prefix):].split("_")
-        pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0)
+        pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0, fz=False)
         tags = dict(kt=("keep_t", 100.0), k=("keep", 100.0),
                     u=("uni", 100.0), b=("blend", 100.0))
         for seg in rest[1:]:
+            if seg == "fz":  # boolean tag: torso frozen-z delta frames
+                pt["fz"] = True
+                continue
             tag = next((t for t in ("kt", "k", "u", "b")
                         if seg.startswith(t) and seg[len(t):].isdigit()),
                        None)
@@ -108,13 +111,19 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
             return None
         return pt
 
+    rung = td.get("keyframe_rung") if td else None
+    kf_width = (sum(map(int, rung.split("+"))) if rung else 48)
+
     def _cost(pt):
         # delta-frame cost ~ mean over fields of (sample count * kept
-        # fraction); the torso defaults to the head's values
+        # fraction); the torso defaults to the head's values. Frozen-z
+        # torso deltas evaluate the keyframe grid width instead of
+        # s_delta.
         s, st = pt["s"], pt["st"]
         kt = pt["keep_t"] if pt["keep_t"] is not None else pt["keep"]
-        return (s * pt["keep"]
-                + (st if st is not None else s) * kt) / 2.0
+        s_torso = (kf_width if pt["fz"]
+                   else (st if st is not None else s))
+        return (s * pt["keep"] + s_torso * kt) / 2.0
 
     def _pts(prefix):
         pts = [(p, v) for k, v in modes.items()
@@ -136,7 +145,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
                 + ("" if pt["keep_t"] is None
                    else f"_kt{round(pt['keep_t']*100)}")
                 + ("" if pt["uni"] == 0.25 else f"_u{round(pt['uni']*100)}")
-                + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}"))
+                + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}")
+                + ("_fz" if pt["fz"] else ""))
 
     return {
         "refresh_measured": td.get("refresh") if td else None,
@@ -160,6 +170,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         "delta_keep_comp": comp_ok_pts[0]["keep"] if comp_ok_pts else 1.0,
         "delta_keep_torso_comp": (comp_ok_pts[0]["keep_t"] if comp_ok_pts
                                   else None),
+        "freeze_z_torso_comp": (comp_ok_pts[0]["fz"] if comp_ok_pts
+                                else False),
         "uni_frac_comp": comp_ok_pts[0]["uni"] if comp_ok_pts else 0.25,
         "kf_blend_comp": comp_ok_pts[0]["blend"] if comp_ok_pts else 0.0,
         "cost_comp": _cost(comp_ok_pts[0]) if comp_ok_pts else None,
@@ -207,6 +219,9 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                         "delta_keep_torso": (
                             tq.get("delta_keep_torso_comp")
                             if mode == "comp" else None),
+                        "freeze_z_torso": (
+                            tq.get("freeze_z_torso_comp", False)
+                            if mode == "comp" else False),
                         "uni_frac": tq[f"uni_frac_{mode}"],
                         "kf_blend": tq[f"kf_blend_{mode}"],
                         "keyframe_rung": tq["keyframe_rung"],
@@ -218,6 +233,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "s_delta_torso": best["s_delta_torso"] if best else None,
             "delta_keep": best["delta_keep"] if best else 1.0,
             "delta_keep_torso": best["delta_keep_torso"] if best else None,
+            "freeze_z_torso": best["freeze_z_torso"] if best else False,
             "uni_frac": best["uni_frac"] if best else 0.25,
             "kf_blend": best["kf_blend"] if best else 0.0,
             "keyframe_rung": best["keyframe_rung"] if best else None,

@@ -101,6 +101,7 @@ def reenact(
     s_delta_torso: Optional[int] = None,
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
+    freeze_z_torso: bool = False,
     cycle: bool = False,
     frame_times: Optional[list] = None,
 ):
@@ -269,6 +270,7 @@ def reenact(
                                   else delta_keep_torso),
                 s_delta_torso=s_delta_torso,
                 uni_frac=uni_frac, kf_blend=kf_blend,
+                freeze_z_torso=freeze_z_torso,
                 **pf,
             )
         elif fast_keep is not None:

@@ -111,7 +111,8 @@ def _prior_sel(mask, n):
 def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                     s_delta, band_pad_frac, min_band_frac, dilate_px,
                     fg_thresh, tag, delta_keep: float = 1.0,
-                    uni_frac: float = 0.25, kf_blend: float = 0.0):
+                    uni_frac: float = 0.25, kf_blend: float = 0.0,
+                    freeze_z: bool = False):
     """Per-field temporal stages: ``run(params, pose_f, bc_img, cond,
     band) -> (rgb, lw, fg, new_band)``. ``band=None`` renders the
     keyframe (full hierarchical schedule); otherwise a band-confined
@@ -140,7 +141,21 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
       KEYFRAME's full-resolution (z, w) CDF instead of the previous
       delta frame's — a fixed high-quality anchor that cannot drift;
       the cache then carries the keyframe distribution for the whole
-      cycle."""
+      cycle.
+
+    ``freeze_z``: delta frames re-evaluate the network at the
+    KEYFRAME's exact per-ray depth grid instead of band-resampling —
+    built for the TORSO field, whose rays come from the fixed
+    first-frame pose (run_nerf.py:499): with static rays the keyframe's
+    quadrature stays valid all cycle, so this removes BOTH delta-frame
+    bias mechanisms at once (in-band sampling error on sharp surfaces
+    AND out-of-band transmittance loss, which a band-confined grid
+    cannot see but ``last_weight`` — the composite's occlusion factor —
+    depends on), while still tracking per-frame conditioning. It also
+    deletes the field's per-delta-frame fixed work (inverse CDF, sort,
+    band dilation). Costs the keyframe grid width per ray
+    (n_samples + n_importance vs s_delta); compose with ``delta_keep``
+    to spend those samples only on the conditioning-sensitive rays."""
     from idealnerf_tpu.kernels.fused_render import (
         fused_render_coarse_hier, fused_render_rays,
     )
@@ -270,9 +285,16 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         across a coarse pass) and optionally the keyframe's
         (``kf_blend``), plus ``uni_frac`` uniform across the cached band
         to catch surface motion the prior misses. FINE network render,
-        cache update."""
+        cache update. With ``freeze_z`` the grid IS the carried
+        (keyframe) grid and the cache passes through unchanged."""
         o, d = _rays_sel(pose_f)
         b = bc_img.reshape(-1, 3)[sel]
+        if freeze_z:
+            rgb, lw, fg, _ = _fine(params, o, d, z_prev, b, cond)
+            band = (band_lo, band_hi, z_prev, w_prev)
+            if s_kf:
+                band = band + (kz, kw)
+            return rgb, lw, fg, band
         z = _delta_depths(band_lo, band_hi, z_prev, w_prev, kz, kw)
         rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
         band = _band_update(z, w)
@@ -319,6 +341,14 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         sel_kept = sel[keep_idx]
         o, d = _rays_sel(pose_f, keep_idx)
         b = bc_img.reshape(-1, 3)[sel_kept]
+        if freeze_z:
+            rgb_k, lw_k, fg_k, _ = _fine(params, o, d, cache["z"], b,
+                                         cond)
+            new = dict(cache,
+                       rgb=cache["rgb"].at[keep_idx].set(rgb_k),
+                       lw=cache["lw"].at[keep_idx].set(lw_k),
+                       fg=cache["fg"].at[keep_idx].set(fg_k))
+            return new["rgb"], new["lw"], new["fg"], new
         z = _delta_depths(cache["lo"], cache["hi"], cache["z"],
                           cache["w"], cache.get("kz"), cache.get("kw"))
         rgb_k, lw_k, fg_k, w = _fine(params, o, d, z, b, cond)
@@ -466,6 +496,7 @@ def make_temporal_composite_renderer(
     s_delta_torso: Optional[int] = None,
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
+    freeze_z_torso: bool = False,
     _expose_stages: bool = False,
 ):
     """Head+torso composite renderer with a temporal depth cache.
@@ -533,7 +564,8 @@ def make_temporal_composite_renderer(
                             nf_torso, jnp.asarray(sel_t_np), st_torso,
                             *kb, tag="torso",
                             delta_keep=delta_keep_torso,
-                            uni_frac=uni_frac, kf_blend=kf_blend)
+                            uni_frac=uni_frac, kf_blend=kf_blend,
+                            freeze_z=freeze_z_torso)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):

@@ -72,6 +72,14 @@ def main():
                         "it tolerates a lower keep than the moving "
                         "head. Suffixes the composite mode keys with "
                         "'kt<pct>'")
+    p.add_argument("--freeze_z_torso", action="store_true",
+                   help="torso delta frames re-evaluate the network at "
+                        "the KEYFRAME's exact depth grid (static torso "
+                        "rays keep the keyframe quadrature valid all "
+                        "cycle — removes in-band sampling bias and "
+                        "out-of-band transmittance loss at the cost of "
+                        "the keyframe grid width per kept ray). "
+                        "Suffixes the composite mode keys with 'fz'")
     p.add_argument("--uni_frac", type=float, default=0.25,
                    help="fraction of delta in-band samples placed "
                         "uniformly across the cached band (exploration "
@@ -239,14 +247,16 @@ def main():
              else f"_u{round(args.uni_frac * 100)}")
     b_tag = ("" if args.kf_blend <= 0
              else f"_b{round(args.kf_blend * 100)}")
+    fz_tag = "_fz" if args.freeze_z_torso else ""
     ksuf = k_tag + u_tag + b_tag
-    ksuf_comp = k_tag + kt_tag + u_tag + b_tag
+    ksuf_comp = k_tag + kt_tag + u_tag + b_tag + fz_tag
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
     place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds, delta_keep=args.delta_keep,
                   delta_keep_torso=args.delta_keep_torso,
+                  freeze_z_torso=args.freeze_z_torso,
                   s_delta_torso=args.s_delta_torso, **place, **common)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)

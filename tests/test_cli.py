@@ -272,6 +272,23 @@ def test_bench_temporal_operating_point_selection():
     assert tqkt["delta_keep_torso_comp"] == 0.4
     assert "s_delta_32t16_k60_kt40" in tqkt["composite_delta_db_vs_gt"]
 
+    # frozen-z torso grammar (fz): boolean tag, costed at the keyframe
+    # grid width for the torso, surfaced as freeze_z_torso_comp
+    td_fz = {
+        "refresh": 25,
+        "keyframe_rung": "16+32",
+        "modes": {
+            "s_delta_32_k60_kt40_fz": {"delta_psnr_vs_gt": 0.03},
+            "s_delta_32_k60": {"delta_psnr_vs_gt": 0.2},
+        },
+    }
+    tqfz = bench.pick_temporal_points(td_fz, 25)
+    # cost fz: (32*.6 + 48*.4)/2 = 19.2 — parses and gates
+    assert tqfz["composite_video_quality_ok"]
+    assert tqfz["freeze_z_torso_comp"] is True
+    assert tqfz["delta_keep_torso_comp"] == 0.4
+    assert "s_delta_32_k60_kt40_fz" in tqfz["composite_delta_db_vs_gt"]
+
 
 def test_bench_temporal_mode_configs_across_files():
     """bench.pick_temporal_mode_configs: per mode, largest quality-
@@ -308,13 +325,13 @@ def test_bench_temporal_mode_configs_across_files():
     assert out["comp"] == {"quality_ok": True, "refresh": 50,
                            "s_delta": 32, "s_delta_torso": None,
                            "delta_keep": 1.0, "delta_keep_torso": None,
-                           "uni_frac": 0.25,
+                           "freeze_z_torso": False, "uni_frac": 0.25,
                            "kf_blend": 0.0, "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
     assert out["head"] == {"quality_ok": True, "refresh": 25,
                            "s_delta": 16, "s_delta_torso": None,
                            "delta_keep": 1.0, "delta_keep_torso": None,
-                           "uni_frac": 0.25,
+                           "freeze_z_torso": False, "uni_frac": 0.25,
                            "kf_blend": 0.0, "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
     assert out["evidence"][0]["tightened"] is True

@@ -263,6 +263,45 @@ def test_temporal_per_field_delta_keep():
     assert np.isfinite(np.asarray(f2)).all()
 
 
+def test_temporal_freeze_z_torso_exact_at_same_conditioning():
+    """freeze_z_torso: torso delta frames re-evaluate the keyframe's
+    exact depth grid. With the SAME conditioning a delta frame must
+    reproduce the keyframe's torso outputs exactly (same rays — fixed
+    pose0 — same depths, same network); with different conditioning it
+    must track (outputs change) while the cache passes through
+    unchanged."""
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+        s_delta=8, freeze_z_torso=True, _expose_stages=True)
+    torso = tm.stages["torso"]
+    cond = (call["signal"], None, None)
+    rgb0, lw0, fg0, band = torso(tp, pose0, bc, cond, None)
+    rgb1, lw1, fg1, band1 = torso.delta_step(tp, pose0, bc, cond, band)
+    # keyframe and delta are separately jitted programs (get_rays grid
+    # vs the static direction-table matmul), so identical math still
+    # reassociates differently — bound the fp noise, not bit-equality
+    np.testing.assert_allclose(np.asarray(lw1), np.asarray(lw0),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(fg1), np.asarray(fg0),
+                               atol=1e-3)
+    # cache (incl. the frozen z grid) passes through unchanged
+    np.testing.assert_array_equal(np.asarray(band1[2]),
+                                  np.asarray(band[2]))
+    # different conditioning -> outputs track it on the same grid
+    cond2 = (call["signal"] + 1.0, None, None)
+    _, lw2, fg2, _ = torso.delta_step(tp, pose0, bc, cond2, band)
+    assert float(np.abs(np.asarray(fg2) - np.asarray(fg0)).max()) > 1e-4
+
+    # end-to-end: the composite renderer runs with the frozen torso
+    f0, c0 = tm(hp, tp, pose, pose0, bc, **call, cache=None)
+    f1, c1 = tm(hp, tp, pose, pose0, bc, **call, cache=c0)
+    f2, _ = tm(hp, tp, pose, pose0, bc, **call, cache=c1)
+    assert np.isfinite(np.asarray(f2)).all()
+
+
 def test_temporal_kf_blend_and_uni_frac():
     """kf_blend anchors part of each delta frame's importance draw to
     the KEYFRAME's full-resolution CDF: keyframes are unchanged (still
