@@ -114,16 +114,29 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     rung = td.get("keyframe_rung") if td else None
     kf_width = (sum(map(int, rung.split("+"))) if rung else 48)
 
+    # Per-field FIXED delta-frame work in sample-units: the measured
+    # composite cost model is 11.2 ms fixed + 1.071 ms/sample at 450²
+    # (runs/temporal_profile.json, slope fit over s_delta 32/16), i.e.
+    # ~10.5 sample-equivalents of fixed work split over the two live
+    # fields — temporal inverse-CDF + sort, band maintenance incl. the
+    # 450² dilation, cache scatters. A frozen-z field skips ALL of it
+    # (its delta pass re-evaluates the carried keyframe grid and passes
+    # the cache through), so fz points are ranked without it.
+    FIXED = 5.0
+
     def _cost(pt):
-        # delta-frame cost ~ mean over fields of (sample count * kept
-        # fraction); the torso defaults to the head's values. Frozen-z
-        # torso deltas evaluate the keyframe grid width instead of
-        # s_delta.
+        # delta-frame cost ~ mean over fields of (fixed work + sample
+        # count * kept fraction); the torso defaults to the head's
+        # values. Frozen-z torso deltas evaluate the keyframe grid
+        # width instead of s_delta and pay no fixed work.
         s, st = pt["s"], pt["st"]
         kt = pt["keep_t"] if pt["keep_t"] is not None else pt["keep"]
-        s_torso = (kf_width if pt["fz"]
-                   else (st if st is not None else s))
-        return (s * pt["keep"] + s_torso * kt) / 2.0
+        head_cost = FIXED + s * pt["keep"]
+        if pt["fz"]:
+            torso_cost = kf_width * kt
+        else:
+            torso_cost = FIXED + (st if st is not None else s) * kt
+        return (head_cost + torso_cost) / 2.0
 
     def _pts(prefix):
         pts = [(p, v) for k, v in modes.items()

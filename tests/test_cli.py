@@ -283,11 +283,31 @@ def test_bench_temporal_operating_point_selection():
         },
     }
     tqfz = bench.pick_temporal_points(td_fz, 25)
-    # cost fz: (32*.6 + 48*.4)/2 = 19.2 — parses and gates
+    # cost fz: (5 + 32*.6 + 48*.4)/2 = 21.8 — parses and gates
     assert tqfz["composite_video_quality_ok"]
     assert tqfz["freeze_z_torso_comp"] is True
     assert tqfz["delta_keep_torso_comp"] == 0.4
     assert "s_delta_32_k60_kt40_fz" in tqfz["composite_delta_db_vs_gt"]
+
+    # the per-field FIXED work term (measured 11.2 ms/frame split over
+    # the live fields — runs/temporal_profile.json): a frozen-z torso
+    # pays none of it, so at equal head config fz outranks a live
+    # band-maintained torso even though its nominal grid (keyframe
+    # width 48) is wider than s_delta
+    td_fx = {
+        "refresh": 25,
+        "keyframe_rung": "16+32",
+        "modes": {
+            # cost (5 + 16*.6 + 5 + 16*.01)/2 = 9.88
+            "s_delta_16_k60_kt1": {"delta_psnr_vs_gt": 0.03},
+            # cost (5 + 16*.6 + 48*.01)/2 = 7.54 -> wins
+            "s_delta_16_k60_kt1_fz": {"delta_psnr_vs_gt": 0.04},
+        },
+    }
+    tqfx = bench.pick_temporal_points(td_fx, 25)
+    assert tqfx["composite_video_quality_ok"]
+    assert tqfx["freeze_z_torso_comp"] is True
+    assert tqfx["delta_keep_torso_comp"] == 0.01
 
 
 def test_bench_temporal_mode_configs_across_files():
