@@ -332,6 +332,7 @@ def main():
             uni_frac=comp_conf.get("uni_frac", 0.25),
             kf_blend=comp_conf.get("kf_blend", 0.0),
             freeze_z_torso=comp_conf.get("freeze_z_torso", False),
+            dilate_every=comp_conf.get("dilate_every", 1),
         )
 
         def tcall(cache):
@@ -414,6 +415,7 @@ def main():
             delta_keep=head_conf.get("delta_keep", 1.0),
             uni_frac=head_conf.get("uni_frac", 0.25),
             kf_blend=head_conf.get("kf_blend", 0.0),
+            dilate_every=head_conf.get("dilate_every", 1),
         )
 
         def hcall(cache):

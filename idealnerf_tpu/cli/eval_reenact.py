@@ -98,6 +98,12 @@ def main(argv=None):
                              "importance samples drawn from the "
                              "keyframe's full-res CDF (anti-drift "
                              "anchor)")
+    parser.add_argument("--dilate_every", type=int, default=1,
+                        help="with --temporal: run the spatial band "
+                             "dilation only on every k-th delta frame "
+                             "(invalid rays carry their previous band "
+                             "in between) — thins per-delta-frame "
+                             "fixed work")
     parser.add_argument("--cycle", type=int, default=1,
                         help="with --temporal: render each cycle's "
                              "delta frames as ONE scanned program "
@@ -124,6 +130,7 @@ def main(argv=None):
         args.freeze_z_torso = int(conf.get("freeze_z_torso", False))
         args.uni_frac = conf.get("uni_frac", 0.25)
         args.kf_blend = conf.get("kf_blend", 0.0)
+        args.dilate_every = conf.get("dilate_every", 1)
         args.prior = 1
         if conf["keyframe_rung"]:
             s_kf, imp_kf = map(int, conf["keyframe_rung"].split("+"))
@@ -228,6 +235,7 @@ def main(argv=None):
         freeze_z_torso=bool(args.freeze_z_torso),
         s_delta_torso=args.s_delta_torso,
         uni_frac=args.uni_frac, kf_blend=args.kf_blend,
+        dilate_every=args.dilate_every,
         cycle=bool(args.cycle),
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)

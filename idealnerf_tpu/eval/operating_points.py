@@ -80,28 +80,32 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
 
     def _parse(k, prefix):
         """Mode key -> point dict or None. Grammar after the prefix:
-        "<h>[t<t>][_k<pct>][_kt<pct>][_u<pct>][_b<pct>]" — plain rungs
-        ("32"), per-field torso counts ("16t32"), delta_keep studies
-        ("32_k60"; per-field torso keep "32_k60_kt40"), depth-placement
-        studies (uniform fraction "_u50", keyframe CDF blend "_b50");
-        all from temporal_delta.py flags."""
+        "<h>[t<t>][_k<pct>][_kt<pct>][_u<pct>][_b<pct>][_d<k>]" — plain
+        rungs ("32"), per-field torso counts ("16t32"), delta_keep
+        studies ("32_k60"; per-field torso keep "32_k60_kt40"),
+        depth-placement studies (uniform fraction "_u50", keyframe CDF
+        blend "_b50"), thinned band dilation ("_d2" = dilate every 2nd
+        delta frame); all from temporal_delta.py flags."""
         if not k.startswith(prefix):
             return None
         rest = k[len(prefix):].split("_")
-        pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0, fz=False)
+        pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0, fz=False,
+                  dil=1)
         tags = dict(kt=("keep_t", 100.0), k=("keep", 100.0),
-                    u=("uni", 100.0), b=("blend", 100.0))
+                    u=("uni", 100.0), b=("blend", 100.0),
+                    d=("dil", 1))
         for seg in rest[1:]:
             if seg == "fz":  # boolean tag: torso frozen-z delta frames
                 pt["fz"] = True
                 continue
-            tag = next((t for t in ("kt", "k", "u", "b")
+            tag = next((t for t in ("kt", "k", "u", "b", "d")
                         if seg.startswith(t) and seg[len(t):].isdigit()),
                        None)
             if tag is None:
                 return None
             name, div = tags[tag]
-            pt[name] = int(seg[len(tag):]) / div
+            v = int(seg[len(tag):])
+            pt[name] = v if div == 1 else v / div
         seg = rest[0].split("t")
         if len(seg) == 1 and seg[0].isdigit():
             pt.update(s=int(seg[0]), st=None)
@@ -124,18 +128,26 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     # the cache through), so fz points are ranked without it.
     FIXED = 5.0
 
+    # the spatial band dilation's share of a live field's FIXED work
+    # (grid scatter + separable min/max windows + gather); dilate_every
+    # amortizes exactly this part. Provisional split pending a direct
+    # dilation-on/off slope measurement.
+    DIL = 2.0
+
     def _cost(pt):
         # delta-frame cost ~ mean over fields of (fixed work + sample
         # count * kept fraction); the torso defaults to the head's
         # values. Frozen-z torso deltas evaluate the keyframe grid
-        # width instead of s_delta and pay no fixed work.
+        # width instead of s_delta and pay no fixed work. dilate_every
+        # amortizes the dilation share of each live field's fixed work.
         s, st = pt["s"], pt["st"]
         kt = pt["keep_t"] if pt["keep_t"] is not None else pt["keep"]
-        head_cost = FIXED + s * pt["keep"]
+        fixed = FIXED - DIL * (1.0 - 1.0 / pt["dil"])
+        head_cost = fixed + s * pt["keep"]
         if pt["fz"]:
             torso_cost = kf_width * kt
         else:
-            torso_cost = FIXED + (st if st is not None else s) * kt
+            torso_cost = fixed + (st if st is not None else s) * kt
         return (head_cost + torso_cost) / 2.0
 
     def _pts(prefix):
@@ -159,6 +171,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
                    else f"_kt{round(pt['keep_t']*100)}")
                 + ("" if pt["uni"] == 0.25 else f"_u{round(pt['uni']*100)}")
                 + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}")
+                + ("" if pt["dil"] <= 1 else f"_d{pt['dil']}")
                 + ("_fz" if pt["fz"] else ""))
 
     return {
@@ -187,6 +200,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
                                 else False),
         "uni_frac_comp": comp_ok_pts[0]["uni"] if comp_ok_pts else 0.25,
         "kf_blend_comp": comp_ok_pts[0]["blend"] if comp_ok_pts else 0.0,
+        "dilate_every_comp": comp_ok_pts[0]["dil"] if comp_ok_pts else 1,
         "cost_comp": _cost(comp_ok_pts[0]) if comp_ok_pts else None,
         "composite_video_quality_ok": bool(comp_ok_pts),
         "s_delta_head": (head_ok_pts[0]["s"] if head_ok_pts
@@ -194,6 +208,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         "delta_keep_head": head_ok_pts[0]["keep"] if head_ok_pts else 1.0,
         "uni_frac_head": head_ok_pts[0]["uni"] if head_ok_pts else 0.25,
         "kf_blend_head": head_ok_pts[0]["blend"] if head_ok_pts else 0.0,
+        "dilate_every_head": head_ok_pts[0]["dil"] if head_ok_pts else 1,
         "cost_head": _cost(head_ok_pts[0]) if head_ok_pts else None,
         "head_video_quality_ok": bool(head_ok_pts),
     }
@@ -237,6 +252,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                             if mode == "comp" else False),
                         "uni_frac": tq[f"uni_frac_{mode}"],
                         "kf_blend": tq[f"kf_blend_{mode}"],
+                        "dilate_every": tq[f"dilate_every_{mode}"],
                         "keyframe_rung": tq["keyframe_rung"],
                         "_cost": cost}
         out[mode] = {
@@ -249,6 +265,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "freeze_z_torso": best["freeze_z_torso"] if best else False,
             "uni_frac": best["uni_frac"] if best else 0.25,
             "kf_blend": best["kf_blend"] if best else 0.0,
+            "dilate_every": best["dilate_every"] if best else 1,
             "keyframe_rung": best["keyframe_rung"] if best else None,
         }
     out["evidence"] = [

@@ -102,6 +102,7 @@ def reenact(
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
     freeze_z_torso: bool = False,
+    dilate_every: int = 1,
     cycle: bool = False,
     frame_times: Optional[list] = None,
 ):
@@ -206,6 +207,7 @@ def reenact(
                 compute_dtype=compute_dtype, s_delta=s_delta,
                 prior_mask=prior_mask, delta_keep=delta_keep,
                 uni_frac=uni_frac, kf_blend=kf_blend,
+                dilate_every=dilate_every,
             )
         elif fast_keep is not None:
             from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
@@ -271,6 +273,7 @@ def reenact(
                 s_delta_torso=s_delta_torso,
                 uni_frac=uni_frac, kf_blend=kf_blend,
                 freeze_z_torso=freeze_z_torso,
+                dilate_every=dilate_every,
                 **pf,
             )
         elif fast_keep is not None:

@@ -112,7 +112,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                     s_delta, band_pad_frac, min_band_frac, dilate_px,
                     fg_thresh, tag, delta_keep: float = 1.0,
                     uni_frac: float = 0.25, kf_blend: float = 0.0,
-                    freeze_z: bool = False):
+                    freeze_z: bool = False, dilate_every: int = 1):
     """Per-field temporal stages: ``run(params, pose_f, bc_img, cond,
     band) -> (rgb, lw, fg, new_band)``. ``band=None`` renders the
     keyframe (full hierarchical schedule); otherwise a band-confined
@@ -155,7 +155,18 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
     deletes the field's per-delta-frame fixed work (inverse CDF, sort,
     band dilation). Costs the keyframe grid width per ray
     (n_samples + n_importance vs s_delta); compose with ``delta_keep``
-    to spend those samples only on the conditioning-sensitive rays."""
+    to spend those samples only on the conditioning-sensitive rays.
+
+    ``dilate_every``: run the SPATIAL band dilation (the (H, W) grid
+    scatter + separable min/max windows + gather — the bulk of the
+    field's per-delta-frame fixed work besides the inverse CDF) only on
+    every k-th delta frame of a cycle. On the other frames a ray whose
+    own foreground mass validates its band uses it directly and an
+    invalid ray CARRIES its previous band unchanged (instead of falling
+    back to the full field interval, which would collapse its in-band
+    sample density). The keyframe always dilates. ``dilate_every=1``
+    reproduces the original per-frame-dilated path bit-exactly (the
+    cache then carries no frame counter)."""
     from idealnerf_tpu.kernels.fused_render import (
         fused_render_coarse_hier, fused_render_rays,
     )
@@ -195,7 +206,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         )
         return dict(o=o, d=d, b=b, z=z_all)
 
-    def _band_update(z, weights, sel_scatter=None):
+    def _band_update(z, weights, sel_scatter=None, do_dilate=None,
+                     prev_lo=None, prev_hi=None):
         """Next-frame cache from this frame's depths/weights (no
         pallas): 96%-mass band -> pad -> width floor -> dilate -> clip,
         PLUS the raw (z, w) for temporal importance placement — the next
@@ -205,7 +217,10 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         importance prior; uniform band coverage catches the rest).
         ``sel_scatter``: pixel ids the rays scatter through for the
         spatial dilation (the pruned delta path passes its kept subset;
-        default: this field's full prior selection)."""
+        default: this field's full prior selection). ``do_dilate``: a
+        traced bool (dilate_every > 1 frames); when False the spatial
+        dilation is skipped and invalid rays carry ``prev_lo/prev_hi``
+        instead of widening to the field interval."""
         span = nf[1] - nf[0]
         lo, hi, mass = fg_band(z, weights)
         valid = mass > fg_thresh
@@ -214,9 +229,23 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         width = jnp.maximum(hi - lo, min_band_frac * span)
         mid = 0.5 * (lo + hi)
         lo, hi = mid - 0.5 * width, mid + 0.5 * width
-        lo, hi = dilate_bands(lo, hi, valid,
-                              sel if sel_scatter is None else sel_scatter,
-                              H, W, dilate_px, nf[0], nf[1])
+        sscat = sel if sel_scatter is None else sel_scatter
+
+        def _dil(args):
+            lo, hi, valid = args
+            return dilate_bands(lo, hi, valid, sscat, H, W, dilate_px,
+                                nf[0], nf[1])
+
+        if do_dilate is None:
+            lo, hi = _dil((lo, hi, valid))
+        else:
+            def _carry(args):
+                lo, hi, valid = args
+                return (jnp.where(valid, lo, prev_lo),
+                        jnp.where(valid, hi, prev_hi))
+
+            lo, hi = jax.lax.cond(do_dilate, _dil, _carry,
+                                  (lo, hi, valid))
         return (jnp.clip(lo, nf[0], nf[1]), jnp.clip(hi, nf[0], nf[1]),
                 z.astype(jnp.float32), weights.astype(jnp.float32))
 
@@ -261,6 +290,17 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         return jnp.concatenate(
             [z, jnp.full((z.shape[0], 1), nf[1], jnp.float32)], 1)
 
+    # delta-cache layout (tuple, unpruned path): (lo, hi, z, w
+    # [, kz, kw][, i]) — kz/kw only under kf_blend, the delta-frame
+    # counter i only under dilate_every > 1 (so the default layout, and
+    # every committed evidence file's semantics, is unchanged)
+    counted = dilate_every > 1
+
+    def _tick(i):
+        """Next delta-frame counter + whether that frame dilates."""
+        i = i + 1
+        return i, (i % dilate_every) == 0
+
     @jax.jit
     def stage_kf_fine(params, st, cond):
         """Keyframe fine pass over the merged hierarchical depths + band
@@ -271,11 +311,12 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         if s_kf:  # anchor distribution for the cycle's delta frames
             band = band + (st["z"].astype(jnp.float32),
                            w.astype(jnp.float32))
+        if counted:
+            band = band + (jnp.int32(0),)
         return rgb, lw, fg, band
 
     @jax.jit
-    def stage_delta(params, pose_f, bc_img, cond, band_lo, band_hi,
-                    z_prev, w_prev, kz=None, kw=None):
+    def stage_delta(params, pose_f, bc_img, cond, band):
         """Whole delta pass in ONE program (one pallas launch).
 
         Depth grid per ray (``s_delta - 1`` in-band samples + the pinned
@@ -287,20 +328,24 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         to catch surface motion the prior misses. FINE network render,
         cache update. With ``freeze_z`` the grid IS the carried
         (keyframe) grid and the cache passes through unchanged."""
+        if counted:
+            band, i = band[:-1], band[-1]
+            i, do_dil = _tick(i)
+        else:
+            do_dil = None
+        band_lo, band_hi, z_prev, w_prev = band[:4]
+        kz, kw = (band[4], band[5]) if s_kf else (None, None)
+        tail = ((kz, kw) if s_kf else ()) + ((i,) if counted else ())
         o, d = _rays_sel(pose_f)
         b = bc_img.reshape(-1, 3)[sel]
         if freeze_z:
             rgb, lw, fg, _ = _fine(params, o, d, z_prev, b, cond)
-            band = (band_lo, band_hi, z_prev, w_prev)
-            if s_kf:
-                band = band + (kz, kw)
-            return rgb, lw, fg, band
+            return rgb, lw, fg, (band_lo, band_hi, z_prev, w_prev) + tail
         z = _delta_depths(band_lo, band_hi, z_prev, w_prev, kz, kw)
         rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
-        band = _band_update(z, w)
-        if s_kf:
-            band = band + (kz, kw)
-        return rgb, lw, fg, band
+        band = _band_update(z, w, do_dilate=do_dil, prev_lo=band_lo,
+                            prev_hi=band_hi)
+        return rgb, lw, fg, band + tail
 
     n_sel = int(sel.shape[0])
     k_keep = min(n_sel, max(256, (int(n_sel * delta_keep) // 256) * 256))
@@ -330,6 +375,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         if s_kf:
             out["kz"] = band[4][keep_idx]
             out["kw"] = band[5][keep_idx]
+        if counted:
+            out["i"] = jnp.int32(0)
         return out
 
     @jax.jit
@@ -349,19 +396,28 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                        lw=cache["lw"].at[keep_idx].set(lw_k),
                        fg=cache["fg"].at[keep_idx].set(fg_k))
             return new["rgb"], new["lw"], new["fg"], new
+        if counted:
+            i, do_dil = _tick(cache["i"])
+        else:
+            do_dil = None
         z = _delta_depths(cache["lo"], cache["hi"], cache["z"],
                           cache["w"], cache.get("kz"), cache.get("kw"))
         rgb_k, lw_k, fg_k, w = _fine(params, o, d, z, b, cond)
         # kept-space band maintenance (dilation scatters through the
         # kept rays' own pixels; pixels with no kept neighbour fall back
         # to the field interval exactly as the unpruned path does)
-        lo, hi, zf, wf = _band_update(z, w, sel_scatter=sel_kept)
+        lo, hi, zf, wf = _band_update(z, w, sel_scatter=sel_kept,
+                                      do_dilate=do_dil,
+                                      prev_lo=cache["lo"],
+                                      prev_hi=cache["hi"])
         new = dict(keep=keep_idx, lo=lo, hi=hi, z=zf, w=wf,
                    rgb=cache["rgb"].at[keep_idx].set(rgb_k),
                    lw=cache["lw"].at[keep_idx].set(lw_k),
                    fg=cache["fg"].at[keep_idx].set(fg_k))
         if s_kf:
             new["kz"], new["kw"] = cache["kz"], cache["kw"]
+        if counted:
+            new["i"] = i
         return new["rgb"], new["lw"], new["fg"], new
 
     def run(params, pose_f, bc_img, cond, band):
@@ -375,7 +431,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                                                  kf_band)
         if pruned:
             return stage_delta_pruned(params, pose_f, bc_img, cond, band)
-        return stage_delta(params, pose_f, bc_img, cond, *band)
+        return stage_delta(params, pose_f, bc_img, cond, band)
 
     def delta_step(params, pose_f, bc_img, cond, band):
         """One delta frame as a plain traceable fn (no band-is-None
@@ -385,7 +441,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         a sync per frame."""
         if pruned:
             return stage_delta_pruned(params, pose_f, bc_img, cond, band)
-        return stage_delta(params, pose_f, bc_img, cond, *band)
+        return stage_delta(params, pose_f, bc_img, cond, band)
 
     run.tag = tag
     run.delta_step = delta_step
@@ -414,6 +470,7 @@ def make_temporal_frame_renderer(
     delta_keep: float = 1.0,
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
+    dilate_every: int = 1,
 ):
     """Single-field (head-only) temporal depth-cache renderer.
 
@@ -436,7 +493,7 @@ def make_temporal_frame_renderer(
                             sel, s_delta, band_pad_frac, min_band_frac,
                             dilate_px, fg_thresh, tag="head",
                             delta_keep=delta_keep, uni_frac=uni_frac,
-                            kf_blend=kf_blend)
+                            kf_blend=kf_blend, dilate_every=dilate_every)
 
     @jax.jit
     def assemble(rgb, bc_img):
@@ -497,6 +554,7 @@ def make_temporal_composite_renderer(
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
     freeze_z_torso: bool = False,
+    dilate_every: int = 1,
     _expose_stages: bool = False,
 ):
     """Head+torso composite renderer with a temporal depth cache.
@@ -559,13 +617,15 @@ def make_temporal_composite_renderer(
     head = _field_pipeline(head_cfg, H, W, focal, cx, cy, cfg, cd,
                            nf_head, jnp.asarray(sel_h_np), s_delta, *kb,
                            tag="head", delta_keep=delta_keep_head,
-                           uni_frac=uni_frac, kf_blend=kf_blend)
+                           uni_frac=uni_frac, kf_blend=kf_blend,
+                           dilate_every=dilate_every)
     torso = _field_pipeline(torso_cfg, H, W, focal, cx, cy, cfg, cd,
                             nf_torso, jnp.asarray(sel_t_np), st_torso,
                             *kb, tag="torso",
                             delta_keep=delta_keep_torso,
                             uni_frac=uni_frac, kf_blend=kf_blend,
-                            freeze_z=freeze_z_torso)
+                            freeze_z=freeze_z_torso,
+                            dilate_every=dilate_every)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):

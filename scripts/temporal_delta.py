@@ -80,6 +80,12 @@ def main():
                         "out-of-band transmittance loss at the cost of "
                         "the keyframe grid width per kept ray). "
                         "Suffixes the composite mode keys with 'fz'")
+    p.add_argument("--dilate_every", type=int, default=1,
+                   help="run the spatial band dilation only on every "
+                        "k-th delta frame (invalid rays carry their "
+                        "previous band in between) — thins the "
+                        "per-delta-frame fixed work. >1 suffixes mode "
+                        "keys with 'd<k>'")
     p.add_argument("--uni_frac", type=float, default=0.25,
                    help="fraction of delta in-band samples placed "
                         "uniformly across the cached band (exploration "
@@ -248,10 +254,12 @@ def main():
     b_tag = ("" if args.kf_blend <= 0
              else f"_b{round(args.kf_blend * 100)}")
     fz_tag = "_fz" if args.freeze_z_torso else ""
-    ksuf = k_tag + u_tag + b_tag
-    ksuf_comp = k_tag + kt_tag + u_tag + b_tag + fz_tag
+    d_tag = (f"_d{args.dilate_every}" if args.dilate_every > 1 else "")
+    ksuf = k_tag + u_tag + b_tag + d_tag
+    ksuf_comp = k_tag + kt_tag + u_tag + b_tag + d_tag + fz_tag
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
-    place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend)
+    place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend,
+                 dilate_every=args.dilate_every)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds, delta_keep=args.delta_keep,

@@ -92,14 +92,15 @@ def main():
     near, far = 0.3, 0.9
     cd = jnp.bfloat16 if on_tpu else jnp.float32
 
-    def build(s_delta, expose=False):
+    def build(s_delta, expose=False, dilate_every=1):
         return make_temporal_composite_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg.render_config(), compute_dtype=cd,
             prior_mask_head=jnp.asarray(np.asarray(mask_h)),
             prior_mask_torso=jnp.asarray(np.asarray(mask_t)),
             s_delta=s_delta, delta_keep_head=args.delta_keep,
-            delta_keep_torso=args.delta_keep, _expose_stages=expose)
+            delta_keep_torso=args.delta_keep,
+            dilate_every=dilate_every, _expose_stages=expose)
 
     render = build(args.s_delta, expose=True)
 
@@ -176,6 +177,16 @@ def main():
         res["s_delta2"] = s2
         res["ms_per_sample"] = round(slope, 3)
         res["fixed_ms"] = round(res["end_to_end_ms"] - slope * s1, 2)
+
+    # dilation share of the fixed cost: the same operating point with
+    # the spatial band dilation thinned out entirely (dilate_every so
+    # large it never fires after the keyframe) — the difference is the
+    # two live fields' per-delta-frame dilation cost (grid scatter +
+    # separable min/max windows + gather), the part dilate_every
+    # amortizes and freeze_z deletes
+    t_nd = steady(build(args.s_delta, dilate_every=1_000_000))
+    res["end_to_end_ms_nodilate"] = round(t_nd, 2)
+    res["dilation_ms"] = round(res["end_to_end_ms"] - t_nd, 2)
 
     # scanned-cycle path: T delta frames per lax.scan program
     # (render.cycle) — how much of the fixed cost is per-frame

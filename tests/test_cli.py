@@ -346,13 +346,15 @@ def test_bench_temporal_mode_configs_across_files():
                            "s_delta": 32, "s_delta_torso": None,
                            "delta_keep": 1.0, "delta_keep_torso": None,
                            "freeze_z_torso": False, "uni_frac": 0.25,
-                           "kf_blend": 0.0, "keyframe_rung": "64+192"}
+                           "kf_blend": 0.0, "dilate_every": 1,
+                           "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
     assert out["head"] == {"quality_ok": True, "refresh": 25,
                            "s_delta": 16, "s_delta_torso": None,
                            "delta_keep": 1.0, "delta_keep_torso": None,
                            "freeze_z_torso": False, "uni_frac": 0.25,
-                           "kf_blend": 0.0, "keyframe_rung": "32+64"}
+                           "kf_blend": 0.0, "dilate_every": 1,
+                           "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
     assert out["evidence"][0]["tightened"] is True
     # no evidence -> env defaults, gates closed

@@ -543,3 +543,77 @@ def test_reenact_temporal_mode_runs():
     ref = reenact(cfg, state.params, ds, **com)
     cyc = reenact(cfg, state.params, ds, cycle=True, **com)
     np.testing.assert_allclose(cyc, ref, atol=2e-5)
+
+
+def test_temporal_dilate_every_thins_band_maintenance():
+    """dilate_every=k runs the spatial band dilation only on every k-th
+    delta frame (invalid rays carry their previous band in between);
+    k=1 keeps the original cache layout (no frame counter), and the
+    scanned cycle computes the counter/cond machinery exactly like the
+    per-frame path."""
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    hcall = dict(aud=call["aud"], expr=call["expr"],
+                 latent=call["latent"])
+
+    # k=1 (default): unpruned tuple cache stays counter-free
+    tm1 = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                       cx=cx, cy=cy, s_delta=8)
+    _, c1 = tm1(hp, pose, bc, **hcall, cache=None)
+    assert isinstance(c1, tuple) and len(c1) == 4
+
+    # k=2: counter rides the cache; delta frames alternate carry/dilate
+    tm2 = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                       cx=cx, cy=cy, s_delta=8,
+                                       dilate_every=2)
+    f2, c2 = tm2(hp, pose, bc, **hcall, cache=None)
+    assert len(c2) == 5 and int(c2[-1]) == 0
+    frames = []
+    for i in range(4):
+        f2, c2 = tm2(hp, pose, bc, **hcall, cache=c2)
+        frames.append(np.asarray(f2))
+        assert int(c2[-1]) == i + 1
+    assert all(np.isfinite(f).all() for f in frames)
+
+    # same static scene rendered with per-frame dilation: the thinned
+    # path tracks it closely (no motion -> carry vs dilate is benign)
+    f1, c1 = tm1(hp, pose, bc, **hcall, cache=None)
+    for _ in range(4):
+        f1, c1 = tm1(hp, pose, bc, **hcall, cache=c1)
+    assert np.mean(np.abs(np.asarray(f1) - frames[-1])) < 0.02
+
+    # pruned composite cache gains the counter too, and the scanned
+    # cycle (lax.cond inside lax.scan) is EXACT vs the per-frame loop
+    tmc = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        delta_keep_head=0.5, delta_keep_torso=0.5, dilate_every=2)
+    _, cc = tmc(hp, tp, pose, pose0, bc, **call, cache=None)
+    assert int(cc["head"]["i"]) == 0
+    _, cc = tmc(hp, tp, pose, pose0, bc, **call, cache=cc)
+    assert int(cc["head"]["i"]) == 1
+
+    T = 3
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    poses_c = jnp.stack([
+        jnp.concatenate(
+            [jnp.eye(3), jnp.array([[0.02 * i], [0.01 * i], [0.9]])], 1)
+        for i in range(T)])
+    auds_c = jax.random.normal(ks[0], (T, 16))
+    exprs_c = jax.random.normal(ks[1], (T, 8))
+    sigs_c = jax.random.normal(ks[2], (T, 20))
+    lats_c = jnp.tile(call["latent"][None], (T, 1))
+    ref_frames, c_ref = [], cc
+    for i in range(T):
+        f, c_ref = tmc(hp, tp, poses_c[i], pose0, bc, aud=auds_c[i],
+                       signal=sigs_c[i], expr=exprs_c[i],
+                       latent=call["latent"], cache=c_ref)
+        ref_frames.append(np.asarray(f))
+    frames_c, c_cyc = tmc.cycle(hp, tp, poses_c, pose0, bc, cc,
+                                auds=auds_c, signals=sigs_c,
+                                exprs=exprs_c, latents=lats_c)
+    np.testing.assert_allclose(np.asarray(frames_c),
+                               np.stack(ref_frames), atol=2e-5)
+    assert int(c_cyc["head"]["i"]) == int(c_ref["head"]["i"]) == 4
