@@ -119,20 +119,22 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
     kf_width = (sum(map(int, rung.split("+"))) if rung else 48)
 
     # Per-field FIXED delta-frame work in sample-units: the measured
-    # composite cost model is 11.2 ms fixed + 1.071 ms/sample at 450²
+    # composite cost model is 11.7 ms fixed + 1.042 ms/sample at 450²
     # (runs/temporal_profile.json, slope fit over s_delta 32/16), i.e.
-    # ~10.5 sample-equivalents of fixed work split over the two live
+    # ~11.2 sample-equivalents of fixed work split over the two live
     # fields — temporal inverse-CDF + sort, band maintenance incl. the
     # 450² dilation, cache scatters. A frozen-z field skips ALL of it
     # (its delta pass re-evaluates the carried keyframe grid and passes
     # the cache through), so fz points are ranked without it.
-    FIXED = 5.0
+    FIXED = 5.6
 
     # the spatial band dilation's share of a live field's FIXED work
     # (grid scatter + separable min/max windows + gather); dilate_every
-    # amortizes exactly this part. Provisional split pending a direct
-    # dilation-on/off slope measurement.
-    DIL = 2.0
+    # amortizes exactly this part. Measured directly: 2.04 ms/frame
+    # with two live fields (temporal_profile.py dilate-on/off split,
+    # runs/temporal_profile.json dilation_ms) -> ~1.0 sample-equivalents
+    # per field.
+    DIL = 1.0
 
     def _cost(pt):
         # delta-frame cost ~ mean over fields of (fixed work + sample
