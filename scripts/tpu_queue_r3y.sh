@@ -1,15 +1,17 @@
 #!/bin/bash
 # Round-3 probe queue (runs after tpu_queue_r3x.sh): push the gated
-# operating points past the already-PASSED north star.
-#   1. composite s_delta 14 at the torso-frozen point (r25/k60/kt1/fz):
-#      s16 gates at -0.116 dB, s12 fails at 0.52 — s14 is the candidate
-#      knee (saves ~1.2 ms/delta frame if it gates)
-#   2. head refresh-50 s_delta 12/14 ladder at k60: r50 s16 measures
-#      42.6 dB vs the >=40 dB gate; s12 projects ~40.3 (r25 s12 is 42.8
-#      and r50 costs ~2.5 dB) — marginal, s14 is the fallback rung
-#   3. IF dilate_every=2 gated at s16 (r3x's kt1fzd2 run) AND s14 gated
-#      in (1): measure the stacked point s14+d2
-#   4. re-bench so the gated selection picks up whatever passed
+# operating points past the already-PASSED north star, exploiting the
+# measured dilate_every=2 quality WIN (temporal_delta_kt1fzd2.json:
+# thinning the spatial band dilation keeps the depth bands tight, so
+# composite s16 improves -0.116 -> -0.755 dB vs GT and s12 goes from
+# FAILING at 0.52 to GATING at -0.396; head-only agreement 45.1 -> 49.6
+# dB at s16).
+#   1. composite s10 / s8 at the torso-frozen d2 point (r25/k60/kt1/fz/
+#      d2): s12 gates with 0.45 dB of margin — find the knee
+#   2. head refresh-50 s12 / s10 at k60+d2: r50 s16 (no d2) measures
+#      42.6 dB vs the >=40 dB gate and d2 buys ~4 dB at r25 — the
+#      cheaper rungs are in reach (r3x already measures r50 s16 d2)
+#   3. re-bench so the gated selection picks up whatever passed
 #   nohup setsid bash scripts/tpu_queue_r3y.sh > /tmp/tpu_y.out 2>&1 &
 cd "$(dirname "$0")/.."
 export PYTHONPATH=$PWD:/root/.axon_site
@@ -57,38 +59,18 @@ ev() {  # ev <out_json> <timeout> <args...> — skip if already produced
     && [ -s "$out" ] || rm -f "$out"
 }
 
-# gate <file> <mode_key> <max_delta_db>: 0 iff the measured composite
-# delta-vs-GT at mode_key is within the bar
-gate() {
-  python - "$1" "$2" "$3" <<'EOF'
-import json, sys
-d = json.load(open(sys.argv[1]))
-v = d["modes"].get(sys.argv[2], {}).get("delta_psnr_vs_gt")
-sys.exit(0 if v is not None and v <= float(sys.argv[3]) else 1)
-EOF
-}
+# 1. composite knee hunt below s12 at the d2 torso-frozen point
+ev $COM/temporal_delta_kt1fzd2lo.json 1800 --refresh 25 --frames 50 \
+  --s_delta 10 8 --delta_keep 0.6 --delta_keep_torso 0.01 \
+  --freeze_z_torso --dilate_every 2
 
-# 1. composite s14 at the torso-frozen point
-ev $COM/temporal_delta_kt1fzs14.json 1800 --refresh 25 --frames 50 \
-  --s_delta 14 --delta_keep 0.6 --delta_keep_torso 0.01 --freeze_z_torso
+# 2. head refresh-50 ladder s12/s10 with d2 (head gate reads the
+# head_only_* modes; the composite modes from the same run are extra
+# dose-response points)
+ev $COM/temporal_delta_r50k60d2lo.json 2700 --refresh 50 --frames 100 \
+  --s_delta 12 10 --delta_keep 0.6 --dilate_every 2
 
-# 2. head refresh-50 ladder s12/s14 (composite modes from the same run
-# are extra dose-response points; the head gate reads head_only_*)
-ev $COM/temporal_delta_r50k60s12.json 2700 --refresh 50 --frames 100 \
-  --s_delta 12 14 --delta_keep 0.6
-
-# 3. stacked s14+d2 only if both ingredients gated independently
-if gate $COM/temporal_delta_kt1fzd2.json s_delta_16_k60_kt1_d2_fz 0.05 \
-    && gate $COM/temporal_delta_kt1fzs14.json s_delta_14_k60_kt1_fz 0.05
-then
-  ev $COM/temporal_delta_kt1fzs14d2.json 1800 --refresh 25 --frames 50 \
-    --s_delta 14 --delta_keep 0.6 --delta_keep_torso 0.01 \
-    --freeze_z_torso --dilate_every 2
-else
-  echo "stacked s14+d2 skipped (an ingredient failed its gate) $(date)" >> $LOG
-fi
-
-# 4. re-bench with whatever new evidence gates
+# 3. re-bench with whatever new evidence gates
 wait_tpu
 run 3600 /tmp/bench_y.log python bench.py
 
