@@ -113,7 +113,18 @@ def main():
                         "a second keyframe and long-interval drift goes "
                         "unmeasured. Use train (~100 frames) for drift "
                         "studies spanning whole keyframe cycles")
+    p.add_argument("--head_ckpt", default=HEAD_CKPT,
+                   help="head checkpoint dir (default: the rehearsal2 "
+                        "100k head). Override to measure the gate on "
+                        "another checkpoint (e.g. the 200k full-schedule "
+                        "head) WITHOUT touching the default evidence — "
+                        "write such runs to a different --out dir so "
+                        "bench's gated selection stays consistent with "
+                        "the checkpoints it times")
+    p.add_argument("--torso_ckpt", default=TORSO_CKPT,
+                   help="torso checkpoint dir (see --head_ckpt)")
     args = p.parse_args()
+    head_ckpt, torso_ckpt = args.head_ckpt, args.torso_ckpt
 
     import jax
     import jax.numpy as jnp
@@ -158,11 +169,11 @@ def main():
     cfg_kf = dataclasses.replace(cfg, N_samples=kf_s, N_importance=kf_imp)
 
     state = init_train_state(jax.random.PRNGKey(0), cfg, identity.size)
-    raw = CheckpointManager(HEAD_CKPT).restore_raw()
+    raw = CheckpointManager(head_ckpt).restore_raw()
     head_params = raw["params"]
     latents = jnp.asarray(raw["latent_codes"])
     like = {"torso_params": init_torso_params(jax.random.PRNGKey(0), cfg)}
-    torso_params = CheckpointManager(TORSO_CKPT).restore_partial(like)[0][
+    torso_params = CheckpointManager(torso_ckpt).restore_partial(like)[0][
         "torso_params"]
     print(f"head step {int(raw['step'])}, torso restored", flush=True)
 
@@ -183,11 +194,11 @@ def main():
         ds_train = load_transforms_dataset(cfg.datadir, mode="train",
                                            near=cfg.near, far=cfg.far)
         bh = cached_depth_band(
-            HEAD_CKPT, "head", raw["step"],
+            head_ckpt, "head", raw["step"],
             lambda: subject_depth_range(cfg, head_params, latents,
                                         ds_train))
         bt = cached_depth_band(
-            TORSO_CKPT, "torso", CheckpointManager(TORSO_CKPT).latest_step(),
+            torso_ckpt, "torso", CheckpointManager(torso_ckpt).latest_step(),
             lambda: torso_depth_range(cfg, torso_params, head_params,
                                       ds_train))
         bounds = dict(head=bh, torso=bt)
@@ -235,6 +246,9 @@ def main():
         "split": args.split,
         "refresh": args.refresh,
         "keyframe_rung": f"{kf_s}+{kf_imp}",
+        "head_ckpt": os.path.relpath(head_ckpt, ROOT),
+        "head_step": int(raw["step"]),
+        "torso_ckpt": os.path.relpath(torso_ckpt, ROOT),
         "tightened_bounds": (
             {k: [float(v[0]), float(v[1])] for k, v in bounds.items()}
             if bounds else None),
