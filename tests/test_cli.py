@@ -309,6 +309,27 @@ def test_bench_temporal_operating_point_selection():
     assert tqfx["freeze_z_torso_comp"] is True
     assert tqfx["delta_keep_torso_comp"] == 0.01
 
+    # stacked dilate_every + frozen-z grammar (the production composite
+    # point): d2 amortizes the dilation share of the live head's fixed
+    # work (DIL, measured from temporal_profile.json's dilation on/off
+    # split), so at equal gate the d2 point outranks plain fz
+    td_d2 = {
+        "refresh": 25,
+        "keyframe_rung": "16+32",
+        "modes": {
+            "s_delta_16_k60_kt1_fz": {"delta_psnr_vs_gt": -0.116},
+            "s_delta_16_k60_kt1_d2_fz": {"delta_psnr_vs_gt": -0.755},
+            "s_delta_12_k60_kt1_d2_fz": {"delta_psnr_vs_gt": -0.396},
+        },
+    }
+    tqd2 = bench.pick_temporal_points(td_d2, 25)
+    assert tqd2["composite_video_quality_ok"]
+    assert tqd2["s_delta_comp"] == 12  # cheapest gated: fewer samples + d2
+    assert tqd2["dilate_every_comp"] == 2
+    assert tqd2["freeze_z_torso_comp"] is True
+    assert tqd2["delta_keep_torso_comp"] == 0.01
+    assert "s_delta_12_k60_kt1_d2_fz" in tqd2["composite_delta_db_vs_gt"]
+
 
 def test_bench_temporal_mode_configs_across_files():
     """bench.pick_temporal_mode_configs: per mode, largest quality-
