@@ -112,7 +112,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                     s_delta, band_pad_frac, min_band_frac, dilate_px,
                     fg_thresh, tag, delta_keep: float = 1.0,
                     uni_frac: float = 0.25, kf_blend: float = 0.0,
-                    freeze_z: bool = False, dilate_every: int = 1):
+                    freeze_z: bool = False, dilate_every: int = 1,
+                    in_kernel_delta: Optional[bool] = None):
     """Per-field temporal stages: ``run(params, pose_f, bc_img, cond,
     band) -> (rgb, lw, fg, new_band)``. ``band=None`` renders the
     keyframe (full hierarchical schedule); otherwise a band-confined
@@ -168,7 +169,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
     reproduces the original per-frame-dilated path bit-exactly (the
     cache then carries no frame counter)."""
     from idealnerf_tpu.kernels.fused_render import (
-        fused_render_coarse_hier, fused_render_rays,
+        fused_render_coarse_hier, fused_render_delta, fused_render_rays,
     )
     from idealnerf_tpu.models.face_nerf import fold_conditioning
 
@@ -207,7 +208,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         return dict(o=o, d=d, b=b, z=z_all)
 
     def _band_update(z, weights, sel_scatter=None, do_dilate=None,
-                     prev_lo=None, prev_hi=None):
+                     prev_lo=None, prev_hi=None, lohimass=None):
         """Next-frame cache from this frame's depths/weights (no
         pallas): 96%-mass band -> pad -> width floor -> dilate -> clip,
         PLUS the raw (z, w) for temporal importance placement — the next
@@ -220,9 +221,12 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         default: this field's full prior selection). ``do_dilate``: a
         traced bool (dilate_every > 1 frames); when False the spatial
         dilation is skipped and invalid rays carry ``prev_lo/prev_hi``
-        instead of widening to the field interval."""
+        instead of widening to the field interval. ``lohimass``: the raw
+        (lo, hi, mass) when already computed (fused_render_delta emits
+        them in-kernel); skips fg_band."""
         span = nf[1] - nf[0]
-        lo, hi, mass = fg_band(z, weights)
+        lo, hi, mass = lohimass if lohimass is not None else fg_band(
+            z, weights)
         valid = mass > fg_thresh
         pad = band_pad_frac * span
         lo, hi = lo - pad, hi + pad
@@ -256,6 +260,19 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                                 point_tile=4096)
         return (out["rgb_map"], out["last_weight"], out["rgb_fg"],
                 out["weights"])
+
+    def _fine_delta(params, o, d, z_prev, w_prev, lo, hi, b, cond):
+        """Whole delta-frame compute in ONE fused launch (depth
+        placement + render + next fg band — kernels.fused_render_delta);
+        equivalence-tested vs the _delta_depths + _fine + fg_band chain."""
+        p = jax.tree.map(lambda x: x.astype(cd), params)
+        folded = fold_conditioning(p["fine"], ncfg, *cond)
+        out = fused_render_delta(p["fine"], folded, ncfg, o, d, z_prev,
+                                 w_prev, lo, hi, b, nf[1], s_uni, s_imp,
+                                 point_tile=4096)
+        return (out["rgb_map"], out["last_weight"], out["rgb_fg"],
+                out["weights"], out["z_vals"],
+                (out["band_lo"], out["band_hi"], out["fg_mass"]))
 
     # delta-frame in-band sample budget: s_delta - 1 in-band + the
     # pinned plate sample at far (reference t_rand[-1]=1 semantics)
@@ -295,6 +312,17 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
     # counter i only under dilate_every > 1 (so the default layout, and
     # every committed evidence file's semantics, is unchanged)
     counted = dilate_every > 1
+
+    # fused delta path: kernels.fused_render_delta runs the whole delta
+    # compute (inverse CDF + merge + render + fg band) in ONE launch,
+    # deleting the XLA-side per-delta-frame fixed work. Only the plain
+    # previous-frame importance path is fused (kf_blend draws from two
+    # CDFs; freeze_z skips placement entirely); equivalence vs the XLA
+    # chain is tested at f32 tolerance, so the quality evidence carries.
+    if in_kernel_delta is None:
+        in_kernel_delta = jax.default_backend() == "tpu"
+    use_kd = (in_kernel_delta and s_kf == 0 and not freeze_z
+              and s_imp >= 2 and s_uni >= 2)
 
     def _tick(i):
         """Next delta-frame counter + whether that frame dilates."""
@@ -341,6 +369,15 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
         if freeze_z:
             rgb, lw, fg, _ = _fine(params, o, d, z_prev, b, cond)
             return rgb, lw, fg, (band_lo, band_hi, z_prev, w_prev) + tail
+        if use_kd and z_prev.shape[-1] <= 96:
+            # shape guard is trace-time static: the cycle's FIRST delta
+            # frame consumes the keyframe-width (z, w); huge rungs would
+            # unroll an oversized in-kernel CDF, so they keep the XLA path
+            rgb, lw, fg, w, z, lhm = _fine_delta(
+                params, o, d, z_prev, w_prev, band_lo, band_hi, b, cond)
+            band = _band_update(z, w, do_dilate=do_dil, prev_lo=band_lo,
+                                prev_hi=band_hi, lohimass=lhm)
+            return rgb, lw, fg, band + tail
         z = _delta_depths(band_lo, band_hi, z_prev, w_prev, kz, kw)
         rgb, lw, fg, w = _fine(params, o, d, z, b, cond)
         band = _band_update(z, w, do_dilate=do_dil, prev_lo=band_lo,
@@ -400,16 +437,23 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
             i, do_dil = _tick(cache["i"])
         else:
             do_dil = None
-        z = _delta_depths(cache["lo"], cache["hi"], cache["z"],
-                          cache["w"], cache.get("kz"), cache.get("kw"))
-        rgb_k, lw_k, fg_k, w = _fine(params, o, d, z, b, cond)
+        if use_kd and cache["z"].shape[-1] <= 96:
+            rgb_k, lw_k, fg_k, w, z, lhm = _fine_delta(
+                params, o, d, cache["z"], cache["w"], cache["lo"],
+                cache["hi"], b, cond)
+        else:
+            z = _delta_depths(cache["lo"], cache["hi"], cache["z"],
+                              cache["w"], cache.get("kz"), cache.get("kw"))
+            rgb_k, lw_k, fg_k, w = _fine(params, o, d, z, b, cond)
+            lhm = None
         # kept-space band maintenance (dilation scatters through the
         # kept rays' own pixels; pixels with no kept neighbour fall back
         # to the field interval exactly as the unpruned path does)
         lo, hi, zf, wf = _band_update(z, w, sel_scatter=sel_kept,
                                       do_dilate=do_dil,
                                       prev_lo=cache["lo"],
-                                      prev_hi=cache["hi"])
+                                      prev_hi=cache["hi"],
+                                      lohimass=lhm)
         new = dict(keep=keep_idx, lo=lo, hi=hi, z=zf, w=wf,
                    rgb=cache["rgb"].at[keep_idx].set(rgb_k),
                    lw=cache["lw"].at[keep_idx].set(lw_k),
@@ -471,6 +515,7 @@ def make_temporal_frame_renderer(
     uni_frac: float = 0.25,
     kf_blend: float = 0.0,
     dilate_every: int = 1,
+    in_kernel_delta: Optional[bool] = None,
 ):
     """Single-field (head-only) temporal depth-cache renderer.
 
@@ -493,7 +538,8 @@ def make_temporal_frame_renderer(
                             sel, s_delta, band_pad_frac, min_band_frac,
                             dilate_px, fg_thresh, tag="head",
                             delta_keep=delta_keep, uni_frac=uni_frac,
-                            kf_blend=kf_blend, dilate_every=dilate_every)
+                            kf_blend=kf_blend, dilate_every=dilate_every,
+                            in_kernel_delta=in_kernel_delta)
 
     @jax.jit
     def assemble(rgb, bc_img):
@@ -555,6 +601,7 @@ def make_temporal_composite_renderer(
     kf_blend: float = 0.0,
     freeze_z_torso: bool = False,
     dilate_every: int = 1,
+    in_kernel_delta: Optional[bool] = None,
     _expose_stages: bool = False,
 ):
     """Head+torso composite renderer with a temporal depth cache.
@@ -618,14 +665,16 @@ def make_temporal_composite_renderer(
                            nf_head, jnp.asarray(sel_h_np), s_delta, *kb,
                            tag="head", delta_keep=delta_keep_head,
                            uni_frac=uni_frac, kf_blend=kf_blend,
-                           dilate_every=dilate_every)
+                           dilate_every=dilate_every,
+                           in_kernel_delta=in_kernel_delta)
     torso = _field_pipeline(torso_cfg, H, W, focal, cx, cy, cfg, cd,
                             nf_torso, jnp.asarray(sel_t_np), st_torso,
                             *kb, tag="torso",
                             delta_keep=delta_keep_torso,
                             uni_frac=uni_frac, kf_blend=kf_blend,
                             freeze_z=freeze_z_torso,
-                            dilate_every=dilate_every)
+                            dilate_every=dilate_every,
+                            in_kernel_delta=in_kernel_delta)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):

@@ -250,6 +250,122 @@ def _render_body(cfg, n_views: int, S: int, z, o8, d8, vd8, rest_refs):
     return weights
 
 
+def _delta_kernel(cfg, n_views: int, s_prev: int, s_uni: int, s_imp: int,
+                  far: float, q_lo: float, q_hi: float, *refs):
+    """Temporal delta-frame render in ONE launch: depth placement from
+    the PREVIOUS frame's (z, w) render distribution + the cached band,
+    fine render, compositing, and the next frame's foreground band — the
+    whole per-delta-frame pipeline of eval.temporal._field_pipeline with
+    nothing but the spatial dilation left in XLA.
+
+    refs (ins): [o8, d8, vd8, bc4, band8(lo,hi,...), z_prev, w_prev,
+    F_p, id_p, F_d, id_d, U(S²), CUM, CUMW] + packed weights;
+    (outs): [summary, weights, z_out]. S = s_uni + s_imp + 1 (plate pin).
+
+    Depth placement (bit-matches eval.temporal's _delta_depths at f32):
+    ``s_imp`` samples inverse-CDF'd over the previous frame's non-plate
+    weights (sample_pdf key=None semantics via the same ascending-
+    overwrite trick as _pdf_merge — but with PER-RAY bin mids, since the
+    previous depths are per-ray, not a static linspace) drawn at
+    DESCENDING u, ``s_uni`` uniform across the cached band (ascending),
+    so [uni ‖ pad ‖ imp] is bitonic and one merge network sorts the
+    union; the plate pin at ``far`` lands last by construction.
+
+    The next band rides out in the summary's spare lanes:
+    summary[:, 6:8] = (lo, hi) of the central [q_lo, q_hi] foreground
+    mass of THIS frame's weights (eval.temporal.fg_band semantics; the
+    cumsum is an upper-triangular MXU matmul on the in-VMEM weights).
+    fg mass itself is acc - last_weight — already in the summary."""
+    o8, d8, vd8, bc4r, band8, zp_ref, wp_ref = refs[:7]
+    CUM, CUMW = refs[12], refs[13]
+    ops_refs = refs[14:-3]
+    summary_ref, weights_ref, z_ref = refs[-3], refs[-2], refs[-1]
+    T = o8.shape[0]
+    S = s_uni + s_imp + 1
+
+    zp = zp_ref[:]                                  # (T, s_prev) f32
+    wp = wp_ref[:]
+    lo = band8[:][:, 0:1]
+    hi = band8[:][:, 1:2]
+
+    # ---- inverse CDF over the previous frame's weights (per-ray bins)
+    zin = zp[:, : s_prev - 1]                       # drop the plate pin
+    mids = 0.5 * (zin[:, 1:] + zin[:, :-1])        # (T, s_prev-2) bins
+    win = wp[:, 1 : s_prev - 2] + 1e-5             # (T, s_prev-3)
+    pdf = win / jnp.sum(win, axis=1, keepdims=True)
+    cdf = _f32dot_hi(pdf, CUM[:])                  # inclusive (T, s_prev-3)
+
+    uj = jax.lax.broadcasted_iota(jnp.int32, (T, s_imp), 1).astype(
+        jnp.float32)
+    u = 1.0 - uj / (s_imp - 1)                     # descending
+
+    n_edges = s_prev - 2                           # cdf edges incl. cdf_0=0
+    below_c = jnp.zeros((T, s_imp), jnp.float32)   # cdf_0 = 0 always <= u
+    below_b = mids[:, 0:1] * jnp.ones((1, s_imp), jnp.float32)
+    above_c = cdf[:, -1:] * jnp.ones((1, s_imp), jnp.float32)
+    above_b = mids[:, -1:] * jnp.ones((1, s_imp), jnp.float32)
+    for b in range(1, n_edges):                    # edge 0 is the init
+        cb = cdf[:, b - 1 : b]
+        zb = mids[:, b : b + 1]
+        le = cb <= u
+        below_c = jnp.where(le, cb, below_c)
+        below_b = jnp.where(le, zb, below_b)
+    for b in range(n_edges - 1, 0, -1):            # first cdf > u wins
+        cb = cdf[:, b - 1 : b]
+        zb = mids[:, b : b + 1]
+        gt = cb > u
+        above_c = jnp.where(gt, cb, above_c)
+        above_b = jnp.where(gt, zb, above_b)
+    denom = above_c - below_c
+    denom = jnp.where(denom < 1e-5, 1.0, denom)
+    zs = below_b + (u - below_c) / denom * (above_b - below_b)  # desc
+
+    # ---- uniform band coverage (ascending)
+    tu = jax.lax.broadcasted_iota(jnp.int32, (T, s_uni), 1).astype(
+        jnp.float32) / (s_uni - 1)
+    zu = lo + (hi - lo) * tu
+
+    # ---- bitonic merge of [uni_asc ‖ pad ‖ imp_desc]
+    n_in = s_uni + s_imp
+    n_total = 1 << (n_in - 1).bit_length()
+    pad = n_total - n_in
+    parts = [zu]
+    if pad:
+        parts.append(jnp.full((T, pad), 1e10, jnp.float32))
+    parts.append(zs)
+    c = jnp.concatenate(parts, axis=1)
+    d = n_total // 2
+    while d >= 1:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (T, n_total), 1)
+        first = (lane % (2 * d)) < d
+        partner = jnp.where(first, pltpu.roll(c, n_total - d, 1),
+                            pltpu.roll(c, d, 1))
+        c = jnp.where(first, jnp.minimum(c, partner),
+                      jnp.maximum(c, partner))
+        d //= 2
+    z = jnp.concatenate(
+        [c[:, :n_in], jnp.full((T, 1), far, jnp.float32)], axis=1)
+
+    # ---- fine render + composite on the merged depths
+    rest = (refs[3],) + refs[7:12] + ops_refs + (summary_ref, weights_ref)
+    weights = _render_body(cfg, n_views, S, z, o8, d8, vd8, rest)
+
+    # ---- next-frame foreground band (fg_band semantics, in VMEM)
+    wnp = weights[:, : S - 1]
+    znp = z[:, : S - 1]
+    cw = _f32dot_hi(wnp, CUMW[:])                  # inclusive cumsum
+    total = jnp.maximum(cw[:, -1:], 1e-10)
+    big = jnp.float32(1e10)
+    lo_n = jnp.min(jnp.where(cw >= q_lo * total, znp, big), axis=1,
+                   keepdims=True)
+    hi_n = jnp.min(jnp.where(cw >= q_hi * total, znp, big), axis=1,
+                   keepdims=True)
+    last_np = znp[:, -1:]
+    summary_ref[:, 6:7] = jnp.minimum(lo_n, last_np)
+    summary_ref[:, 7:8] = jnp.minimum(hi_n, last_np)
+    z_ref[:] = z
+
+
 def _coarse_hier_kernel(cfg, n_views: int, s_coarse: int, n_imp: int,
                         near: float, far: float, *refs):
     """Coarse render + IN-KERNEL hierarchical sampling in one launch:
@@ -483,6 +599,145 @@ def fused_render_coarse_hier(
         "rgb_fg": rgb_map - last_weight[:, None] * bc_rgb,
     }
     return coarse, z_all[:R]
+
+
+def fused_render_delta(
+    params: Dict,
+    folded: Dict,
+    cfg,
+    rays_o: jnp.ndarray,      # (R, 3)
+    rays_d: jnp.ndarray,      # (R, 3)
+    z_prev: jnp.ndarray,      # (R, S_prev) previous frame's depths
+    w_prev: jnp.ndarray,      # (R, S_prev) previous frame's weights
+    band_lo: jnp.ndarray,     # (R,) cached band
+    band_hi: jnp.ndarray,     # (R,)
+    bc_rgb: jnp.ndarray,      # (R, 3)
+    far: float,               # plate-pin depth (field far)
+    s_uni: int,
+    s_imp: int,
+    q_lo: float = 0.02,
+    q_hi: float = 0.98,
+    point_tile: int = 4096,
+    interpret: Optional[bool] = None,
+    vmem_limit_mb: Optional[int] = 100,
+) -> Dict[str, jnp.ndarray]:
+    """Temporal delta-frame render, ONE pallas launch (see _delta_kernel).
+
+    The fused counterpart of eval.temporal's _delta_depths + fine render
+    + fg_band chain: depth placement, MLP, compositing and the next
+    foreground band all happen per ray tile in VMEM — the (R, S) depth
+    grid never makes an HBM round trip before the render, and the
+    delta frame's XLA-side fixed cost (inverse CDF masked-reduces, sort,
+    band cumsum) disappears. Equivalence vs the XLA path is tested in
+    tests/test_fused_render.py. Requires s_imp >= 2 (deterministic u
+    linspace needs a denominator); the plate pin lands at ``far``.
+
+    Returns the fused_render_rays output dict plus ``z_vals`` (the merged
+    depth grid, (R, S = s_uni + s_imp + 1)), ``band_lo``/``band_hi`` (the
+    central [q_lo, q_hi]-mass band of THIS frame's weights) and
+    ``fg_mass`` (acc - last_weight)."""
+    assert cfg.use_viewdirs
+    assert s_imp >= 2 and s_uni >= 2
+    far = float(far)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    compute_dtype = params["pts"][0]["w"].dtype
+    if compute_dtype == jnp.float32:
+        compute_dtype = jnp.bfloat16
+
+    R = rays_o.shape[0]
+    s_prev = z_prev.shape[-1]
+    S = s_uni + s_imp + 1
+    ray_tile = max((point_tile // S) // 8 * 8, 8)
+    r_pad = (-R) % ray_tile
+    n_tiles = (R + r_pad) // ray_tile
+
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    d_norm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+
+    def pack8(x, one_lane: bool):
+        parts = [x.astype(jnp.float32)]
+        if one_lane:
+            parts += [jnp.ones((x.shape[0], 1), jnp.float32),
+                      jnp.zeros((x.shape[0], 4), jnp.float32)]
+        else:
+            parts += [jnp.zeros((x.shape[0], 5), jnp.float32)]
+        return jnp.pad(jnp.concatenate(parts, axis=1), ((0, r_pad), (0, 0)))
+
+    o8 = pack8(rays_o, one_lane=True)
+    d8 = pack8(rays_d, one_lane=False)
+    vd8 = pack8(viewdirs, one_lane=True)
+    bc4 = jnp.concatenate([bc_rgb.astype(jnp.float32), d_norm], axis=1)
+    bc4 = jnp.pad(bc4, ((0, r_pad), (0, 0)))
+    band8 = jnp.concatenate(
+        [band_lo[:, None].astype(jnp.float32),
+         band_hi[:, None].astype(jnp.float32),
+         jnp.zeros((R, 6), jnp.float32)], axis=1)
+    # edge-pad: padded rays copy a real row so their CDF/band math stays
+    # finite (their outputs are sliced off)
+    pm = "edge" if r_pad else "constant"
+    band8 = jnp.pad(band8, ((0, r_pad), (0, 0)), mode=pm)
+    zp = jnp.pad(z_prev.astype(jnp.float32), ((0, r_pad), (0, 0)), mode=pm)
+    wp = jnp.pad(w_prev.astype(jnp.float32), ((0, r_pad), (0, 0)), mode=pm)
+
+    F_p, id_p = (jnp.asarray(a) for a in _pe_operands(cfg.multires, _PE_PAD))
+    F_d, id_d = (jnp.asarray(a) for a in
+                 _pe_operands(cfg.multires_views, _PED_PAD))
+    U = jnp.asarray(np.triu(np.ones((S, S), np.float32), k=1))
+    CUM = jnp.asarray(np.triu(np.ones((s_prev - 3, s_prev - 3), np.float32)))
+    CUMW = jnp.asarray(np.triu(np.ones((S - 1, S - 1), np.float32)))
+
+    ops = _pack_weights(params, folded, cfg, compute_dtype)
+    n_views = 1 + cfg.depth // 4
+
+    def ray_spec(width):
+        return pl.BlockSpec((ray_tile, width), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    const_specs = [
+        pl.BlockSpec(a.shape, functools.partial(lambda nd, i: (0,) * nd, a.ndim),
+                     memory_space=pltpu.VMEM)
+        for a in (F_p, id_p, F_d, id_d, U, CUM, CUMW, *ops)
+    ]
+
+    summary, weights, z_all = pl.pallas_call(
+        functools.partial(_delta_kernel, cfg, n_views, s_prev, s_uni,
+                          s_imp, far, q_lo, q_hi),
+        grid=(n_tiles,),
+        in_specs=[ray_spec(8), ray_spec(8), ray_spec(8), ray_spec(4),
+                  ray_spec(8), ray_spec(s_prev), ray_spec(s_prev),
+                  *const_specs],
+        out_specs=(ray_spec(8), ray_spec(S), ray_spec(S)),
+        out_shape=(
+            jax.ShapeDtypeStruct((R + r_pad, 8), jnp.float32),
+            jax.ShapeDtypeStruct((R + r_pad, S), jnp.float32),
+            jax.ShapeDtypeStruct((R + r_pad, S), jnp.float32),
+        ),
+        interpret=interpret,
+        compiler_params=(
+            pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024
+            ) if vmem_limit_mb is not None else None
+        ),
+    )(o8, d8, vd8, bc4, band8, zp, wp, F_p, id_p, F_d, id_d, U, CUM,
+      CUMW, *ops)
+
+    summary = summary[:R]
+    rgb_map = summary[:, :3]
+    last_weight = summary[:, 4]
+    acc = summary[:, 3]
+    return {
+        "rgb_map": rgb_map,
+        "acc_map": acc,
+        "last_weight": last_weight,
+        "depth": summary[:, 5],
+        "weights": weights[:R],
+        "rgb_fg": rgb_map - last_weight[:, None] * bc_rgb,
+        "z_vals": z_all[:R],
+        "band_lo": summary[:, 6],
+        "band_hi": summary[:, 7],
+        "fg_mass": acc - last_weight,
+    }
 
 
 def render_rays_fused(

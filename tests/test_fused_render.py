@@ -126,3 +126,87 @@ def test_hier_in_kernel_matches_xla_pdf_path():
                   "acc0"):
             np.testing.assert_allclose(np.asarray(out_h[k]),
                                        np.asarray(out_x[k]), atol=2e-6), k
+
+
+def test_fused_delta_matches_xla_chain():
+    """fused_render_delta (temporal delta frame in ONE launch: per-ray
+    inverse CDF over the previous frame's weights + uniform band samples
+    + bitonic merge + plate pin + render + next fg band) reproduces the
+    XLA chain eval.temporal builds from sample_pdf/sort/fused_render_rays
+    /fg_band, at f32 tolerance."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.core.sampling import sample_pdf
+    from idealnerf_tpu.eval.temporal import fg_band
+    from idealnerf_tpu.kernels.fused_render import (
+        fused_render_delta, fused_render_rays,
+    )
+    from idealnerf_tpu.models.face_nerf import (
+        fold_conditioning, init_face_nerf,
+    )
+
+    cfg = ExperimentConfig(dim_aud=16, dim_expr=8, dim_latent=4)
+    ncfg = cfg.face_nerf_config()
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    params = init_face_nerf(ks[0], ncfg)
+    folded = fold_conditioning(params, ncfg,
+                               jax.random.normal(ks[1], (16,)),
+                               jax.random.normal(ks[2], (8,)),
+                               jnp.ones((4,)))
+    R = 48
+    near, far = 0.5772, 1.1772
+    ro = jax.random.uniform(ks[3], (R, 3), minval=-0.2, maxval=0.2)
+    rd = jax.random.normal(ks[4], (R, 3))
+    rd = rd / jnp.linalg.norm(rd, -1, keepdims=True)
+    bc = jax.random.uniform(ks[5], (R, 3))
+
+    def imp_from(z_src, w_src, count):     # eval.temporal._imp_from
+        zin = z_src[..., :-1]
+        win = w_src[..., :-1]
+        mids = 0.5 * (zin[..., 1:] + zin[..., :-1])
+        return sample_pdf(mids, win[..., 1:-1], count, key=None)
+
+    # s_prev = steady-state s_delta width AND a keyframe-rung width
+    # (the first delta frame of a cycle consumes the keyframe's grid)
+    for s_prev, (s_uni, s_imp) in ((16, (3, 12)), (24, (4, 11))):
+        kz = jax.random.split(ks[6], 2)
+        z_in = jnp.sort(jax.random.uniform(
+            kz[0], (R, s_prev - 1), minval=near, maxval=far), axis=-1)
+        z_prev = jnp.concatenate(
+            [z_in, jnp.full((R, 1), far, jnp.float32)], axis=1)
+        w_prev = jax.random.uniform(kz[1], (R, s_prev), minval=0.0,
+                                    maxval=0.1)
+        lo = jnp.full((R,), near + 0.1) + 0.05 * jax.random.uniform(
+            ks[7], (R,))
+        hi = lo + 0.2 + 0.1 * jax.random.uniform(ks[8], (R,))
+
+        out_k = fused_render_delta(
+            params, folded, ncfg, ro, rd, z_prev, w_prev, lo, hi, bc,
+            far, s_uni, s_imp, point_tile=512)
+
+        # XLA reference chain (eval.temporal stage_delta semantics)
+        t = jnp.linspace(0.0, 1.0, s_uni, dtype=jnp.float32)
+        parts = [imp_from(z_prev, w_prev, s_imp),
+                 lo[:, None] + (hi - lo)[:, None] * t[None]]
+        z = jnp.sort(jnp.concatenate(parts, -1), axis=-1)
+        z = jnp.concatenate([z, jnp.full((R, 1), far, jnp.float32)], 1)
+        out_x = fused_render_rays(params, folded, ncfg, ro, rd, z, bc,
+                                  point_tile=512)
+        lo_x, hi_x, mass_x = fg_band(z, out_x["weights"])
+
+        np.testing.assert_allclose(np.asarray(out_k["z_vals"]),
+                                   np.asarray(z), atol=2e-6)
+        for k in ("rgb_map", "acc_map", "last_weight", "depth",
+                  "weights", "rgb_fg"):
+            np.testing.assert_allclose(np.asarray(out_k[k]),
+                                       np.asarray(out_x[k]),
+                                       atol=2e-6, err_msg=k)
+        np.testing.assert_allclose(np.asarray(out_k["band_lo"]),
+                                   np.asarray(lo_x), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(out_k["band_hi"]),
+                                   np.asarray(hi_x), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(out_k["fg_mass"]),
+                                   np.asarray(mass_x), atol=2e-6)

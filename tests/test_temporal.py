@@ -617,3 +617,71 @@ def test_temporal_dilate_every_thins_band_maintenance():
     np.testing.assert_allclose(np.asarray(frames_c),
                                np.stack(ref_frames), atol=2e-5)
     assert int(c_cyc["head"]["i"]) == int(c_ref["head"]["i"]) == 4
+
+
+def test_temporal_in_kernel_delta_matches_xla_path():
+    """in_kernel_delta=True (fused_render_delta: depth placement +
+    render + fg band in one launch) reproduces the XLA delta path over
+    a multi-frame cycle, cache threading included — both unpruned and
+    delta_keep-pruned, composite and head-only.
+
+    Tolerance note: the kernel computes the importance CDF as a
+    HIGHEST-precision triangular matmul while sample_pdf uses
+    jnp.cumsum; the f32 rounding difference occasionally flips a
+    sample into the adjacent CDF bin (a handful of pixels per frame;
+    each flip moves one of s_delta samples by up to a bin width), and
+    the cache feedback carries flips across the cycle. Same
+    distribution, not a drift — asserted as >=60 dB frame agreement,
+    three orders of magnitude under the 0.05 dB quality gates the
+    committed evidence holds."""
+
+    def assert_agrees(fk, fx):
+        assert np.isfinite(fk).all()
+        mse = float(np.mean((fk - fx) ** 2))
+        psnr = -10.0 * np.log10(max(mse, 1e-12))
+        assert psnr >= 60.0, psnr
+        assert np.abs(fk - fx).max() < 2e-2
+    from idealnerf_tpu.eval.temporal import (
+        make_temporal_composite_renderer, make_temporal_frame_renderer,
+    )
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    hcall = dict(aud=call["aud"], expr=call["expr"], latent=call["latent"])
+
+    poses = [pose,
+             jnp.concatenate([jnp.eye(3),
+                              jnp.array([[0.03], [0.02], [0.92]])], 1),
+             jnp.concatenate([jnp.eye(3),
+                              jnp.array([[-0.02], [0.04], [0.88]])], 1)]
+
+    for dk in (1.0, 0.5):
+        tms = [make_temporal_frame_renderer(
+                   ncfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+                   s_delta=8, delta_keep=dk, in_kernel_delta=ik)
+               for ik in (False, True)]
+        frames = []
+        for tm in tms:
+            cache, out = None, []
+            for p in poses:
+                f, cache = tm(hp, p, bc, **hcall, cache=cache)
+                out.append(np.asarray(f))
+            frames.append(out)
+        for fx, fk in zip(*frames):
+            assert_agrees(fk, fx)
+
+    tms = [make_temporal_composite_renderer(
+               ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+               s_delta=8, delta_keep_head=0.5, delta_keep_torso=0.5,
+               in_kernel_delta=ik)
+           for ik in (False, True)]
+    frames = []
+    for tm in tms:
+        cache, out = None, []
+        for p in poses:
+            f, cache = tm(hp, tp, p, pose0, bc, **call, cache=cache)
+            out.append(np.asarray(f))
+        frames.append(out)
+    for fx, fk in zip(*frames):
+        assert_agrees(fk, fx)
