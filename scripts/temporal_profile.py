@@ -92,7 +92,7 @@ def main():
     near, far = 0.3, 0.9
     cd = jnp.bfloat16 if on_tpu else jnp.float32
 
-    def build(s_delta, expose=False, dilate_every=1):
+    def build(s_delta, expose=False, dilate_every=1, in_kernel=None):
         return make_temporal_composite_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg.render_config(), compute_dtype=cd,
@@ -100,7 +100,8 @@ def main():
             prior_mask_torso=jnp.asarray(np.asarray(mask_t)),
             s_delta=s_delta, delta_keep_head=args.delta_keep,
             delta_keep_torso=args.delta_keep,
-            dilate_every=dilate_every, _expose_stages=expose)
+            dilate_every=dilate_every, in_kernel_delta=in_kernel,
+            _expose_stages=expose)
 
     render = build(args.s_delta, expose=True)
 
@@ -177,6 +178,18 @@ def main():
         res["s_delta2"] = s2
         res["ms_per_sample"] = round(slope, 3)
         res["fixed_ms"] = round(res["end_to_end_ms"] - slope * s1, 2)
+
+    # fused-delta-kernel share: the same operating point with the delta
+    # depth placement + band computation forced back to XLA
+    # (in_kernel_delta=False) — the difference is what
+    # kernels.fused_render_delta deletes from the per-delta-frame fixed
+    # cost (sample_pdf masked reduces, sort, band cumsum, the depth
+    # grid's HBM round trip)
+    if on_tpu:
+        t_xla = steady(build(args.s_delta, in_kernel=False))
+        res["end_to_end_ms_xla_delta"] = round(t_xla, 2)
+        res["kernel_delta_saving_ms"] = round(
+            t_xla - res["end_to_end_ms"], 2)
 
     # dilation share of the fixed cost: the same operating point with
     # the spatial band dilation thinned out entirely (dilate_every so
