@@ -1,0 +1,131 @@
+"""Per-frame serving latency of the real-time stream on the chip.
+
+Drives eval.stream.TemporalStream over the rehearsal composite subject
+at the quality-gated operating point (the same gated config bench.py
+and --auto_temporal consume) and records what a live caller sees:
+per-push wall-clock percentiles, keyframe vs delta split, and the
+25-fps (40 ms) deadline hit rate. Offline video fps amortizes keyframes
+over scanned cycles; a live server cannot — each frame is fetched
+before emission, so this is the honest serving number, keyframe spikes
+included (a jitter buffer of one keyframe latency hides them).
+
+Usage: python scripts/stream_latency.py [--frames 100] [--mode comp|head]
+Writes runs/stream_latency.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+COM = os.path.join(ROOT, "runs", "rehearsal2_com")
+HEAD_CKPT = os.path.join(ROOT, "runs", "rehearsal2", "logs",
+                         "rehearsal_head", "ckpt")
+TORSO_CKPT = os.path.join(COM, "logs", "rehearsal_head_torso", "ckpt")
+
+
+def pct(xs, q):
+    import numpy as np
+
+    return float(np.percentile(np.asarray(xs), q))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=100)
+    p.add_argument("--mode", choices=("comp", "head"), default="comp")
+    p.add_argument("--out", default=os.path.join(ROOT, "runs",
+                                                 "stream_latency.json"))
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idealnerf_tpu.ckpt import CheckpointManager
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.data.dataset import load_transforms_dataset
+    from idealnerf_tpu.eval.operating_points import gated_video_config
+    from idealnerf_tpu.eval.stream import TemporalStream
+    from idealnerf_tpu.train.state import init_train_state
+    from idealnerf_tpu.train.torso import init_torso_params
+
+    cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
+    identity = load_transforms_dataset(cfg.datadir, mode="val",
+                                       near=cfg.near, far=cfg.far,
+                                       gt_dirs="com_imgs")
+
+    conf = gated_video_config(COM, args.mode)
+    if conf is None or not conf.get("quality_ok", False):
+        print(json.dumps({"error": f"no gated {args.mode} operating "
+                                   f"point in {COM}"}))
+        return 1
+    if conf.get("keyframe_rung"):
+        s_kf, imp_kf = map(int, conf["keyframe_rung"].split("+"))
+        cfg = dataclasses.replace(cfg, N_samples=s_kf, N_importance=imp_kf)
+
+    raw = CheckpointManager(HEAD_CKPT).restore_raw()
+    head_params = raw["params"]
+    latents = jnp.asarray(raw["latent_codes"])
+    torso_params = None
+    if args.mode == "comp":
+        like = {"torso_params": init_torso_params(
+            __import__("jax").random.PRNGKey(0), cfg)}
+        torso_params = CheckpointManager(TORSO_CKPT).restore_partial(
+            like)[0]["torso_params"]
+    # latent table sizing parity with training
+    init_train_state(__import__("jax").random.PRNGKey(0), cfg,
+                     identity.size)
+
+    stream = TemporalStream(cfg, head_params, identity,
+                            torso_params=torso_params,
+                            latent_codes=latents, operating_point=conf,
+                            use_prior=True, smooth_audio=True)
+
+    n = args.frames
+    emitted = 0
+    for i in range(n):
+        f = stream.push(identity.auds[i % identity.auds.shape[0]],
+                        expr=identity.exprs[i % identity.size])
+        emitted += f is not None
+    emitted += len(stream.flush())
+    assert emitted == n, (emitted, n)
+
+    times = np.asarray(stream.frame_times) * 1000.0
+    refresh = stream.refresh
+    # skip the first cycle: compile + warmup
+    steady = times[refresh:]
+    is_kf = (np.arange(len(times)) % refresh) == 0
+    kf, dl = steady[is_kf[refresh:]], steady[~is_kf[refresh:]]
+    out = {
+        "mode": args.mode,
+        "frames": n,
+        "operating_point": {k: conf[k] for k in
+                            ("refresh", "s_delta", "s_delta_torso",
+                             "delta_keep", "delta_keep_torso",
+                             "freeze_z_torso", "dilate_every",
+                             "keyframe_rung") if k in conf},
+        "lookahead_frames": stream.algorithmic_latency_frames,
+        "p50_ms": round(pct(steady, 50), 2),
+        "p95_ms": round(pct(steady, 95), 2),
+        "p99_ms": round(pct(steady, 99), 2),
+        "max_ms": round(float(steady.max()), 2),
+        "keyframe_p50_ms": round(pct(kf, 50), 2) if len(kf) else None,
+        "delta_p50_ms": round(pct(dl, 50), 2) if len(dl) else None,
+        "deadline_40ms_hit_rate": round(float((steady <= 40.0).mean()), 4),
+        "steady_fps": round(1000.0 / float(steady.mean()), 2),
+        "first_cycle_ms": [round(float(t), 1) for t in times[:refresh][:8]],
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
