@@ -224,6 +224,41 @@ class TemporalStream:
         """Lookahead frames before the first emission (0 unsmoothed)."""
         return self.lookahead
 
+    def warmup(self) -> float:
+        """Compile every program the serving loop will hit — keyframe,
+        first-delta (keyframe-shaped cache) and steady-delta — plus the
+        audio feature/smoothing programs, on dummy inputs, without
+        touching stream state. Call before going live: the first pushes
+        otherwise stall on compiles. Returns the wall seconds spent."""
+        t0 = time.time()
+        zero_win = jnp.zeros((self.cfg.win_size, 29), jnp.float32)
+        feat = self._feat(self.head_params, zero_win)
+        smo = self.cfg.smo_size
+        feat = self._att(self.head_params,
+                         jnp.tile(feat[None], (smo, 1)),
+                         jnp.ones((smo,), bool))
+        expr = (jnp.zeros((self.cfg.dim_expr,), jnp.float32)
+                if self.cfg.dim_expr > 0 else None)
+        aud_arg, expr_arg = variant_conditioning(
+            self.head_params, self.cfg, feat, expr)
+        pose = jnp.asarray(self.identity.poses[0])
+        cache = None
+        for _ in range(3):  # keyframe -> first delta -> steady delta
+            if self.torso_params is None:
+                frame, cache = self._render(
+                    self.head_params, pose, self._bc, aud=aud_arg,
+                    expr=expr_arg, latent=self.latent, cache=cache)
+            else:
+                from idealnerf_tpu.train.torso import torso_signal
+
+                signal = torso_signal(feat, pose, self.cfg.dim_aud_body)
+                frame, cache = self._render(
+                    self.head_params, self.torso_params, pose,
+                    self._pose0, self._bc, aud=aud_arg, signal=signal,
+                    expr=expr_arg, latent=self.latent, cache=cache)
+        np.asarray(frame)  # force execution through the async runtime
+        return time.time() - t0
+
     def push(self, aud_window, expr=None, pose=None):
         """Feed one frame's (16, 29) DeepSpeech window; returns the next
         ready frame (H, W, 3) float32 in [0, 1], or None while the

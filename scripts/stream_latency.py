@@ -86,6 +86,8 @@ def main():
                             torso_params=torso_params,
                             latent_codes=latents, operating_point=conf,
                             use_prior=True, smooth_audio=True)
+    warmup_s = stream.warmup()
+    print(f"warmup (all programs compiled): {warmup_s:.1f}s", flush=True)
 
     n = args.frames
     emitted = 0
@@ -98,7 +100,8 @@ def main():
 
     times = np.asarray(stream.frame_times) * 1000.0
     refresh = stream.refresh
-    # skip the first cycle: compile + warmup
+    # skip the first cycle (axon per-executable warmup ramp; compiles
+    # were already paid by stream.warmup())
     steady = times[refresh:]
     is_kf = (np.arange(len(times)) % refresh) == 0
     kf, dl = steady[is_kf[refresh:]], steady[~is_kf[refresh:]]
@@ -111,6 +114,7 @@ def main():
                              "freeze_z_torso", "dilate_every",
                              "keyframe_rung") if k in conf},
         "lookahead_frames": stream.algorithmic_latency_frames,
+        "warmup_s": round(warmup_s, 1),
         "p50_ms": round(pct(steady, 50), 2),
         "p95_ms": round(pct(steady, 95), 2),
         "p99_ms": round(pct(steady, 99), 2),

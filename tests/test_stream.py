@@ -133,6 +133,24 @@ def test_stream_warmup_flush_and_unsmoothed_latency():
     assert len(live.frame_times) == 3
 
 
+def test_stream_warmup_does_not_perturb_output():
+    """warmup() compiles the serving programs on dummy inputs without
+    touching stream state: a warmed stream emits the same frames as a
+    cold one."""
+    cfg, ds, state = _setup()
+    n = 4
+    cold = TemporalStream(cfg, state.params, ds,
+                          latent_codes=state.latent_codes,
+                          refresh=2, s_delta=6, smooth_audio=False)
+    ref = _drive(cold, ds, n)
+    warm = TemporalStream(cfg, state.params, ds,
+                          latent_codes=state.latent_codes,
+                          refresh=2, s_delta=6, smooth_audio=False)
+    assert warm.warmup() > 0.0
+    frames = _drive(warm, ds, n)
+    np.testing.assert_array_equal(np.stack(frames), np.stack(ref))
+
+
 def test_stream_rejects_closed_gate():
     cfg, ds, state = _setup()
     try:
