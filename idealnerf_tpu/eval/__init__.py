@@ -5,3 +5,4 @@ from idealnerf_tpu.eval.renderer import (
 from idealnerf_tpu.eval.metrics import psnr, ssim, lpips
 from idealnerf_tpu.eval.video import VideoWriter
 from idealnerf_tpu.eval.reenact import reenact, load_driving_exprs, smoothed_audio_features
+from idealnerf_tpu.eval.stream import TemporalStream
