@@ -52,7 +52,6 @@ def main():
     from idealnerf_tpu.data.dataset import load_transforms_dataset
     from idealnerf_tpu.eval.operating_points import gated_video_config
     from idealnerf_tpu.eval.stream import TemporalStream
-    from idealnerf_tpu.train.state import init_train_state
     from idealnerf_tpu.train.torso import init_torso_params
 
     cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
@@ -78,9 +77,6 @@ def main():
             __import__("jax").random.PRNGKey(0), cfg)}
         torso_params = CheckpointManager(TORSO_CKPT).restore_partial(
             like)[0]["torso_params"]
-    # latent table sizing parity with training
-    init_train_state(__import__("jax").random.PRNGKey(0), cfg,
-                     identity.size)
 
     stream = TemporalStream(cfg, head_params, identity,
                             torso_params=torso_params,

@@ -471,3 +471,37 @@ def test_bench_temporal_delta_keep_points():
     assert outb["comp"]["uni_frac"] == 0.5
     assert outb["comp"]["kf_blend"] == 0.5
     assert outb["head"]["kf_blend"] == 0.5
+
+
+def test_cli_serve_streams_synthetic(tmp_path):
+    """cli.serve pushes the driving track through TemporalStream frame
+    by frame, writes the streamed video, and reports latency stats."""
+    import json
+
+    from idealnerf_tpu.cli.serve import main as serve_main
+    from idealnerf_tpu.cli.train_head import main as train_main
+
+    train_main(_args(tmp_path, "srv", ["--epochs", "1"]))
+    ckpt = str(tmp_path / "srv" / "ckpt")
+    out = str(tmp_path / "out_srv")
+    stats = serve_main(_args(tmp_path, "srv",
+                             ["--head_ckpt", ckpt, "--max_frames", "3",
+                              "--refresh", "2", "--s_delta", "6",
+                              "--save_path", out]))
+    assert stats["frames"] == 3
+    assert stats["warmup_s"] > 0
+    assert stats["steady_fps"] > 0
+    assert os.path.getsize(os.path.join(out, "srv_stream.avi")) > 0
+
+    # gated evidence consumption, same grammar as --auto_temporal
+    ev_dir = tmp_path / "evsrv"
+    ev_dir.mkdir()
+    with open(ev_dir / "temporal_delta.json", "w") as fh:
+        json.dump({"refresh": 2, "keyframe_rung": "6+6",
+                   "tightened_bounds": None,
+                   "modes": {"head_only_s_delta_6_k60":
+                             {"psnr_temporal_vs_full": 44.0}}}, fh)
+    stats = serve_main(_args(tmp_path, "srv",
+                             ["--head_ckpt", ckpt, "--max_frames", "3",
+                              "--auto_temporal", str(ev_dir)]))
+    assert stats["frames"] == 3
