@@ -137,7 +137,7 @@ class CheckpointManager:
             # model_variant or conditioning dims): name the differing
             # subtrees instead of surfacing orbax's tree error
             try:
-                raw = self._ckptr.restore(self._step_dir(step))
+                raw = self._restore_any(self._step_dir(step))
             except Exception:
                 raise e
             ck = {"/".join(p): tuple(np.shape(v))
@@ -165,6 +165,31 @@ class CheckpointManager:
                 "surgery) or restore_raw()."
             ) from e
 
+    def _restore_any(self, path: str) -> Any:
+        """Target-less restore that survives platform changes.
+
+        Orbax records the saving devices' shardings; a checkpoint
+        written on TPU then raises ``Device ... was not found in
+        jax.local_devices()`` when restored on CPU (and vice versa).
+        On that error, rebuild an abstract target from the checkpoint's
+        own metadata with local single-device shardings and retry —
+        train-on-slice / eval-on-host is a supported flow."""
+        try:
+            return self._ckptr.restore(path)
+        except ValueError as e:
+            if "not found in jax.local_devices" not in str(e):
+                raise
+            import jax
+
+            meta = self._ckptr.metadata(path).item_metadata
+            sharding = jax.sharding.SingleDeviceSharding(
+                jax.local_devices()[0])
+            target = jax.tree.map(
+                lambda m: jax.ShapeDtypeStruct(
+                    m.shape, m.dtype, sharding=sharding),
+                meta)
+            return self._ckptr.restore(path, target)
+
     def restore_raw(self, step: Optional[int] = None) -> Any:
         """Restore without a structure target — whatever was saved.
         Needed when array sizes are data-dependent (e.g. the per-frame
@@ -174,7 +199,7 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        return self._ckptr.restore(self._step_dir(step))
+        return self._restore_any(self._step_dir(step))
 
     def restore_partial(self, like: Any, step: Optional[int] = None):
         """Restore with shape-mismatch surgery (see partial_restore)."""
@@ -184,7 +209,7 @@ class CheckpointManager:
             step = self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        raw = self._ckptr.restore(self._step_dir(step))
+        raw = self._restore_any(self._step_dir(step))
         return partial_restore(raw, like)
 
     def _gc(self):
