@@ -95,6 +95,7 @@ class TemporalStream:
         uni_frac: float = 0.25,
         kf_blend: float = 0.0,
         dilate_every: int = 1,
+        roll_k: int = 0,
         use_prior: bool = False,
         bounds=None,
         smooth_audio: bool = True,
@@ -116,6 +117,13 @@ class TemporalStream:
         uni_frac = float(op.get("uni_frac", uni_frac))
         kf_blend = float(op.get("kf_blend", kf_blend))
         dilate_every = int(op.get("dilate_every", dilate_every))
+        # rolling keyframe refresh: no keyframe after frame 0 — every
+        # frame pays delta + 1/roll_k of a keyframe, bounding per-push
+        # latency (the 1-in-refresh keyframe spike disappears); per-ray
+        # refresh age is bounded by roll_k frames
+        self.roll_k = int(op.get("roll_k", roll_k))
+        if self.roll_k == 1 or self.roll_k < 0:
+            raise ValueError("roll_k must be 0 (off) or >= 2")
 
         if compute_dtype is None and jax.default_backend() == "tpu":
             compute_dtype = jnp.bfloat16
@@ -175,7 +183,7 @@ class TemporalStream:
                 compute_dtype=compute_dtype, s_delta=s_delta,
                 prior_mask=prior_mask, delta_keep=delta_keep,
                 uni_frac=uni_frac, kf_blend=kf_blend,
-                dilate_every=dilate_every,
+                dilate_every=dilate_every, roll_k=self.roll_k,
             )
         else:
             from idealnerf_tpu.eval.temporal import (
@@ -192,7 +200,7 @@ class TemporalStream:
                 delta_keep_torso=(delta_keep if dkt is None else dkt),
                 s_delta_torso=s_delta_torso, uni_frac=uni_frac,
                 kf_blend=kf_blend, freeze_z_torso=freeze_z_torso,
-                dilate_every=dilate_every, **pf,
+                dilate_every=dilate_every, roll_k=self.roll_k, **pf,
             )
 
         @jax.jit
@@ -319,7 +327,10 @@ class TemporalStream:
         aud_feat = self._smoothed_feat(i)
         aud_arg, expr_arg = variant_conditioning(
             self.head_params, self.cfg, aud_feat, expr)
-        cache = None if i % self.refresh == 0 else self._cache
+        # rolling mode: only frame 0 is a keyframe, the cache then lives
+        # forever (each ray refreshes via its slice every roll_k frames)
+        cache = (self._cache if (self.roll_k and i > 0)
+                 else None if i % self.refresh == 0 else self._cache)
         if self.torso_params is None:
             frame, self._cache = self._render(
                 self.head_params, pose, self._bc, aud=aud_arg,

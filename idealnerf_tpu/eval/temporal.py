@@ -113,7 +113,8 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                     fg_thresh, tag, delta_keep: float = 1.0,
                     uni_frac: float = 0.25, kf_blend: float = 0.0,
                     freeze_z: bool = False, dilate_every: int = 1,
-                    in_kernel_delta: Optional[bool] = None):
+                    in_kernel_delta: Optional[bool] = None,
+                    roll_k: int = 0):
     """Per-field temporal stages: ``run(params, pose_f, bc_img, cond,
     band) -> (rgb, lw, fg, new_band)``. ``band=None`` renders the
     keyframe (full hierarchical schedule); otherwise a band-confined
@@ -487,8 +488,192 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
             return stage_delta_pruned(params, pose_f, bc_img, cond, band)
         return stage_delta(params, pose_f, bc_img, cond, band)
 
+    roll = None
+    if roll_k and roll_k > 1:
+        # -- rolling keyframe refresh (serving mode) -------------------
+        # No monolithic keyframes after frame 0: every frame runs the
+        # normal delta pass PLUS a full-hierarchical-schedule refresh of
+        # 1/roll_k of this field's rays (a strided comb — slice p is
+        # rows {p, K+p, 2K+p, ...} of sel, extracted through an
+        # (m, K, ...) view with a TRACED phase index so ONE compiled
+        # program serves all K slices). Per-ray refresh age is bounded
+        # by roll_k frames (same staleness bound as a monolithic
+        # refresh_every=roll_k cadence) but the keyframe's cost is
+        # spread evenly: per-frame wall time is delta + kf/K instead of
+        # a 1-in-R spike — the serving-latency property
+        # scripts/stream_latency.py measures against the 40 ms budget.
+        if s_kf:
+            raise ValueError("rolling refresh does not compose with "
+                             "kf_blend (there is no keyframe CDF to "
+                             "anchor on)")
+        if n_sel % roll_k:
+            raise ValueError(f"rolling refresh needs len(sel) divisible "
+                             f"by roll_k ({n_sel} % {roll_k})")
+        m_roll = n_sel // roll_k
+
+        def _downsample_zw(z, w):
+            """Keyframe-width (z, w) render distribution -> the cache's
+            uniform s_delta width: inverse-CDF depths at evenly spaced
+            quantiles carry EQUAL foreground mass by construction, so
+            (z', uniform w') approximates the same CDF the delta
+            importance draw consumes; plate pin at the field far."""
+            zq = _imp_from(z, w, s_delta - 1)
+            mass = jnp.sum(w[..., :-1], -1, keepdims=True)
+            wq = jnp.broadcast_to(mass / (s_delta - 1), zq.shape)
+            z2 = jnp.concatenate(
+                [zq, jnp.full((*zq.shape[:-1], 1), nf[1], jnp.float32)],
+                -1)
+            w2 = jnp.concatenate(
+                [wq, jnp.clip(1.0 - mass, 0.0, 1.0)], -1)
+            return z2.astype(jnp.float32), w2.astype(jnp.float32)
+
+        @jax.jit
+        def stage_roll_init(rgb, lw, fg, band_kf):
+            """Full-length rolling cache from the frame-0 keyframe
+            (uniform s_delta-width (z, w) so slice merges are
+            shape-stable). ``keep`` is filled host-side afterwards."""
+            lo, hi, z_kf, w_kf = band_kf[:4]
+            z2, w2 = _downsample_zw(z_kf, w_kf)
+            return dict(lo=lo, hi=hi, z=z2, w=w2, rgb=rgb, lw=lw, fg=fg,
+                        mass=jnp.sum(w_kf[..., :-1], -1), i=jnp.int32(0))
+
+        @jax.jit
+        def stage_roll_select(mass):
+            """delta_keep ranking from the cache's per-ray foreground
+            mass (own program — the top_k/pallas-gather separation
+            eval.renderer documents). Re-run every roll_k frames, once
+            the whole frame has refreshed."""
+            grid = jnp.zeros((H * W,), jnp.float32).at[sel].set(
+                mass.astype(jnp.float32))
+            k = 2 * dilate_px + 1
+            grid = _window2d(grid.reshape(H, W), 0.0, jax.lax.max, k)
+            _, keep_idx = jax.lax.top_k(grid.reshape(-1)[sel], k_keep)
+            return keep_idx
+
+        @jax.jit
+        def stage_roll_delta(params, pose_f, bc_img, cond, cache):
+            """The frame's delta pass on the kept rays, full-length
+            cache layout (one pallas launch)."""
+            keep_idx = cache["keep"]
+            o, d = _rays_sel(pose_f, keep_idx)
+            b = bc_img.reshape(-1, 3)[sel[keep_idx]]
+            z_prev = cache["z"][keep_idx]
+            i = cache["i"] + 1
+            if freeze_z:
+                rgb_k, lw_k, fg_k, _ = _fine(params, o, d, z_prev, b,
+                                             cond)
+                return dict(cache, i=i,
+                            rgb=cache["rgb"].at[keep_idx].set(rgb_k),
+                            lw=cache["lw"].at[keep_idx].set(lw_k),
+                            fg=cache["fg"].at[keep_idx].set(fg_k))
+            w_prev = cache["w"][keep_idx]
+            lo_p, hi_p = cache["lo"][keep_idx], cache["hi"][keep_idx]
+            do_dil = (None if dilate_every == 1
+                      else (i % dilate_every) == 0)
+            if use_kd and z_prev.shape[-1] <= 96:
+                rgb_k, lw_k, fg_k, w, z, lhm = _fine_delta(
+                    params, o, d, z_prev, w_prev, lo_p, hi_p, b, cond)
+            else:
+                z = _delta_depths(lo_p, hi_p, z_prev, w_prev)
+                rgb_k, lw_k, fg_k, w = _fine(params, o, d, z, b, cond)
+                lhm = None
+            lo, hi, zf, wf = _band_update(
+                z, w, sel_scatter=sel[keep_idx], do_dilate=do_dil,
+                prev_lo=lo_p, prev_hi=hi_p, lohimass=lhm)
+            return dict(keep=keep_idx, i=i,
+                        lo=cache["lo"].at[keep_idx].set(lo),
+                        hi=cache["hi"].at[keep_idx].set(hi),
+                        z=cache["z"].at[keep_idx].set(zf),
+                        w=cache["w"].at[keep_idx].set(wf),
+                        mass=cache["mass"].at[keep_idx].set(
+                            jnp.sum(wf[..., :-1], -1)),
+                        rgb=cache["rgb"].at[keep_idx].set(rgb_k),
+                        lw=cache["lw"].at[keep_idx].set(lw_k),
+                        fg=cache["fg"].at[keep_idx].set(fg_k))
+
+        @jax.jit
+        def stage_roll_slice_coarse(params, pose_f, bc_img, cond, phase):
+            """Coarse + in-kernel hierarchical sampling on refresh slice
+            ``phase`` (one pallas launch) — the keyframe schedule,
+            restricted to 1/K of the rays."""
+            p = jax.tree.map(lambda x: x.astype(cd), params)
+            folded = fold_conditioning(p["coarse"], ncfg, *cond)
+            dirs_b = jax.lax.dynamic_index_in_dim(
+                dirs_sel.reshape(m_roll, roll_k, 3), phase, 1,
+                keepdims=False)
+            d = jnp.einsum("nc,kc->nk", dirs_b, pose_f[:3, :3],
+                           precision=jax.lax.Precision.HIGHEST)
+            o = jnp.broadcast_to(pose_f[:3, -1], d.shape)
+            b = jax.lax.dynamic_index_in_dim(
+                bc_img.reshape(-1, 3)[sel].reshape(m_roll, roll_k, 3),
+                phase, 1, keepdims=False)
+            _, z_all = fused_render_coarse_hier(
+                p["coarse"], folded, ncfg, o, d, b, nf[0], nf[1],
+                cfg.n_samples, cfg.n_importance, point_tile=8192)
+            return dict(o=o, d=d, b=b, z=z_all)
+
+        @jax.jit
+        def stage_roll_slice_fine(params, st, cond):
+            """Fine pass over the slice's merged depths + that slice's
+            refreshed cache entries (one pallas launch). No spatial
+            dilation here: a slice is a 1/K comb of the prior, its
+            neighbours refresh on adjacent frames and the delta pass
+            keeps dilating at its own cadence."""
+            rgb, lw, fg, w = _fine(params, st["o"], st["d"], st["z"],
+                                   st["b"], cond)
+            span = nf[1] - nf[0]
+            lo, hi, mass = fg_band(st["z"], w)
+            valid = mass > fg_thresh
+            pad = band_pad_frac * span
+            lo, hi = lo - pad, hi + pad
+            width = jnp.maximum(hi - lo, min_band_frac * span)
+            mid = 0.5 * (lo + hi)
+            lo = jnp.where(valid, mid - 0.5 * width, nf[0])
+            hi = jnp.where(valid, mid + 0.5 * width, nf[1])
+            z2, w2 = _downsample_zw(st["z"], w)
+            return dict(rgb=rgb, lw=lw, fg=fg,
+                        lo=jnp.clip(lo, nf[0], nf[1]),
+                        hi=jnp.clip(hi, nf[0], nf[1]),
+                        z=z2, w=w2, mass=mass)
+
+        @jax.jit
+        def stage_roll_merge(cache, sl, phase):
+            """Scatter the refreshed slice into the cache through the
+            (m, K) strided view (pure XLA, own program — never gather
+            pallas outputs in their producing program)."""
+            def upd(full, block):
+                v = full.reshape(m_roll, roll_k, *full.shape[1:])
+                v = jax.lax.dynamic_update_index_in_dim(v, block, phase,
+                                                        1)
+                return v.reshape(full.shape)
+
+            return dict(cache,
+                        lo=upd(cache["lo"], sl["lo"]),
+                        hi=upd(cache["hi"], sl["hi"]),
+                        z=upd(cache["z"], sl["z"]),
+                        w=upd(cache["w"], sl["w"]),
+                        mass=upd(cache["mass"], sl["mass"]),
+                        rgb=upd(cache["rgb"], sl["rgb"]),
+                        lw=upd(cache["lw"], sl["lw"]),
+                        fg=upd(cache["fg"], sl["fg"]))
+
+        class _Roll:
+            k = roll_k
+            init = staticmethod(stage_roll_init)
+            select = staticmethod(stage_roll_select)
+            delta = staticmethod(stage_roll_delta)
+            slice_coarse = staticmethod(stage_roll_slice_coarse)
+            slice_fine = staticmethod(stage_roll_slice_fine)
+            merge = staticmethod(stage_roll_merge)
+            pruned_sel = pruned
+
+        roll = _Roll
+
     run.tag = tag
     run.delta_step = delta_step
+    run.kf_coarse = stage_kf_coarse
+    run.kf_fine = stage_kf_fine
+    run.roll = roll
     return run
 
 
@@ -499,6 +684,47 @@ def _check_schedule(cfg, s_delta):
             "use the in-kernel hierarchical path)")
     if s_delta < 4:
         raise ValueError("s_delta must be >= 4")
+
+
+def _pad_sel_for_roll(sel_np, roll_k):
+    """Pad a ray selection to a multiple of roll_k by repeating its last
+    ray so the (m, K) strided slice view is exact. Duplicate rows render
+    identically (deterministic kernels on identical inputs), so the
+    duplicated pixel's scatter is value-consistent; cost is < K extra
+    rays."""
+    r = (-len(sel_np)) % roll_k
+    if r:
+        sel_np = np.concatenate(
+            [sel_np, np.repeat(sel_np[-1:], r)]).astype(np.int32)
+    return sel_np
+
+
+def _roll_frame(field, params, pose_f, bc_img, cond, cache):
+    """One rolling-refresh frame of one field.
+
+    Frame 0 (``cache=None``) is the monolithic keyframe + full-length
+    cache init; every later frame is the delta pass + the phase-th
+    slice's full-schedule refresh + merge, with the delta_keep ranking
+    re-run from the cache's foreground mass each time the comb wraps
+    (every roll_k frames — the monolithic path re-ranks every keyframe,
+    run_nerf.py has no analog: the reference re-renders everything)."""
+    roll = field.roll
+    if cache is None:
+        st = field.kf_coarse(params, pose_f, bc_img, cond)
+        rgb, lw, fg, band = field.kf_fine(params, st, cond)
+        dev = dict(roll.init(rgb, lw, fg, band))
+        dev["keep"] = (roll.select(dev["mass"]) if roll.pruned_sel
+                       else jnp.arange(rgb.shape[0], dtype=jnp.int32))
+        return rgb, lw, fg, {"dev": dev, "phase": 0}
+    dev, phase = cache["dev"], cache["phase"]
+    p = jnp.int32(phase)
+    dev = roll.delta(params, pose_f, bc_img, cond, dev)
+    st = roll.slice_coarse(params, pose_f, bc_img, cond, p)
+    dev = roll.merge(dev, roll.slice_fine(params, st, cond), p)
+    nphase = (phase + 1) % roll.k
+    if nphase == 0 and roll.pruned_sel:
+        dev = dict(dev, keep=roll.select(dev["mass"]))
+    return dev["rgb"], dev["lw"], dev["fg"], {"dev": dev, "phase": nphase}
 
 
 def make_temporal_frame_renderer(
@@ -516,6 +742,7 @@ def make_temporal_frame_renderer(
     kf_blend: float = 0.0,
     dilate_every: int = 1,
     in_kernel_delta: Optional[bool] = None,
+    roll_k: int = 0,
 ):
     """Single-field (head-only) temporal depth-cache renderer.
 
@@ -523,7 +750,13 @@ def make_temporal_frame_renderer(
     latent=None, cache=None) -> (frame (H, W, 3), cache)``. ``cache=None``
     renders a keyframe; a previous cache renders a band-confined delta
     frame. Outside ``prior_mask`` the frame is the plate (trained-field
-    assumption of eval.renderer.render_frame_prior_masked)."""
+    assumption of eval.renderer.render_frame_prior_masked).
+
+    ``roll_k > 1`` enables ROLLING keyframe refresh (the serving mode —
+    see _field_pipeline's roll stages): after the frame-0 keyframe the
+    caller keeps passing the previous cache forever; every frame pays
+    delta + 1/roll_k of a keyframe instead of a 1-in-R keyframe spike,
+    with per-ray refresh age bounded by roll_k frames."""
     _check_schedule(cfg, s_delta)
     cfg = cfg.eval_mode()
     cd = compute_dtype or jnp.float32
@@ -531,6 +764,8 @@ def make_temporal_frame_renderer(
     masked = prior_mask is not None
     sel_np = (_prior_sel(prior_mask, n) if masked
               else np.arange(n, dtype=np.int32))
+    if roll_k:
+        sel_np = _pad_sel_for_roll(sel_np, roll_k)
     sel = jnp.asarray(sel_np)
     nf = tuple(bounds) if bounds is not None else (float(near), float(far))
 
@@ -539,7 +774,8 @@ def make_temporal_frame_renderer(
                             dilate_px, fg_thresh, tag="head",
                             delta_keep=delta_keep, uni_frac=uni_frac,
                             kf_blend=kf_blend, dilate_every=dilate_every,
-                            in_kernel_delta=in_kernel_delta)
+                            in_kernel_delta=in_kernel_delta,
+                            roll_k=roll_k)
 
     @jax.jit
     def assemble(rgb, bc_img):
@@ -551,6 +787,10 @@ def make_temporal_frame_renderer(
                cache=None):
         if "fine" not in params:
             raise ValueError("temporal rendering needs 'fine' params")
+        if roll_k:
+            rgb, _, _, cache = _roll_frame(field, params, pose, bc_img,
+                                           (aud, expr, latent), cache)
+            return assemble(rgb, bc_img), cache
         rgb, _, _, band = field(params, pose, bc_img, (aud, expr, latent),
                                 cache)
         return assemble(rgb, bc_img), band
@@ -602,6 +842,7 @@ def make_temporal_composite_renderer(
     freeze_z_torso: bool = False,
     dilate_every: int = 1,
     in_kernel_delta: Optional[bool] = None,
+    roll_k: int = 0,
     _expose_stages: bool = False,
 ):
     """Head+torso composite renderer with a temporal depth cache.
@@ -637,6 +878,12 @@ def make_temporal_composite_renderer(
     else:
         sel_h_np = sel_t_np = sel_u_np = np.arange(n, dtype=np.int32)
         masked = False
+    if roll_k:
+        # pad per-field selections only: the union mapping below keys
+        # off pixel ids, so a duplicated field row resolves to the same
+        # pixel's (last) field position
+        sel_h_np = _pad_sel_for_roll(sel_h_np, roll_k)
+        sel_t_np = _pad_sel_for_roll(sel_t_np, roll_k)
 
     def _pos(sel_np):
         p = np.full(n, -1, np.int32)
@@ -666,7 +913,8 @@ def make_temporal_composite_renderer(
                            tag="head", delta_keep=delta_keep_head,
                            uni_frac=uni_frac, kf_blend=kf_blend,
                            dilate_every=dilate_every,
-                           in_kernel_delta=in_kernel_delta)
+                           in_kernel_delta=in_kernel_delta,
+                           roll_k=roll_k)
     torso = _field_pipeline(torso_cfg, H, W, focal, cx, cy, cfg, cd,
                             nf_torso, jnp.asarray(sel_t_np), st_torso,
                             *kb, tag="torso",
@@ -674,7 +922,8 @@ def make_temporal_composite_renderer(
                             uni_frac=uni_frac, kf_blend=kf_blend,
                             freeze_z=freeze_z_torso,
                             dilate_every=dilate_every,
-                            in_kernel_delta=in_kernel_delta)
+                            in_kernel_delta=in_kernel_delta,
+                            roll_k=roll_k)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):
@@ -702,10 +951,19 @@ def make_temporal_composite_renderer(
                              "both fields")
         band_h = cache["head"] if cache is not None else None
         band_t = cache["torso"] if cache is not None else None
-        rgb_h, _, _, new_h = head(head_params, pose, bc_img,
-                                  (aud, expr, latent), band_h)
-        _, lw_t, fg_t, new_t = torso(torso_params, pose0, bc_img,
-                                     (signal, None, None), band_t)
+        if roll_k:
+            rgb_h, _, _, new_h = _roll_frame(head, head_params, pose,
+                                             bc_img, (aud, expr, latent),
+                                             band_h)
+            _, lw_t, fg_t, new_t = _roll_frame(torso, torso_params,
+                                               pose0, bc_img,
+                                               (signal, None, None),
+                                               band_t)
+        else:
+            rgb_h, _, _, new_h = head(head_params, pose, bc_img,
+                                      (aud, expr, latent), band_h)
+            _, lw_t, fg_t, new_t = torso(torso_params, pose0, bc_img,
+                                         (signal, None, None), band_t)
         frame = stage_composite(rgb_h, lw_t, fg_t, bc_img)
         return frame, {"head": new_h, "torso": new_t}
 

@@ -40,6 +40,14 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=100)
     p.add_argument("--mode", choices=("comp", "head"), default="comp")
+    p.add_argument("--roll_k", type=int, default=0,
+                   help="rolling keyframe refresh: no keyframe spikes — "
+                        "every frame pays delta + 1/K of a keyframe "
+                        "(eval/stream.py roll_k)")
+    p.add_argument("--quality", type=int, default=0,
+                   help="also re-render the first N pushes through a "
+                        "refresh=1 stream (per-frame full render at the "
+                        "gated keyframe rung) and report agreement dB")
     p.add_argument("--out", default=os.path.join(ROOT, "runs",
                                                  "stream_latency.json"))
     args = p.parse_args()
@@ -78,6 +86,8 @@ def main():
         torso_params = CheckpointManager(TORSO_CKPT).restore_partial(
             like)[0]["torso_params"]
 
+    if args.roll_k:
+        conf = dict(conf, roll_k=args.roll_k)
     stream = TemporalStream(cfg, head_params, identity,
                             torso_params=torso_params,
                             latent_codes=latents, operating_point=conf,
@@ -87,22 +97,63 @@ def main():
 
     n = args.frames
     emitted = 0
+    kept_frames = []
     for i in range(n):
         f = stream.push(identity.auds[i % identity.auds.shape[0]],
                         expr=identity.exprs[i % identity.size])
         emitted += f is not None
-    emitted += len(stream.flush())
+        if f is not None and len(kept_frames) < args.quality:
+            kept_frames.append(f)
+    for f in stream.flush():
+        emitted += 1
+        if len(kept_frames) < args.quality:
+            kept_frames.append(f)
     assert emitted == n, (emitted, n)
+
+    quality_db = None
+    if args.quality:
+        # anchor: refresh=1 => every push is a monolithic keyframe =
+        # per-frame full hierarchical render at the gated keyframe rung
+        anchor = TemporalStream(
+            cfg, head_params, identity, torso_params=torso_params,
+            latent_codes=latents,
+            operating_point=dict(conf, refresh=1, roll_k=0),
+            use_prior=True, smooth_audio=True)
+        anchor.warmup()
+        ref_frames = []
+        for i in range(n):
+            f = anchor.push(identity.auds[i % identity.auds.shape[0]],
+                            expr=identity.exprs[i % identity.size])
+            if f is not None and len(ref_frames) < len(kept_frames):
+                ref_frames.append(f)
+        for f in anchor.flush():
+            if len(ref_frames) < len(kept_frames):
+                ref_frames.append(f)
+        a = np.stack(kept_frames)
+        b = np.stack(ref_frames)
+        mse = np.mean((a - b) ** 2, axis=(1, 2, 3))
+        per = -10.0 * np.log10(np.maximum(mse, 1e-12))
+        quality_db = {"frames": int(len(kept_frames)),
+                      "mean_db": round(float(per.mean()), 2),
+                      "min_db": round(float(per.min()), 2)}
 
     times = np.asarray(stream.frame_times) * 1000.0
     refresh = stream.refresh
     # skip the first cycle (axon per-executable warmup ramp; compiles
-    # were already paid by stream.warmup())
-    steady = times[refresh:]
-    is_kf = (np.arange(len(times)) % refresh) == 0
-    kf, dl = steady[is_kf[refresh:]], steady[~is_kf[refresh:]]
+    # were already paid by stream.warmup()); in rolling mode only frame
+    # 0 is a keyframe — skip one comb cycle instead
+    skip = stream.roll_k if stream.roll_k else refresh
+    steady = times[skip:]
+    if stream.roll_k:
+        is_kf = np.zeros(len(times), bool)
+        is_kf[0] = True
+    else:
+        is_kf = (np.arange(len(times)) % refresh) == 0
+    kf, dl = steady[is_kf[skip:]], steady[~is_kf[skip:]]
     out = {
         "mode": args.mode,
+        "roll_k": stream.roll_k,
+        "quality_vs_full": quality_db,
         "frames": n,
         "operating_point": {k: conf[k] for k in
                             ("refresh", "s_delta", "s_delta_torso",

@@ -685,3 +685,114 @@ def test_temporal_in_kernel_delta_matches_xla_path():
         frames.append(out)
     for fx, fk in zip(*frames):
         assert_agrees(fk, fx)
+
+
+def test_temporal_rolling_refresh():
+    """Rolling keyframe refresh (roll_k): frame 0 == the full fused
+    render; a refresh slice's full-schedule render equals the matching
+    strided rows of a monolithic keyframe (the (m, K) view maps slice p
+    to sel rows p::K); the phase wraps and re-ranks delta_keep; frames
+    stay finite throughout a full comb cycle."""
+    from idealnerf_tpu.eval.renderer import make_frame_renderer
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    hcall = dict(aud=call["aud"], expr=call["expr"], latent=call["latent"])
+    K = 4
+
+    full = make_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                               cx=cx, cy=cy, use_pallas="ray")
+    ref = np.asarray(full(hp, pose, bc, **hcall))
+
+    tm = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                      cx=cx, cy=cy, s_delta=8,
+                                      delta_keep=0.75, roll_k=K)
+    frame0, cache = tm(hp, pose, bc, **hcall, cache=None)
+    np.testing.assert_allclose(np.asarray(frame0), ref, atol=2e-5)
+    assert cache["phase"] == 0
+    keep0 = np.asarray(cache["dev"]["keep"])
+
+    # drive one full comb cycle; every frame finite, phase cycles
+    for i in range(K):
+        assert cache["phase"] == i % K
+        frame, cache = tm(hp, pose, bc, **hcall, cache=cache)
+        assert np.isfinite(np.asarray(frame)).all()
+    assert cache["phase"] == 0          # wrapped
+    assert cache["dev"]["keep"].shape == keep0.shape
+
+    # cache invariants: bands inside the field interval, uniform widths
+    dev = cache["dev"]
+    assert dev["z"].shape[-1] == 8 and dev["w"].shape[-1] == 8
+    lo, hi = np.asarray(dev["lo"]), np.asarray(dev["hi"])
+    assert (lo >= near - 1e-6).all() and (hi <= far + 1e-6).all()
+
+
+def test_temporal_rolling_slice_matches_keyframe_rows():
+    """The slice-refresh programs are the keyframe schedule restricted
+    to the comb: slice p's fine rgb == rows p::K of the monolithic
+    keyframe's fine rgb at the same conditioning."""
+    import jax.numpy as jnp
+    from idealnerf_tpu.eval.temporal import make_temporal_composite_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    K = 4
+
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        roll_k=K, _expose_stages=True)
+    head = tm.stages["head"]
+    cond = (call["aud"], call["expr"], call["latent"])
+
+    st_kf = head.kf_coarse(hp, pose, bc, cond)
+    rgb_kf, _, _, band_kf = head.kf_fine(hp, st_kf, cond)
+    rgb_kf = np.asarray(rgb_kf)
+
+    for p in (0, K - 1):
+        st = head.roll.slice_coarse(hp, pose, bc, cond, jnp.int32(p))
+        sl = head.roll.slice_fine(hp, st, cond)
+        # slice rays come from the delta path's einsum (dirs @ R) while
+        # the keyframe gathers get_rays' full grid — f32 reduction-order
+        # noise in the ray directions bounds the pixel delta (same
+        # tolerance as test_temporal_delta_rays_match_keyframe_geometry)
+        d = np.abs(np.asarray(sl["rgb"]) - rgb_kf[p::K])
+        assert d.max() < 5e-3, d.max()
+        assert (d <= 2e-5).mean() > 0.9, (d > 2e-5).mean()
+        # downsampled cache rows carry the uniform delta width
+        assert sl["z"].shape[-1] == 8 and sl["w"].shape[-1] == 8
+        z = np.asarray(sl["z"])
+        assert (np.diff(z[:, :-1], axis=-1) >= -1e-6).all()
+        assert np.allclose(z[:, -1], far)
+
+
+def test_stream_rolling_emits_and_bounds_cache():
+    """TemporalStream with roll_k: only frame 0 is a keyframe, every
+    push emits (after the lookahead), frames finite, and the cache's
+    phase keeps cycling (never reset)."""
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.data import make_synthetic_dataset
+    from idealnerf_tpu.eval.stream import TemporalStream
+    from idealnerf_tpu.train.state import init_train_state
+
+    cfg = ExperimentConfig(dim_aud=64, dim_expr=8, dim_latent=32,
+                           N_samples=8, N_importance=8)
+    ds = make_synthetic_dataset(n_frames=6, H=24, W=24, dim_expr=8)
+    state = init_train_state(jax.random.PRNGKey(0), cfg, ds.size)
+    stream = TemporalStream(cfg, state.params, ds,
+                            latent_codes=state.latent_codes,
+                            s_delta=6, delta_keep=0.75, roll_k=3,
+                            use_prior=True, smooth_audio=False)
+    frames = []
+    n = 7
+    for i in range(n):
+        f = stream.push(ds.auds[i % ds.auds.shape[0]],
+                        expr=ds.exprs[i % ds.size])
+        if f is not None:
+            frames.append(f)
+    frames.extend(stream.flush())
+    assert len(frames) == n
+    assert all(np.isfinite(f).all() for f in frames)
+    assert stream._cache["phase"] == (n - 1) % 3
