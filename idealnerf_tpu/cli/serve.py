@@ -46,6 +46,11 @@ def main(argv=None):
                         help="keyframe interval (without --auto_temporal)")
     parser.add_argument("--s_delta", type=int, default=16)
     parser.add_argument("--delta_keep", type=float, default=1.0)
+    parser.add_argument("--roll_k", type=int, default=0,
+                        help="rolling keyframe refresh: no keyframe "
+                             "spikes, every frame pays delta + 1/K of "
+                             "a keyframe (docs/SERVING.md); overrides "
+                             "the operating point's cadence")
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--no_smooth", action="store_true",
                         help="skip AudioAttNet smoothing: zero lookahead")
@@ -108,11 +113,13 @@ def main(argv=None):
     n = auds.shape[0] if args.max_frames is None else min(
         args.max_frames, auds.shape[0])
 
+    if args.roll_k and op is not None:
+        op = dict(op, roll_k=args.roll_k)
     stream = TemporalStream(
         cfg, head_params, identity, torso_params=torso_params,
         latent_codes=latents, operating_point=op, refresh=args.refresh,
         s_delta=args.s_delta, delta_keep=args.delta_keep,
-        use_prior=bool(args.prior),
+        roll_k=args.roll_k, use_prior=bool(args.prior),
         smooth_audio=not args.no_smooth)
     warmup_s = stream.warmup()
     logger.info("warmup %.1fs; refresh %d, lookahead %d frames",
@@ -144,9 +151,11 @@ def main(argv=None):
     assert emitted == n
 
     times = np.asarray(stream.frame_times) * 1000.0
-    steady = times[stream.refresh:] if len(times) > stream.refresh else times
+    skip = stream.roll_k if stream.roll_k else stream.refresh
+    steady = times[skip:] if len(times) > skip else times
     stats = {
         "frames": int(n),
+        "roll_k": stream.roll_k,
         "warmup_s": round(warmup_s, 1),
         "p50_ms": round(float(np.percentile(steady, 50)), 2),
         "p95_ms": round(float(np.percentile(steady, 95)), 2),

@@ -505,3 +505,10 @@ def test_cli_serve_streams_synthetic(tmp_path):
                              ["--head_ckpt", ckpt, "--max_frames", "3",
                               "--auto_temporal", str(ev_dir)]))
     assert stats["frames"] == 3
+
+    # rolling keyframe refresh: same entry point, bounded-latency mode
+    stats = serve_main(_args(tmp_path, "srv",
+                             ["--head_ckpt", ckpt, "--max_frames", "3",
+                              "--s_delta", "6", "--roll_k", "2"]))
+    assert stats["frames"] == 3
+    assert stats["roll_k"] == 2
