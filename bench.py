@@ -3,7 +3,15 @@ FaceNeRF render — the reference's FPS-critical eval path
 (eval_aud_exp_nerf.py: 450²×256 ≈ 51.8M conditioned-MLP point evals per
 frame, muxed at 25 fps).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+TIMEOUT-PROOF DESIGN (round-4): the claim-bearing modes (quality-gated
+temporal composite / temporal head / composite fast / quality-matched)
+run FIRST, and an updated headline JSON line is printed after EVERY
+mode — so a driver that kills the process mid-run still captures the
+best-so-far number from the tail of stdout. Each mode is wrapped in
+try/except and skipped once the wall-clock budget (BENCH_BUDGET_S,
+default 1500 s) is exhausted. The LAST printed JSON line is always the
+most complete measurement.
+
 Baseline: the north-star 25 FPS per chip at this workload (BASELINE.md —
 the reference publishes no number; 25 fps is its video mux rate and the
 driver-set target).
@@ -19,8 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
 
-
-# Operating-point selection lives in the package now
+# Operating-point selection lives in the package
 # (idealnerf_tpu/eval/operating_points.py) so eval_reenact
 # --auto_temporal and this bench read the same gated configs; names
 # re-exported here for callers/tests that import them from bench.
@@ -30,30 +37,150 @@ from idealnerf_tpu.eval.operating_points import (  # noqa: F401
     pick_temporal_points,
 )
 
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def _elapsed():
+    return time.perf_counter() - T_START
+
+
+def _budget_left():
+    return BUDGET_S - _elapsed()
+
+
+class BenchState:
+    """Accumulates per-mode results; emit() prints the headline JSON
+    line reflecting everything measured so far (the driver tails stdout,
+    so the last line printed before any timeout is what lands)."""
+
+    def __init__(self, H, backend, compute_dtype, schedule):
+        self.x = {
+            "fps_full_fidelity": None,
+            "full_mode_pallas": None,
+            "fps_fg_pruned": None,
+            "fps_prior_masked": None,
+            "fps_head_torso_composite_full": None,
+            "fps_head_torso_composite_fast": None,
+            "fps_head_torso_composite_best": None,
+            "composite_fast_ran": False,
+            "fps_head_torso_temporal_video": None,
+            "fps_head_torso_temporal_video_loop": None,
+            "fps_head_torso_temporal_delta": None,
+            "fps_head_temporal_video": None,
+            "fps_head_temporal_video_loop": None,
+            "fps_head_temporal_delta": None,
+            "quality_matched": None,
+            "temporal_quality": None,
+            "prior_mask_source": None,
+            "prior_mask_coverage": None,
+            "prior_coverage_head": None,
+            "prior_coverage_torso": None,
+            "keep_fraction": None,
+            "rays_per_sec": None,
+            "frame_hw": H,
+            "sample_schedule": schedule,
+            "backend": backend,
+            "compute_dtype": str(compute_dtype),
+            "elapsed_s": 0,
+            "modes_skipped": [],
+        }
+        self.H = H
+
+    def comp_video_ok(self):
+        tq = self.x["temporal_quality"]
+        return bool(tq and tq["comp"]["quality_ok"])
+
+    def head_video_ok(self):
+        tq = self.x["temporal_quality"]
+        return bool(tq and tq["head"]["quality_ok"])
+
+    def emit(self):
+        x = self.x
+        # best-mode rollups: every candidate beyond the directly-timed
+        # modes is gated on a measured quality delta from a converged
+        # checkpoint (see section comments below)
+        comp_candidates = [v for v in (x["fps_head_torso_composite_fast"],)
+                           if v]
+        qm = x["quality_matched"]
+        if qm and qm.get("fps_head_torso_composite"):
+            comp_candidates.append(qm["fps_head_torso_composite"])
+        if self.comp_video_ok() and x["fps_head_torso_temporal_video"]:
+            comp_candidates.append(x["fps_head_torso_temporal_video"])
+        x["fps_head_torso_composite_best"] = (
+            round(max(comp_candidates), 3) if comp_candidates else None)
+
+        head_candidates = [
+            v for v in (x["fps_full_fidelity"], x["fps_fg_pruned"],
+                        x["fps_prior_masked"]) if v]
+        if qm and qm.get("fps_prior_masked"):
+            head_candidates.append(qm["fps_prior_masked"])
+        if self.head_video_ok() and x["fps_head_temporal_video"]:
+            head_candidates.append(x["fps_head_temporal_video"])
+
+        candidates = head_candidates + comp_candidates
+        fps = max(candidates) if candidates else 0.0
+        x["rays_per_sec"] = int(fps * self.H * self.H)
+        x["elapsed_s"] = round(_elapsed(), 1)
+        baseline_fps = 25.0
+        print(json.dumps({
+            "metric": "render_fps_450p_64+192_best_mode",
+            "value": round(fps, 3),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / baseline_fps, 3),
+            "extra": x,
+        }), flush=True)
+
+
+def _mode(state, name, min_budget_s, fn):
+    """Run one benchmark mode with budget + exception guards, then emit
+    the updated headline."""
+    if _budget_left() < min_budget_s:
+        state.x["modes_skipped"].append(name)
+        print(f"# skip {name}: {_budget_left():.0f}s left "
+              f"< {min_budget_s}s needed", file=sys.stderr)
+        return
+    try:
+        fn()
+    except Exception as e:
+        state.x["modes_skipped"].append(name)
+        print(f"# mode {name} failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+    state.emit()
+
 
 def main():
-    from idealnerf_tpu.config import ExperimentConfig
-    from idealnerf_tpu.eval.renderer import make_frame_renderer
-    from idealnerf_tpu.models.face_nerf import init_face_nerf
+    import numpy as np
 
-    on_tpu_backend = jax.default_backend() == "tpu"
+    from idealnerf_tpu.config import ExperimentConfig
+    from idealnerf_tpu.eval.renderer import (
+        foreground_prior, foreground_prior_fields, make_frame_renderer,
+        render_frame_prior_masked, render_frame_pruned,
+    )
+    from idealnerf_tpu.models.face_nerf import init_face_nerf, make_field_fn
+
+    on_tpu = jax.default_backend() == "tpu"
     # CPU fallback (driver runs this on a real chip): shrink the frame so
     # a no-TPU environment still produces a comparable-shape JSON line
-    H = W = 450 if on_tpu_backend else 96
-    focal = 1200.0 if on_tpu_backend else 256.0
+    H = W = int(os.environ.get("BENCH_H", "450" if on_tpu else "96"))
+    focal = 1200.0 if on_tpu else 256.0
     cx = cy = H / 2.0
     near, far = 0.5772005200386048, 1.1772005200386046  # May (README.md:46-47)
 
-    # BENCH_SAMPLES / BENCH_IMPORTANCE parametrize the per-ray sample
-    # schedule (default = the reference's paper schedule); used to quote
-    # fps at a quality-matched reduced rung once scripts/sample_sweep.py
-    # has measured the knee on a converged model
     cfg = ExperimentConfig(
         dim_aud=64, dim_expr=79, dim_latent=32,
         N_samples=int(os.environ.get("BENCH_SAMPLES", "64")),
         N_importance=int(os.environ.get("BENCH_IMPORTANCE", "128")),
     )
     nerf_cfg = cfg.face_nerf_config()
+    compute_dtype = jnp.bfloat16 if on_tpu else None
+    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
+    keep = float(os.environ.get("BENCH_KEEP", "0.4"))
+    keep_masked = float(os.environ.get("BENCH_KEEP_MASKED", "0.4"))
+
+    state = BenchState(H, jax.default_backend(), compute_dtype,
+                       f"{cfg.N_samples}+{cfg.N_importance}")
+    state.x["keep_fraction"] = keep
 
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 6)
@@ -69,19 +196,25 @@ def main():
     expr = jax.random.normal(ks[4], (79,))
     latent = jnp.ones((32,))
 
-    on_tpu = jax.default_backend() == "tpu"
-    compute_dtype = jnp.bfloat16 if on_tpu else None
-    n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
-    keep = float(os.environ.get("BENCH_KEEP", "0.4"))
+    torso_cfg = ExperimentConfig(
+        dim_aud=cfg.dim_aud_body + 42, dim_expr=0, dim_latent=0,
+        N_samples=cfg.N_samples, N_importance=cfg.N_importance,
+    ).face_nerf_config()
+    torso_params = {
+        "coarse": init_face_nerf(jax.random.PRNGKey(7), torso_cfg),
+        "fine": init_face_nerf(jax.random.PRNGKey(8), torso_cfg),
+    }
+    signal = jax.random.normal(ks[5], (cfg.dim_aud_body + 42,))
 
-    def timed(render):
+    def timed(render, warm=3):
         # NOTE: through the axon remote tunnel block_until_ready() can
         # return before device execution finishes; accumulate frames and
-        # fetch to host so timing covers real execution. Warm 3 rounds:
+        # fetch to host so timing covers real execution. Warm rounds:
         # the remote relay inflates the first executions of every new
         # executable (a time-based ramp, not just the first call).
-        for _ in range(3):
-            frame = render(params, pose, bc, aud=aud, expr=expr, latent=latent)
+        for _ in range(warm):
+            frame = render(params, pose, bc, aud=aud, expr=expr,
+                           latent=latent)
             float(frame.mean())
         t0 = time.perf_counter()
         acc = None
@@ -92,147 +225,11 @@ def main():
         float(acc.mean())
         return n_frames / (time.perf_counter() - t0)
 
-    # 1. full-fidelity hierarchical render. Default on TPU: the per-ray
-    # fused Pallas kernel with in-kernel compositing ("ray", 105 TF/s on
-    # the fine pass — kernels/fused_render.py). BENCH_PALLAS=0 forces the
-    # XLA path, =1 the per-point fused-MLP kernel.
-    mode = os.environ.get("BENCH_PALLAS", "ray")
-    use_pallas = {"0": False, "1": True, "ray": "ray"}.get(mode, "ray")
-    if not on_tpu:
-        use_pallas = False
-    render_full = make_frame_renderer(
-        nerf_cfg, H, W, focal, near, far, cfg.render_config(),
-        cx=cx, cy=cy, tile=(H * W) // 12,  # 12 tiles
-        compute_dtype=compute_dtype, use_pallas=use_pallas,
-    )
-    fps_full = timed(render_full)
-
-    # 2. foreground-pruned eval (fine pass on top-40% rays by coarse
-    # opacity; visually identical on converged models), fused kernel in
-    # both passes on TPU.
-    from idealnerf_tpu.eval.renderer import render_frame_pruned
-    from idealnerf_tpu.models.face_nerf import make_field_fn
-
-    if on_tpu:
-        from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
-
-        render_pruned = make_pruned_frame_renderer(
-            nerf_cfg, H, W, focal, near, far, cfg.render_config(),
-            cx=cx, cy=cy, tile=(H * W) // 12, keep_fraction=keep,
-            compute_dtype=compute_dtype,
-        )
-    else:
-        @jax.jit
-        def render_pruned(params, pose, bc_img, aud=None, expr=None,
-                          latent=None):
-            cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
-                               compute_dtype=compute_dtype)
-            ff = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent,
-                               compute_dtype=compute_dtype)
-            return render_frame_pruned(
-                cf, ff, H, W, focal, pose, bc_img, near, far,
-                cfg.render_config(), cx=cx, cy=cy, tile=(H * W) // 12,
-                keep_fraction=keep,
-            )
-
-    fps_pruned = timed(render_pruned)
-
-    # 3. subject-prior masked eval: rays outside the subject's foreground
-    # prior (union of face rects + torso parse masks — the quantities the
-    # offline pipeline produces, audio_exp_nerf.py:163-187) skip all
-    # network work. The mask is DERIVED FROM DATA via
-    # eval.renderer.foreground_prior: from the on-disk rehearsal subject
-    # when present (real parse maps, runs/rehearsal2), else from a
-    # 450² synthetic subject's parse masks/face rects.
-    import numpy as np
-
-    from idealnerf_tpu.eval.renderer import (
-        foreground_prior, render_frame_prior_masked,
-    )
-
-    mask = None
-    mask_src = None
-    rehearsal_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "runs", "rehearsal2"
-    )
-    if on_tpu_backend and os.path.isdir(
-        os.path.join(rehearsal_dir, "parsing")
-    ):
-        try:
-            from idealnerf_tpu.data.dataset import load_transforms_dataset
-
-            ds_prior = load_transforms_dataset(
-                rehearsal_dir, mode="train", skip=10, max_frames=24
-            )
-            if ds_prior.hw == (H, W):
-                mask, k_coarse = foreground_prior(ds_prior)
-                mask_src = "rehearsal2_parse"
-        except Exception as e:  # missing/partial run dir: fall through
-            print(f"# prior from rehearsal2 failed: {e}", file=sys.stderr)
-    if mask is None:
-        from idealnerf_tpu.data.synthetic import make_synthetic_dataset
-
-        ds_prior = make_synthetic_dataset(
-            n_frames=6, H=H, W=W, dim_expr=8, with_torso=True
-        )
-        mask, k_coarse = foreground_prior(ds_prior)
-        mask_src = "synthetic_parse"
-    mask_coverage = float(np.asarray(mask).mean())
-    mask_dev = jnp.asarray(mask)
-
-    # keep 0.4 within the prior: the 50k-step converged-model rehearsal
-    # measured the keep-0.4 quality delta at +0.005 dB (runs/rehearsal2)
-    keep_masked = float(os.environ.get("BENCH_KEEP_MASKED", "0.4"))
-    if on_tpu:
-        render_masked = make_pruned_frame_renderer(
-            nerf_cfg, H, W, focal, near, far, cfg.render_config(),
-            cx=cx, cy=cy, tile=(H * W) // 12, keep_fraction=keep_masked,
-            compute_dtype=compute_dtype,
-            prior_mask=mask_dev, k_coarse=k_coarse,
-        )
-    else:
-        @jax.jit
-        def render_masked(params, pose, bc_img, aud=None, expr=None,
-                          latent=None):
-            cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
-                               compute_dtype=compute_dtype)
-            ff = make_field_fn(params["fine"], nerf_cfg, aud, expr, latent,
-                               compute_dtype=compute_dtype)
-            return render_frame_prior_masked(
-                cf, ff, H, W, focal, pose, bc_img, near, far,
-                cfg.render_config(), mask_dev, k_coarse, cx=cx, cy=cy,
-                keep_fraction=keep_masked,
-            )
-
-    fps_masked = timed(render_masked)
-
-    # 4. head+torso composite at full fidelity — the north-star workload
-    # (test_torso.py:513-534: head rays from the frame pose, torso rays
-    # from the fixed first-frame pose, layered composite). Two full
-    # hierarchical field renders per frame.
-    from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
-
-    torso_cfg = ExperimentConfig(
-        dim_aud=cfg.dim_aud_body + 42, dim_expr=0, dim_latent=0,
-        N_samples=cfg.N_samples, N_importance=cfg.N_importance,
-    ).face_nerf_config()
-    torso_params = {
-        "coarse": init_face_nerf(jax.random.PRNGKey(7), torso_cfg),
-        "fine": init_face_nerf(jax.random.PRNGKey(8), torso_cfg),
-    }
-    signal = jax.random.normal(ks[5], (cfg.dim_aud_body + 42,))
-    render_comp = make_composite_frame_renderer(
-        nerf_cfg, torso_cfg, H, W, focal, near, far, cfg.render_config(),
-        cx=cx, cy=cy, compute_dtype=compute_dtype,
-        use_pallas="ray" if on_tpu else False, tile=(H * W) // 12,
-    )
-
-    def timed_comp(render):
+    def timed_comp(render, warm=3):
         def call():
             return render(params, torso_params, pose, pose, bc,
-                          aud=aud, signal=signal, expr=expr,
-                          latent=latent)
-        for _ in range(3):
+                          aud=aud, signal=signal, expr=expr, latent=latent)
+        for _ in range(warm):
             float(call().mean())
         t0 = time.perf_counter()
         acc = None
@@ -242,90 +239,102 @@ def main():
         float(acc.mean())
         return n_frames / (time.perf_counter() - t0)
 
-    fps_comp = timed_comp(render_comp)
+    # ---- subject prior masks (shared by every fast mode) -------------
+    # Rays outside the subject's foreground prior (union of face rects +
+    # torso parse masks — the quantities the offline pipeline produces,
+    # audio_exp_nerf.py:163-187) skip all network work. Derived FROM DATA
+    # via eval.renderer.foreground_prior: from the on-disk rehearsal
+    # subject when present (real parse maps, runs/rehearsal2), else from
+    # a 450² synthetic subject's parse masks/face rects.
+    here = os.path.dirname(os.path.abspath(__file__))
+    mask = mask_src = None
+    rehearsal_dir = os.path.join(here, "runs", "rehearsal2")
+    if on_tpu and os.path.isdir(os.path.join(rehearsal_dir, "parsing")):
+        try:
+            from idealnerf_tpu.data.dataset import load_transforms_dataset
 
-    # 5. composite FAST mode — per-FIELD priors (head: face rects;
-    # torso: parse silhouette — foreground_prior_fields on the same
-    # data-derived subject as mode 3) + per-field pruning, with the
-    # head ranking occlusion-weighted by the torso's coarse
-    # transmittance (eval/renderer.make_composite_fast_renderer).
-    from idealnerf_tpu.eval.renderer import (
-        foreground_prior_fields, make_composite_fast_renderer,
-    )
+            ds_prior = load_transforms_dataset(
+                rehearsal_dir, mode="train", skip=10, max_frames=24)
+            if ds_prior.hw == (H, W):
+                mask, k_coarse = foreground_prior(ds_prior)
+                mask_src = "rehearsal2_parse"
+        except Exception as e:  # missing/partial run dir: fall through
+            print(f"# prior from rehearsal2 failed: {e}", file=sys.stderr)
+    if mask is None:
+        from idealnerf_tpu.data.synthetic import make_synthetic_dataset
+
+        ds_prior = make_synthetic_dataset(
+            n_frames=6, H=H, W=W, dim_expr=8, with_torso=True)
+        mask, k_coarse = foreground_prior(ds_prior)
+        mask_src = "synthetic_parse"
+    mask_dev = jnp.asarray(mask)
+    state.x["prior_mask_source"] = mask_src
+    state.x["prior_mask_coverage"] = round(float(np.asarray(mask).mean()), 4)
 
     try:
         mask_h, mask_t = foreground_prior_fields(ds_prior)
     except Exception:
         mask_h = mask_t = np.asarray(mask)
-    cov_h = float(np.asarray(mask_h).mean())
-    cov_t = float(np.asarray(mask_t).mean())
+    state.x["prior_coverage_head"] = round(float(np.asarray(mask_h).mean()), 4)
+    state.x["prior_coverage_torso"] = round(
+        float(np.asarray(mask_t).mean()), 4)
 
+    # ---- temporal operating points (host-side, instant) --------------
+    # Per-mode operating point (refresh interval, s_delta, keyframe rung,
+    # per-field delta_keep) = the quality-holding configuration with the
+    # largest keyframe interval and cheapest s_delta across every
+    # scripts/temporal_delta.py evidence file. Timing is
+    # content-independent (static shapes), so random fields measure real
+    # fps; the quality contract is measured on trained checkpoints.
+    default_sd = int(os.environ.get("BENCH_S_DELTA", "32"))
+    default_refresh = int(os.environ.get("BENCH_REFRESH", "25"))
+    comp_conf = head_conf = None
     if on_tpu:
-        render_comp_fast = make_composite_fast_renderer(
-            nerf_cfg, torso_cfg, H, W, focal, near, far,
-            cfg.render_config(), cx=cx, cy=cy,
-            compute_dtype=compute_dtype,
-            prior_mask_head=jnp.asarray(mask_h),
-            prior_mask_torso=jnp.asarray(mask_t),
-            keep_head=keep_masked, keep_torso=keep_masked,
-        )
-        fps_comp_fast = timed_comp(render_comp_fast)
-        comp_fast_ran = True
-    else:
-        # the fused kernels only run in (slow) interpret mode off-TPU;
-        # the fast mode is meaningless there — report the full-fidelity
-        # number but mark that the fast path never executed
-        fps_comp_fast = fps_comp
-        comp_fast_ran = False
+        try:
+            cands = load_temporal_evidence(
+                os.path.join(here, "runs", "rehearsal2_com"))
+            state.x["temporal_quality"] = pick_temporal_mode_configs(
+                cands, default_sd, default_refresh)
+            comp_conf = state.x["temporal_quality"]["comp"]
+            head_conf = state.x["temporal_quality"]["head"]
+        except Exception as e:
+            print(f"# temporal evidence load failed: {e}", file=sys.stderr)
+    state.emit()  # first (empty-modes) line: schema lands even on a crash
 
-    # 6. temporal depth-cache composite (eval/temporal.py) — the VIDEO
-    # renderer: keyframes every BENCH_REFRESH frames pay the full
-    # hierarchical schedule on the prior rays; frames in between resample
-    # each ray only inside its cached foreground depth band at
-    # BENCH_S_DELTA samples/ray. Timing is content-independent (static
-    # shapes), so random fields measure real fps; the quality contract is
-    # measured on trained checkpoints by scripts/temporal_delta.py.
-    fps_temporal_video = fps_temporal_delta = None
-    fps_temporal_video_loop = fps_temporal_head_video_loop = None
-    temporal_quality = None
-    if on_tpu:
+    import dataclasses as _dc
+
+    def cfg_at(rung):
+        if not rung:
+            return cfg
+        s_kf, imp_kf = map(int, rung.split("+"))
+        return _dc.replace(cfg, N_samples=s_kf, N_importance=imp_kf)
+
+    # ================= MODE 1 (claim-bearing): temporal composite =====
+    # Temporal depth-cache composite (eval/temporal.py) — the VIDEO
+    # renderer: keyframes every `refresh` frames pay the full
+    # hierarchical schedule on the prior rays; frames in between
+    # resample each ray only inside its cached foreground depth band at
+    # s_delta samples/ray; per-field delta_keep freezes weak-foreground
+    # rays at keyframe quality (kt1: the static-pose torso is frozen
+    # between keyframes). This is the 25-fps north-star passer.
+    def run_temporal_comp():
         from idealnerf_tpu.eval.temporal import (
             make_temporal_composite_renderer,
         )
 
-        # per-mode operating point (refresh interval, s_delta, keyframe
-        # rung) = the quality-holding configuration with the largest
-        # keyframe interval and cheapest s_delta across every
-        # scripts/temporal_delta.py evidence file; env defaults otherwise
-        default_sd = int(os.environ.get("BENCH_S_DELTA", "32"))
-        default_refresh = int(os.environ.get("BENCH_REFRESH", "25"))
-        td_dir = os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            "runs", "rehearsal2_com")
-        cands = load_temporal_evidence(td_dir)
-        temporal_quality = pick_temporal_mode_configs(
-            cands, default_sd, default_refresh)
-        comp_conf = temporal_quality["comp"]
-        head_conf = temporal_quality["head"]
-
-        import dataclasses as _dc
-
-        def cfg_at(rung):
-            if not rung:
-                return cfg
-            s_kf, imp_kf = map(int, rung.split("+"))
-            return _dc.replace(cfg, N_samples=s_kf, N_importance=imp_kf)
-
         refresh = comp_conf["refresh"]
         s_delta = comp_conf["s_delta"]
         dk = comp_conf.get("delta_keep", 1.0)
+        mh_c, mt_c = mask_h, mask_t
+        if comp_conf.get("head_parse"):
+            # the gated point was measured with parse-silhouette priors
+            mh_c, mt_c = foreground_prior_fields(ds_prior, head_parse=True)
         render_temporal = make_temporal_composite_renderer(
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg_at(comp_conf["keyframe_rung"]).render_config(),
-            cx=cx, cy=cy,
-            compute_dtype=compute_dtype,
-            prior_mask_head=jnp.asarray(mask_h),
-            prior_mask_torso=jnp.asarray(mask_t), s_delta=s_delta,
+            cx=cx, cy=cy, compute_dtype=compute_dtype,
+            prior_mask_head=jnp.asarray(mh_c),
+            prior_mask_torso=jnp.asarray(mt_c), s_delta=s_delta,
             delta_keep_head=dk,
             delta_keep_torso=(comp_conf.get("delta_keep_torso") or dk),
             s_delta_torso=comp_conf.get("s_delta_torso"),
@@ -348,14 +357,19 @@ def main():
             f, c0 = tcall(c0)
             float(f.mean())
         # amortized video fps over one refresh period (1 keyframe +
-        # refresh-1 delta frames), accumulate-then-fetch — per-frame loop
+        # refresh-1 delta frames), accumulate-then-fetch, per-frame loop
         t0 = time.perf_counter()
         acc, cache = None, None
         for i in range(refresh):
             f, cache = tcall(None if i == 0 else cache)
             acc = f if acc is None else acc + f
         float(acc.mean())
-        fps_temporal_video_loop = refresh / (time.perf_counter() - t0)
+        loop_fps = refresh / (time.perf_counter() - t0)
+        state.x["fps_head_torso_temporal_video_loop"] = round(loop_fps, 3)
+        # until the scanned-cycle program lands, quote the loop number
+        state.x["fps_head_torso_temporal_video"] = round(loop_fps, 3)
+        state.emit()  # land the north-star number NOW
+
         # steady-state delta-frame fps (per-frame loop)
         t0 = time.perf_counter()
         acc = None
@@ -363,15 +377,16 @@ def main():
             f, cache = tcall(cache)
             acc = f if acc is None else acc + f
         float(acc.mean())
-        fps_temporal_delta = max(n_frames, 8) / (time.perf_counter() - t0)
+        state.x["fps_head_torso_temporal_delta"] = round(
+            max(n_frames, 8) / (time.perf_counter() - t0), 3)
+        state.emit()
 
         # production video path (cli/eval_reenact.py --cycle, default):
         # each cycle's delta frames after the first run as ONE scanned
         # program — identical frames (equivalence-tested), one dispatch
         # + one bulk fetch per cycle
         T_cyc = refresh - 2
-        fps_temporal_video = fps_temporal_video_loop
-        if T_cyc > 0:
+        if T_cyc > 0 and _budget_left() > 120:
             xs_c = dict(
                 poses=jnp.tile(pose[None], (T_cyc, 1, 1)),
                 auds=jnp.tile(aud[None], (T_cyc, 1)),
@@ -398,20 +413,25 @@ def main():
                 a = a + fr.mean()
                 acc = a if acc is None else acc + a
             float(acc)
-            fps_temporal_video = (
-                3 * refresh / (time.perf_counter() - t0))
+            state.x["fps_head_torso_temporal_video"] = round(
+                3 * refresh / (time.perf_counter() - t0), 3)
 
-        # head-only temporal (the single-field video path,
-        # eval_aud_exp_nerf.py:437 workload) under the same subject prior
-        # as mode 3
+    # ================= MODE 2 (claim-bearing): temporal head ==========
+    # Head-only temporal video (the single-field eval_aud_exp_nerf.py:437
+    # workload) under the same subject prior as the masked mode.
+    def run_temporal_head():
         from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
 
         refresh_h = head_conf["refresh"]
-        render_temporal_head = make_temporal_frame_renderer(
+        mask_head_mode = mask_dev
+        if head_conf.get("head_parse"):
+            m_hp, _ = foreground_prior(ds_prior, head_parse=True)
+            mask_head_mode = jnp.asarray(m_hp)
+        render_th = make_temporal_frame_renderer(
             nerf_cfg, H, W, focal, near, far,
             cfg_at(head_conf["keyframe_rung"]).render_config(),
             cx=cx, cy=cy, compute_dtype=compute_dtype,
-            prior_mask=mask_dev, s_delta=head_conf["s_delta"],
+            prior_mask=mask_head_mode, s_delta=head_conf["s_delta"],
             delta_keep=head_conf.get("delta_keep", 1.0),
             uni_frac=head_conf.get("uni_frac", 0.25),
             kf_blend=head_conf.get("kf_blend", 0.0),
@@ -419,9 +439,8 @@ def main():
         )
 
         def hcall(cache):
-            return render_temporal_head(params, pose, bc, aud=aud,
-                                        expr=expr, latent=latent,
-                                        cache=cache)
+            return render_th(params, pose, bc, aud=aud, expr=expr,
+                             latent=latent, cache=cache)
 
         for _ in range(2):
             f, hc = hcall(None)
@@ -435,28 +454,31 @@ def main():
             f, hc = hcall(None if i == 0 else hc)
             acc = f if acc is None else acc + f
         float(acc.mean())
-        fps_temporal_head_video_loop = (
-            refresh_h / (time.perf_counter() - t0))
+        loop_fps = refresh_h / (time.perf_counter() - t0)
+        state.x["fps_head_temporal_video_loop"] = round(loop_fps, 3)
+        state.x["fps_head_temporal_video"] = round(loop_fps, 3)
+        state.emit()
+
         t0 = time.perf_counter()
         acc = None
         for _ in range(max(n_frames, 8)):
             f, hc = hcall(hc)
             acc = f if acc is None else acc + f
         float(acc.mean())
-        fps_temporal_head_delta = (
-            max(n_frames, 8) / (time.perf_counter() - t0))
+        state.x["fps_head_temporal_delta"] = round(
+            max(n_frames, 8) / (time.perf_counter() - t0), 3)
+        state.emit()
 
         # scanned-cycle head video (production path)
         T_h = refresh_h - 2
-        fps_temporal_head_video = fps_temporal_head_video_loop
-        if T_h > 0:
+        if T_h > 0 and _budget_left() > 120:
             xs_h = dict(poses=jnp.tile(pose[None], (T_h, 1, 1)),
                         auds=jnp.tile(aud[None], (T_h, 1)),
                         exprs=jnp.tile(expr[None], (T_h, 1)),
                         latents=jnp.tile(latent[None], (T_h, 1)))
 
             def hccall(c):
-                return render_temporal_head.cycle(
+                return render_th.cycle(
                     params, xs_h["poses"], bc, c, auds=xs_h["auds"],
                     exprs=xs_h["exprs"], latents=xs_h["latents"])
 
@@ -473,127 +495,185 @@ def main():
                 a = a + fr.mean()
                 acc = a if acc is None else acc + a
             float(acc)
-            fps_temporal_head_video = (
-                3 * refresh_h / (time.perf_counter() - t0))
-    else:
-        fps_temporal_head_video = fps_temporal_head_delta = None
+            state.x["fps_head_temporal_video"] = round(
+                3 * refresh_h / (time.perf_counter() - t0), 3)
 
-    # 7. quality-matched reduced sample schedule — EVIDENCE-GATED: only
-    # when scripts/sample_sweep.py has measured (on the converged
-    # rehearsal checkpoint) that a cheaper rung holds quality within
-    # 0.05 dB of the paper 64+192 schedule. Bounds tightening changes
-    # quality, not cost, so fps here only needs the rung.
-    qm = None
-    sweep_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "runs", "rehearsal2", "sample_sweep.json")
-    if on_tpu and os.path.exists(sweep_path):
+    # head first: two compiled programs vs the composite's four, so the
+    # biggest gated number (48+ fps head video) lands earliest; the
+    # composite's 25-fps north-star row follows
+    if on_tpu and head_conf:
+        _mode(state, "temporal_head", 60, run_temporal_head)
+    if on_tpu and comp_conf:
+        _mode(state, "temporal_composite", 60, run_temporal_comp)
+
+    # ================= MODE 3: composite FAST =========================
+    # Per-FIELD priors (head: face rects; torso: parse silhouette) +
+    # per-field opacity pruning, head ranking occlusion-weighted by the
+    # torso's coarse transmittance (eval/renderer.
+    # make_composite_fast_renderer).
+    def run_comp_fast():
+        from idealnerf_tpu.eval.renderer import make_composite_fast_renderer
+
+        render_comp_fast = make_composite_fast_renderer(
+            nerf_cfg, torso_cfg, H, W, focal, near, far,
+            cfg.render_config(), cx=cx, cy=cy,
+            compute_dtype=compute_dtype,
+            prior_mask_head=jnp.asarray(mask_h),
+            prior_mask_torso=jnp.asarray(mask_t),
+            keep_head=keep_masked, keep_torso=keep_masked,
+        )
+        state.x["fps_head_torso_composite_fast"] = round(
+            timed_comp(render_comp_fast), 3)
+        state.x["composite_fast_ran"] = True
+
+    if on_tpu:
+        _mode(state, "composite_fast", 90, run_comp_fast)
+
+    # ================= MODE 4: quality-matched reduced rung ===========
+    # EVIDENCE-GATED: only when scripts/sample_sweep.py has measured (on
+    # the converged rehearsal checkpoint) that a cheaper rung holds
+    # quality within 0.05 dB of the paper 64+192 schedule.
+    def run_qm():
+        from idealnerf_tpu.eval.renderer import (
+            make_composite_fast_renderer, make_pruned_frame_renderer,
+        )
+
+        sweep_path = os.path.join(
+            here, "runs", "rehearsal2", "sample_sweep.json")
+        if not os.path.exists(sweep_path):
+            return
         with open(sweep_path) as fh:
             sweep = json.load(fh)
         best = pick_quality_matched_rung(sweep)
-        if best and best[:2] != (cfg.N_samples, cfg.N_importance):
-            s_qm, imp_qm, rung, delta = best
-            import dataclasses as _dc
+        if not best or best[:2] == (cfg.N_samples, cfg.N_importance):
+            return
+        s_qm, imp_qm, rung, delta = best
+        cfg_qm = _dc.replace(cfg, N_samples=s_qm, N_importance=imp_qm)
+        qm_masked = make_pruned_frame_renderer(
+            nerf_cfg, H, W, focal, near, far, cfg_qm.render_config(),
+            cx=cx, cy=cy, tile=(H * W) // 12,
+            keep_fraction=keep_masked, compute_dtype=compute_dtype,
+            prior_mask=mask_dev, k_coarse=k_coarse,
+        )
+        qm_fps_masked = round(timed(qm_masked), 3)
+        state.x["quality_matched"] = {
+            "rung": rung, "delta_db_on_converged_model": delta,
+            "fps_prior_masked": qm_fps_masked,
+        }
+        state.emit()
+        qm_comp = make_composite_fast_renderer(
+            nerf_cfg, torso_cfg, H, W, focal, near, far,
+            cfg_qm.render_config(), cx=cx, cy=cy,
+            compute_dtype=compute_dtype,
+            prior_mask_head=jnp.asarray(mask_h),
+            prior_mask_torso=jnp.asarray(mask_t),
+            keep_head=keep_masked, keep_torso=keep_masked,
+        )
+        state.x["quality_matched"]["fps_head_torso_composite"] = round(
+            timed_comp(qm_comp), 3)
 
-            cfg_qm = _dc.replace(cfg, N_samples=s_qm, N_importance=imp_qm)
-            qm_masked = make_pruned_frame_renderer(
-                nerf_cfg, H, W, focal, near, far, cfg_qm.render_config(),
+    if on_tpu:
+        _mode(state, "quality_matched", 90, run_qm)
+
+    # ================= MODE 5: prior-masked (paper rung) ==============
+    # Fine budget normalized to mask coverage (round-4 starvation fix).
+    def run_masked():
+        if on_tpu:
+            from idealnerf_tpu.eval.renderer import (
+                make_pruned_frame_renderer,
+            )
+
+            render_masked = make_pruned_frame_renderer(
+                nerf_cfg, H, W, focal, near, far, cfg.render_config(),
                 cx=cx, cy=cy, tile=(H * W) // 12,
                 keep_fraction=keep_masked, compute_dtype=compute_dtype,
                 prior_mask=mask_dev, k_coarse=k_coarse,
             )
-            qm_comp = make_composite_fast_renderer(
-                nerf_cfg, torso_cfg, H, W, focal, near, far,
-                cfg_qm.render_config(), cx=cx, cy=cy,
-                compute_dtype=compute_dtype,
-                prior_mask_head=jnp.asarray(mask_h),
-                prior_mask_torso=jnp.asarray(mask_t),
-                keep_head=keep_masked, keep_torso=keep_masked,
+        else:
+            @jax.jit
+            def render_masked(params, pose, bc_img, aud=None, expr=None,
+                              latent=None):
+                cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr,
+                                   latent, compute_dtype=compute_dtype)
+                ff = make_field_fn(params["fine"], nerf_cfg, aud, expr,
+                                   latent, compute_dtype=compute_dtype)
+                return render_frame_prior_masked(
+                    cf, ff, H, W, focal, pose, bc_img, near, far,
+                    cfg.render_config(), mask_dev, k_coarse, cx=cx, cy=cy,
+                    keep_fraction=keep_masked,
+                )
+
+        state.x["fps_prior_masked"] = round(timed(render_masked), 3)
+
+    _mode(state, "prior_masked", 90, run_masked)
+
+    # ================= MODE 6: fg-pruned (paper rung) =================
+    def run_pruned():
+        if on_tpu:
+            from idealnerf_tpu.eval.renderer import (
+                make_pruned_frame_renderer,
             )
-            qm = {
-                "rung": rung, "delta_db_on_converged_model": delta,
-                "fps_prior_masked": round(timed(qm_masked), 3),
-                "fps_head_torso_composite": round(timed_comp(qm_comp), 3),
-            }
 
-    # 8. temporal quality gates — scripts/temporal_delta.py measures, on
-    # the converged rehearsal checkpoints over a sequential val clip, how
-    # far the keyframe+delta video renderer drifts from the per-frame
-    # full render. Only when that measurement exists AND holds at the
-    # timed operating point do the temporal fps rows count toward the
-    # best-mode numbers below (gates computed in section 6).
-    comp_video_ok = bool(
-        temporal_quality and temporal_quality["comp"]["quality_ok"])
-    head_video_ok = bool(
-        temporal_quality and temporal_quality["head"]["quality_ok"])
+            render_pruned = make_pruned_frame_renderer(
+                nerf_cfg, H, W, focal, near, far, cfg.render_config(),
+                cx=cx, cy=cy, tile=(H * W) // 12, keep_fraction=keep,
+                compute_dtype=compute_dtype,
+            )
+        else:
+            @jax.jit
+            def render_pruned(params, pose, bc_img, aud=None, expr=None,
+                              latent=None):
+                cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr,
+                                   latent, compute_dtype=compute_dtype)
+                ff = make_field_fn(params["fine"], nerf_cfg, aud, expr,
+                                   latent, compute_dtype=compute_dtype)
+                return render_frame_pruned(
+                    cf, ff, H, W, focal, pose, bc_img, near, far,
+                    cfg.render_config(), cx=cx, cy=cy, tile=(H * W) // 12,
+                    keep_fraction=keep,
+                )
 
-    # best-mode rollups: every candidate beyond the directly-timed modes
-    # is gated on a measured quality delta from a converged checkpoint
-    comp_candidates = [fps_comp_fast]
-    if qm:
-        comp_candidates.append(qm["fps_head_torso_composite"])
-    if comp_video_ok and fps_temporal_video:
-        comp_candidates.append(fps_temporal_video)
-    fps_comp_best = max(comp_candidates)
+        state.x["fps_fg_pruned"] = round(timed(render_pruned), 3)
 
-    head_candidates = [fps_full, fps_pruned, fps_masked]
-    if qm:
-        head_candidates.append(qm["fps_prior_masked"])
-    if head_video_ok and fps_temporal_head_video:
-        head_candidates.append(fps_temporal_head_video)
-    fps = max(head_candidates)
-    rays_per_sec = fps * H * W
-    baseline_fps = 25.0
-    print(
-        json.dumps(
-            {
-                "metric": "render_fps_450p_64+192_best_mode",
-                "value": round(fps, 3),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / baseline_fps, 3),
-                "extra": {
-                    "fps_full_fidelity": round(fps_full, 3),
-                    "full_mode_pallas": str(use_pallas),
-                    "fps_fg_pruned": round(fps_pruned, 3),
-                    "fps_prior_masked": round(fps_masked, 3),
-                    "fps_head_torso_composite_full": round(fps_comp, 3),
-                    "fps_head_torso_composite_fast": round(fps_comp_fast, 3),
-                    "fps_head_torso_composite_best": round(fps_comp_best, 3),
-                    "composite_fast_ran": comp_fast_ran,
-                    "fps_head_torso_temporal_video": (
-                        round(fps_temporal_video, 3)
-                        if fps_temporal_video else None),
-                    "fps_head_torso_temporal_video_loop": (
-                        round(fps_temporal_video_loop, 3)
-                        if fps_temporal_video_loop else None),
-                    "fps_head_torso_temporal_delta": (
-                        round(fps_temporal_delta, 3)
-                        if fps_temporal_delta else None),
-                    "fps_head_temporal_video": (
-                        round(fps_temporal_head_video, 3)
-                        if fps_temporal_head_video else None),
-                    "fps_head_temporal_video_loop": (
-                        round(fps_temporal_head_video_loop, 3)
-                        if fps_temporal_head_video_loop else None),
-                    "fps_head_temporal_delta": (
-                        round(fps_temporal_head_delta, 3)
-                        if fps_temporal_head_delta else None),
-                    "quality_matched": qm,
-                    "temporal_quality": temporal_quality,
-                    "prior_mask_source": mask_src,
-                    "prior_mask_coverage": round(mask_coverage, 4),
-                    "prior_coverage_head": round(cov_h, 4),
-                    "prior_coverage_torso": round(cov_t, 4),
-                    "keep_fraction": keep,
-                    "rays_per_sec": int(rays_per_sec),
-                    "frame_hw": H,
-                    "sample_schedule": f"{cfg.N_samples}+{cfg.N_importance}",
-                    "backend": jax.default_backend(),
-                    "compute_dtype": str(compute_dtype),
-                },
-            }
+    _mode(state, "fg_pruned", 120, run_pruned)
+
+    # ================= MODE 7: composite full fidelity ================
+    # Two full hierarchical field renders per frame (test_torso.py:
+    # 513-534 workload) — slow (~1.2 s/frame); runs late so it can't
+    # starve the claim-bearing modes.
+    def run_comp_full():
+        from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
+
+        render_comp = make_composite_frame_renderer(
+            nerf_cfg, torso_cfg, H, W, focal, near, far,
+            cfg.render_config(), cx=cx, cy=cy, compute_dtype=compute_dtype,
+            use_pallas="ray" if on_tpu else False, tile=(H * W) // 12,
         )
-    )
+        state.x["fps_head_torso_composite_full"] = round(
+            timed_comp(render_comp, warm=2), 3)
+
+    _mode(state, "composite_full", 180, run_comp_full)
+
+    # ================= MODE 8: full fidelity ==========================
+    # Full-frame 450² hierarchical render, per-ray fused Pallas kernel
+    # with in-kernel compositing ("ray", 105 TF/s on the fine pass —
+    # kernels/fused_render.py). BENCH_PALLAS=0 forces the XLA path,
+    # =1 the per-point fused-MLP kernel. ~0.7 s/frame: runs last.
+    def run_full():
+        mode_env = os.environ.get("BENCH_PALLAS", "ray")
+        use_pallas = {"0": False, "1": True, "ray": "ray"}.get(
+            mode_env, "ray")
+        if not on_tpu:
+            use_pallas = False
+        render_full = make_frame_renderer(
+            nerf_cfg, H, W, focal, near, far, cfg.render_config(),
+            cx=cx, cy=cy, tile=(H * W) // 12,
+            compute_dtype=compute_dtype, use_pallas=use_pallas,
+        )
+        state.x["full_mode_pallas"] = str(use_pallas)
+        state.x["fps_full_fidelity"] = round(timed(render_full, warm=2), 3)
+
+    _mode(state, "full_fidelity", 150, run_full)
 
 
 if __name__ == "__main__":

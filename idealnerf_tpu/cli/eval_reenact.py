@@ -104,6 +104,10 @@ def main(argv=None):
                              "(invalid rays carry their previous band "
                              "in between) — thins per-delta-frame "
                              "fixed work")
+    parser.add_argument("--head_parse", type=int, default=0,
+                        help="tighten the subject priors from face-rect "
+                             "boxes to parse silhouettes "
+                             "(foreground_prior* head_parse)")
     parser.add_argument("--cycle", type=int, default=1,
                         help="with --temporal: render each cycle's "
                              "delta frames as ONE scanned program "
@@ -131,6 +135,7 @@ def main(argv=None):
         args.uni_frac = conf.get("uni_frac", 0.25)
         args.kf_blend = conf.get("kf_blend", 0.0)
         args.dilate_every = conf.get("dilate_every", 1)
+        args.head_parse = int(conf.get("head_parse", False))
         args.prior = 1
         if conf["keyframe_rung"]:
             s_kf, imp_kf = map(int, conf["keyframe_rung"].split("+"))
@@ -236,6 +241,7 @@ def main(argv=None):
         s_delta_torso=args.s_delta_torso,
         uni_frac=args.uni_frac, kf_blend=args.kf_blend,
         dilate_every=args.dilate_every,
+        head_parse=bool(args.head_parse),
         cycle=bool(args.cycle),
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)

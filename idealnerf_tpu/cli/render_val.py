@@ -39,6 +39,17 @@ def main(argv=None):
                         help="shard each frame's rays over this many "
                              "devices (the 'ray' mesh axis; full-"
                              "fidelity mode only)")
+    parser.add_argument("--head_parse", type=int, default=0,
+                        help="with --prior_masked: tighten the prior "
+                             "from face-rect boxes to parse silhouettes "
+                             "(foreground_prior head_parse)")
+    parser.add_argument("--keep_basis", choices=("frame", "mask"),
+                        default="frame",
+                        help="what --pruned's keep %% is a fraction of "
+                             "under --prior_masked: 'frame' (default; "
+                             "same absolute fine budget as unmasked "
+                             "pruning) or 'mask' (pre-round-4 "
+                             "semantics, starves the fine pass)")
     parser.add_argument("--tighten_bounds", type=int, default=0,
                         help="tighten [near,far] to the trained model's "
                              "own depth band (subject_depth_range): "
@@ -102,7 +113,8 @@ def main(argv=None):
 
             if ds_train is None:
                 ds_train = resolve_dataset(args, cfg, mode="train")
-            mask_np, k_coarse = foreground_prior(ds_train)
+            mask_np, k_coarse = foreground_prior(
+                ds_train, head_parse=bool(args.head_parse))
             prior_mask = jnp.asarray(mask_np)
             logger.info("subject prior: %.1f%% coverage, k_coarse %d",
                         100.0 * float(mask_np.mean()), k_coarse)
@@ -112,6 +124,7 @@ def main(argv=None):
             keep_fraction=args.pruned / 100.0 if args.pruned > 1 else 0.4,
             compute_dtype=compute_dtype,
             prior_mask=prior_mask, k_coarse=k_coarse,
+            keep_basis=args.keep_basis,
         )
     elif args.ray_devices:
         # multi-chip eval: each frame's rays shard over the 'ray' axis

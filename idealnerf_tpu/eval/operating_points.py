@@ -80,23 +80,27 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
 
     def _parse(k, prefix):
         """Mode key -> point dict or None. Grammar after the prefix:
-        "<h>[t<t>][_k<pct>][_kt<pct>][_u<pct>][_b<pct>][_d<k>]" — plain
-        rungs ("32"), per-field torso counts ("16t32"), delta_keep
+        "<h>[t<t>][_k<pct>][_kt<pct>][_u<pct>][_b<pct>][_d<k>][_hp]" —
+        plain rungs ("32"), per-field torso counts ("16t32"), delta_keep
         studies ("32_k60"; per-field torso keep "32_k60_kt40"),
         depth-placement studies (uniform fraction "_u50", keyframe CDF
         blend "_b50"), thinned band dilation ("_d2" = dilate every 2nd
-        delta frame); all from temporal_delta.py flags."""
+        delta frame), parse-silhouette priors ("_hp"); all from
+        temporal_delta.py flags."""
         if not k.startswith(prefix):
             return None
         rest = k[len(prefix):].split("_")
         pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0, fz=False,
-                  dil=1)
+                  dil=1, hp=False)
         tags = dict(kt=("keep_t", 100.0), k=("keep", 100.0),
                     u=("uni", 100.0), b=("blend", 100.0),
                     d=("dil", 1))
         for seg in rest[1:]:
             if seg == "fz":  # boolean tag: torso frozen-z delta frames
                 pt["fz"] = True
+                continue
+            if seg == "hp":  # boolean tag: parse-silhouette priors
+                pt["hp"] = True
                 continue
             tag = next((t for t in ("kt", "k", "u", "b", "d")
                         if seg.startswith(t) and seg[len(t):].isdigit()),
@@ -152,18 +156,39 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
             torso_cost = fixed + (st if st is not None else s) * kt
         return (head_cost + torso_cost) / 2.0
 
+    def _rank(pv):
+        # MEASURED steady-state delta-frame fps ranks points when the
+        # evidence carries it (temporal_delta.py fps_delta_frames) —
+        # the synthetic sample-count cost model mis-ranks configs whose
+        # fixed work differs from its constants (round-4: it picked
+        # s12+fz+d2 over the 1.5×-faster-measured s16+kt1). Cost model
+        # = fallback for evidence predating the fps rows.
+        p, v = pv
+        fps = v.get("fps_delta_frames")
+        if fps:
+            return (0, -fps, p["s"])
+        return (1, _cost(p), p["s"])
+
     def _pts(prefix):
         pts = [(p, v) for k, v in modes.items()
                if (p := _parse(k, prefix)) is not None]
-        return sorted(pts, key=lambda pv: (_cost(pv[0]), pv[0]["s"]))
+        return sorted(pts, key=_rank)
 
     comp = _pts("s_delta_")
     head = _pts("head_only_s_delta_")
-    comp_ok_pts = [p for p, v in comp
-                   if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
-    head_ok_pts = [p for p, v in head
-                   if usable
-                   and v.get("psnr_temporal_vs_full", 0.0) >= 40.0]
+    comp_ok = [(p, v) for p, v in comp
+               if usable and v.get("delta_psnr_vs_gt", 99.0) <= 0.05]
+    # head gate (round 4): ≥40 dB agreement with the per-frame full
+    # render AND, when the evidence carries it, ≤0.05 dB PSNR-vs-GT
+    # delta against head_imgs ground truth (the agreement gate alone is
+    # self-referential; older evidence without the GT row still gates
+    # on agreement only)
+    head_ok = [(p, v) for p, v in head
+               if usable
+               and v.get("psnr_temporal_vs_full", 0.0) >= 40.0
+               and v.get("delta_psnr_vs_gt", 0.0) <= 0.05]
+    comp_ok_pts = [p for p, _ in comp_ok]
+    head_ok_pts = [p for p, _ in head_ok]
 
     def _key(pt):
         return (f"s_delta_{pt['s']}"
@@ -174,7 +199,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
                 + ("" if pt["uni"] == 0.25 else f"_u{round(pt['uni']*100)}")
                 + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}")
                 + ("" if pt["dil"] <= 1 else f"_d{pt['dil']}")
-                + ("_fz" if pt["fz"] else ""))
+                + ("_fz" if pt["fz"] else "")
+                + ("_hp" if pt["hp"] else ""))
 
     return {
         "refresh_measured": td.get("refresh") if td else None,
@@ -203,7 +229,10 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         "uni_frac_comp": comp_ok_pts[0]["uni"] if comp_ok_pts else 0.25,
         "kf_blend_comp": comp_ok_pts[0]["blend"] if comp_ok_pts else 0.0,
         "dilate_every_comp": comp_ok_pts[0]["dil"] if comp_ok_pts else 1,
+        "head_parse_comp": comp_ok_pts[0]["hp"] if comp_ok_pts else False,
         "cost_comp": _cost(comp_ok_pts[0]) if comp_ok_pts else None,
+        "fps_delta_comp": (comp_ok[0][1].get("fps_delta_frames")
+                           if comp_ok else None),
         "composite_video_quality_ok": bool(comp_ok_pts),
         "s_delta_head": (head_ok_pts[0]["s"] if head_ok_pts
                          else default_s_delta),
@@ -211,7 +240,10 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         "uni_frac_head": head_ok_pts[0]["uni"] if head_ok_pts else 0.25,
         "kf_blend_head": head_ok_pts[0]["blend"] if head_ok_pts else 0.0,
         "dilate_every_head": head_ok_pts[0]["dil"] if head_ok_pts else 1,
+        "head_parse_head": head_ok_pts[0]["hp"] if head_ok_pts else False,
         "cost_head": _cost(head_ok_pts[0]) if head_ok_pts else None,
+        "fps_delta_head": (head_ok[0][1].get("fps_delta_frames")
+                           if head_ok else None),
         "head_video_quality_ok": bool(head_ok_pts),
     }
 
@@ -237,9 +269,13 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                 continue
             st = (tq.get("s_delta_torso_comp") if mode == "comp"
                   else None)
-            cost = tq[f"cost_{mode}"]  # pick_temporal_points' cost model
+            # rank: measured delta-frame fps when the evidence has it
+            # (negated: smaller rank wins), else the synthetic cost
+            # model — mirrors pick_temporal_points' _rank
+            fps = tq.get(f"fps_delta_{mode}")
+            cost = (-fps) if fps else tq[f"cost_{mode}"]
             # largest keyframe interval first; at equal refresh the
-            # cheaper gated point (delta-frame cost ~ samples*keep) wins
+            # faster-measured / cheaper-modeled gated point wins
             if (best is None or td["refresh"] > best["refresh"]
                     or (td["refresh"] == best["refresh"]
                         and cost < best["_cost"])):
@@ -255,6 +291,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                         "uni_frac": tq[f"uni_frac_{mode}"],
                         "kf_blend": tq[f"kf_blend_{mode}"],
                         "dilate_every": tq[f"dilate_every_{mode}"],
+                        "head_parse": tq[f"head_parse_{mode}"],
                         "keyframe_rung": tq["keyframe_rung"],
                         "_cost": cost}
         out[mode] = {
@@ -268,6 +305,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "uni_frac": best["uni_frac"] if best else 0.25,
             "kf_blend": best["kf_blend"] if best else 0.0,
             "dilate_every": best["dilate_every"] if best else 1,
+            "head_parse": best["head_parse"] if best else False,
             "keyframe_rung": best["keyframe_rung"] if best else None,
         }
     out["evidence"] = [

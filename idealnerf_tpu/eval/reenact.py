@@ -105,6 +105,7 @@ def reenact(
     dilate_every: int = 1,
     cycle: bool = False,
     frame_times: Optional[list] = None,
+    head_parse: bool = False,
 ):
     """Render the reenactment video; returns the stacked frames (N,H,W,3).
 
@@ -182,7 +183,8 @@ def reenact(
     if use_prior:
         from idealnerf_tpu.eval.renderer import foreground_prior
 
-        mask_np, k_coarse = foreground_prior(identity)
+        mask_np, k_coarse = foreground_prior(identity,
+                                             head_parse=head_parse)
         prior_mask = jnp.asarray(mask_np)
         logger.info("subject prior: %.1f%% coverage, k_coarse %d",
                     100.0 * float(mask_np.mean()), k_coarse)
@@ -254,7 +256,8 @@ def reenact(
                     foreground_prior_fields,
                 )
 
-                mh, mt = foreground_prior_fields(identity)
+                mh, mt = foreground_prior_fields(identity,
+                                                 head_parse=head_parse)
                 pf = dict(prior_mask_head=mh, prior_mask_torso=mt)
                 logger.info(
                     "per-field priors: head %.1f%%, torso %.1f%%",
@@ -289,7 +292,8 @@ def reenact(
                     foreground_prior_fields,
                 )
 
-                mh, mt = foreground_prior_fields(identity)
+                mh, mt = foreground_prior_fields(identity,
+                                                 head_parse=head_parse)
                 pf = dict(prior_mask_head=jnp.asarray(mh),
                           prior_mask_torso=jnp.asarray(mt))
                 logger.info(

@@ -351,6 +351,7 @@ def make_composite_fast_renderer(
     prior_mask_head=None, prior_mask_torso=None,
     bounds_head=None, bounds_torso=None,
     _expose_stages: bool = False,
+    keep_basis: str = "frame",
 ):
     """Pruned + prior-masked head+torso composite — the fast mode for the
     north-star workload (reference: test_torso.py:513-534 renders BOTH
@@ -447,8 +448,15 @@ def make_composite_fast_renderer(
     else:
         sel_h_np = sel_t_np = sel_u_np = _np.arange(n, dtype=_np.int32)
 
+    # keep_basis "frame" (round-4 starvation fix): each field's fine
+    # budget is keep·H·W rays clamped to its mask, so masking removes
+    # coarse work without shrinking the fine budget below what the
+    # unmasked pruned mode would spend ("mask" = pre-round-4 semantics:
+    # keep·|mask| — measured 0.378 dB starvation at keep 0.4 on the
+    # 47%-coverage union prior, runs/rehearsal2/results.json).
     def _k(count, frac):
-        k = int(count * frac)
+        base = n if keep_basis == "frame" else count
+        k = min(int(base * frac), count)
         return max(k - k % 256, min(256, count))
 
     k_h = _k(len(sel_h_np), keep_head)
@@ -738,6 +746,7 @@ def make_pruned_frame_renderer(
     cx=None, cy=None, tile: int = 16875, keep_fraction: float = 0.4,
     fine_tile: int = 4096, compute_dtype=None,
     prior_mask=None, k_coarse: Optional[int] = None,
+    keep_basis: str = "frame",
 ):
     """Foreground-pruned (optionally prior-masked) renderer on the fused
     per-ray kernel, split into TWO jitted stages.
@@ -752,6 +761,16 @@ def make_pruned_frame_renderer(
 
     ``prior_mask``/``k_coarse``: when given, the coarse pass runs only on
     the static prior rays (render_frame_prior_masked semantics).
+
+    ``keep_basis``: what the fine budget ``keep_fraction`` is a fraction
+    OF. "frame" (default) = keep·H·W fine rays (clamped to the mask) —
+    the same absolute budget the unmasked pruned mode gets, so masking
+    only removes coarse work and never starves the fine pass. "mask" =
+    keep·k_coarse (the pre-round-4 behavior): with a 47%-coverage prior
+    and keep 0.4 only 19% of frame rays got a fine pass, which measured
+    a 0.378 dB starvation loss on the converged rehearsal checkpoint
+    (runs/rehearsal2/results.json, round-3 verdict) while the unmasked
+    keep-0.4 mode cost 0.002 dB.
     """
     from idealnerf_tpu.kernels.fused_render import fused_render_rays
     from idealnerf_tpu.models.face_nerf import fold_conditioning
@@ -767,7 +786,8 @@ def make_pruned_frame_renderer(
     else:
         n_coarse = n
         coarse_tile = tile
-    k = int(n_coarse * keep_fraction)
+    keep_base = n if keep_basis == "frame" else n_coarse
+    k = min(int(keep_base * keep_fraction), n_coarse)
     k = max(k - k % 256, 256)
 
     @jax.jit
@@ -872,7 +892,8 @@ def make_pruned_frame_renderer(
     return render
 
 
-def foreground_prior_fields(dataset, margin: int = 12):
+def foreground_prior_fields(dataset, margin: int = 12,
+                            head_parse: bool = False):
     """Per-field subject priors for the composite fast path.
 
     The head field's support is the union of face rects; the torso
@@ -882,38 +903,76 @@ def foreground_prior_fields(dataset, margin: int = 12):
     plate, the torso transmits (last_weight→1, rgb_fg→0) — so each
     field only ever needs to run on its own prior's rays, not the
     shared union. Returns (mask_head, mask_torso) as (H, W) bools,
-    both dilated by ``margin``; the union of the two is exactly what
-    foreground_prior returns.
+    both dilated by ``margin``; the union of the two covers what
+    foreground_prior returns over the subject.
+
+    ``head_parse`` (round 4): tighten the head prior from the rect
+    UNION BOX to the union of per-frame parse silhouettes clipped to
+    each frame's face rect — the rect's empty corners (~25% of the box
+    on a head) never held subject pixels in ANY training frame, so the
+    trained field composites the plate there exactly like outside the
+    rect. Convention-agnostic: the loader's parse channel marks
+    "subject" (synthetic exporter) or "face" (reference BiSeNet red,
+    face_parsing/test.py:41-57) — intersecting with the rect yields the
+    head region either way. Falls back to the rect box when the parse
+    covers <10% of it (degenerate/missing parse maps).
     """
     import numpy as np
     from scipy.ndimage import binary_dilation
 
     H, W = dataset.hw
     mask_h = np.zeros((H, W), bool)
+    parse = (np.asarray(dataset.torso_masks).astype(bool)
+             if head_parse else None)
     for i in range(dataset.size):
         x, y, w, h = [int(v) for v in dataset.face_rects[i]]
-        mask_h[max(y - margin, 0) : min(y + h + margin, H),
-               max(x - margin, 0) : min(x + w + margin, W)] = True
+        y0, y1 = max(y - margin, 0), min(y + h + margin, H)
+        x0, x1 = max(x - margin, 0), min(x + w + margin, W)
+        rect = np.zeros((H, W), bool)
+        rect[y0:y1, x0:x1] = True
+        if parse is not None:
+            sil = parse[i] & rect
+            if sil.sum() >= 0.10 * rect.sum():
+                mask_h |= sil
+                continue
+        mask_h |= rect
     mask_h = binary_dilation(mask_h, iterations=margin)
     mask_t = binary_dilation(
         dataset.torso_masks.any(0).astype(bool), iterations=margin)
     return mask_h, mask_t
 
 
-def foreground_prior(dataset, margin: int = 12):
+def foreground_prior(dataset, margin: int = 12, head_parse: bool = False):
     """Subject foreground prior for masked eval: union of all frames'
     face rects and torso masks, dilated by ``margin`` pixels. Returns
     (mask (H, W) bool, k_coarse) with k_coarse padded to a tile-friendly
     static count. Legitimate subject data — the parse maps the offline
-    pipeline already produces (SURVEY §2.6)."""
+    pipeline already produces (SURVEY §2.6).
+
+    ``head_parse``: replace each frame's face-rect BOX with the parse
+    silhouette clipped to it (foreground_prior_fields' round-4
+    tightening) — on the rehearsal subject this shrinks the union from
+    47.3% (motion-swept boxes) to the actual subject silhouette, with
+    the same exactness argument (the field composites the plate
+    wherever no training frame held subject pixels)."""
     import numpy as np
 
     H, W = dataset.hw
     mask = np.zeros((H, W), bool)
+    parse = (np.asarray(dataset.torso_masks).astype(bool)
+             if head_parse else None)
     for i in range(dataset.size):
         x, y, w, h = [int(v) for v in dataset.face_rects[i]]
-        mask[max(y - margin, 0) : min(y + h + margin, H),
-             max(x - margin, 0) : min(x + w + margin, W)] = True
+        y0, y1 = max(y - margin, 0), min(y + h + margin, H)
+        x0, x1 = max(x - margin, 0), min(x + w + margin, W)
+        rect = np.zeros((H, W), bool)
+        rect[y0:y1, x0:x1] = True
+        if parse is not None:
+            sil = parse[i] & rect
+            if sil.sum() >= 0.10 * rect.sum():
+                mask |= sil
+                continue
+        mask |= rect
     mask |= dataset.torso_masks.any(0).astype(bool)
     # dilate the torso contribution too
     from scipy.ndimage import binary_dilation
@@ -943,6 +1002,7 @@ def render_frame_prior_masked(
     coarse_tile: int = 4096,
     fine_tile: int = 4096,
     fused=None,
+    keep_basis: str = "frame",
 ) -> jnp.ndarray:
     """Prior-masked + opacity-pruned eval render.
 
@@ -951,8 +1011,12 @@ def render_frame_prior_masked(
     composite is the background plate by construction (raw2outputs forces
     the final sample to the plate; empty rays transmit to it). Coarse
     runs only on the k_coarse prior rays; the fine pass on the top
-    keep_fraction of those by coarse opacity. Everything stays
-    shape-static.
+    keep_fraction rays by coarse opacity, where ``keep_basis`` picks the
+    budget basis: "frame" (default) = keep·H·W fine rays clamped to the
+    mask (same absolute fine budget as the unmasked pruned mode — the
+    round-4 starvation fix), "mask" = keep·k_coarse (pre-round-4
+    semantics; 0.378 dB starvation at keep 0.4 on a 47% prior).
+    Everything stays shape-static.
     """
     cfg = cfg.eval_mode()
     rays_o, rays_d = get_rays(H, W, focal, pose, cx, cy)
@@ -990,7 +1054,8 @@ def render_frame_prior_masked(
     w_c = w_c.reshape(-1, w_c.shape[-1])[:k_coarse]
     acc_c = acc_c.reshape(-1)[:k_coarse]
 
-    k_fine = int(k_coarse * keep_fraction)
+    keep_base = n if keep_basis == "frame" else k_coarse
+    k_fine = min(int(keep_base * keep_fraction), k_coarse)
     k_fine = max(k_fine - k_fine % 256, 256)
     _, keep = jax.lax.top_k(acc_c - w_c[:, -1], k_fine)
 

@@ -97,6 +97,7 @@ class TemporalStream:
         dilate_every: int = 1,
         roll_k: int = 0,
         use_prior: bool = False,
+        head_parse: bool = False,
         bounds=None,
         smooth_audio: bool = True,
         compute_dtype=None,
@@ -122,6 +123,7 @@ class TemporalStream:
         # latency (the 1-in-refresh keyframe spike disappears); per-ray
         # refresh age is bounded by roll_k frames
         self.roll_k = int(op.get("roll_k", roll_k))
+        head_parse = bool(op.get("head_parse", head_parse))
         if self.roll_k == 1 or self.roll_k < 0:
             raise ValueError("roll_k must be 0 (off) or >= 2")
 
@@ -152,14 +154,16 @@ class TemporalStream:
             if torso_params is None:
                 from idealnerf_tpu.eval.renderer import foreground_prior
 
-                mask_np, _ = foreground_prior(identity)
+                mask_np, _ = foreground_prior(identity,
+                                              head_parse=head_parse)
                 prior_mask = jnp.asarray(mask_np)
             else:
                 from idealnerf_tpu.eval.renderer import (
                     foreground_prior_fields,
                 )
 
-                mh, mt = foreground_prior_fields(identity)
+                mh, mt = foreground_prior_fields(identity,
+                                                 head_parse=head_parse)
                 pf = dict(prior_mask_head=mh, prior_mask_torso=mt)
         if isinstance(bounds, dict):
             if torso_params is None:

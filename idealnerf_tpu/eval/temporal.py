@@ -634,7 +634,7 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
             return dict(rgb=rgb, lw=lw, fg=fg,
                         lo=jnp.clip(lo, nf[0], nf[1]),
                         hi=jnp.clip(hi, nf[0], nf[1]),
-                        z=z2, w=w2, mass=mass)
+                        z=z2, w=w2, mass=mass, valid=valid)
 
         @jax.jit
         def stage_roll_merge(cache, sl, phase):
@@ -647,9 +647,22 @@ def _field_pipeline(ncfg, H, W, focal, cx, cy, cfg, cd, nf, sel,
                                                         1)
                 return v.reshape(full.shape)
 
+            def upd_band(full, block):
+                # rays whose refreshed slice found no foreground mass
+                # carry their previous band instead of the full field
+                # interval (mirrors the monolithic keyframe's
+                # prev-band/dilate carry) — a transiently-empty ray
+                # keeps in-band sample density until mass returns
+                v = full.reshape(m_roll, roll_k, *full.shape[1:])
+                old = jax.lax.dynamic_index_in_dim(v, phase, 1,
+                                                   keepdims=False)
+                blk = jnp.where(sl["valid"], block, old)
+                v = jax.lax.dynamic_update_index_in_dim(v, blk, phase, 1)
+                return v.reshape(full.shape)
+
             return dict(cache,
-                        lo=upd(cache["lo"], sl["lo"]),
-                        hi=upd(cache["hi"], sl["hi"]),
+                        lo=upd_band(cache["lo"], sl["lo"]),
+                        hi=upd_band(cache["hi"], sl["hi"]),
                         z=upd(cache["z"], sl["z"]),
                         w=upd(cache["w"], sl["w"]),
                         mass=upd(cache["mass"], sl["mass"]),
@@ -777,10 +790,16 @@ def make_temporal_frame_renderer(
                             in_kernel_delta=in_kernel_delta,
                             roll_k=roll_k)
 
+    # roll padding can make len(sel) != H*W even unmasked (duplicated
+    # tail rays); the dense fast path only applies to an exact identity
+    # selection — otherwise scatter through sel (duplicates are
+    # value-consistent: deterministic kernels on identical inputs)
+    scatter_sel = masked or len(sel_np) != n
+
     @jax.jit
     def assemble(rgb, bc_img):
         plate = bc_img.reshape(-1, 3)
-        img = plate.at[sel].set(rgb) if masked else rgb
+        img = plate.at[sel].set(rgb) if scatter_sel else rgb
         return img.reshape(H, W, 3)
 
     def render(params, pose, bc_img, aud=None, expr=None, latent=None,
@@ -881,9 +900,13 @@ def make_temporal_composite_renderer(
     if roll_k:
         # pad per-field selections only: the union mapping below keys
         # off pixel ids, so a duplicated field row resolves to the same
-        # pixel's (last) field position
+        # pixel's (last) field position. Padding can leave the field
+        # outputs longer than H*W even when unmasked — the dense
+        # composite fast path below would then reshape-fail, so route
+        # through the mapping branch whenever any selection was padded.
         sel_h_np = _pad_sel_for_roll(sel_h_np, roll_k)
         sel_t_np = _pad_sel_for_roll(sel_t_np, roll_k)
+        masked = masked or len(sel_h_np) != n or len(sel_t_np) != n
 
     def _pos(sel_np):
         p = np.full(n, -1, np.int32)

@@ -65,12 +65,13 @@ def phase_eval(args):
     for k, v in PAPER.items():
         base += [f"--{k}", str(v)]
     results = {}
-    # masked keep fractions apply WITHIN the prior mask (~47% of the
-    # frame), so masked_40's fine budget is only ~19% of frame rays vs
-    # pruned_40's 40% — on a sharp model that starves the subject's fine
-    # pass (measured 0.378 dB on the rebuilt 100k ckpt while GT == plate
-    # outside the mask, i.e. the prior itself is lossless). masked_60
-    # measures the budget-restored point.
+    # masked keep fractions are a fraction of FRAME rays clamped to the
+    # mask (keep_basis="frame", the round-4 fix): masked_40 gets the
+    # same absolute fine budget as pruned_40, so masking only removes
+    # coarse work. Under the old mask-basis semantics (keep·|mask| —
+    # ~19% of frame rays at keep 0.4 on the 47% prior) masked_40
+    # measured a 0.378 dB fine-starvation loss while GT == plate
+    # outside the mask (the prior itself is lossless).
     for name, extra in (("full", []), ("pruned_40", ["--pruned", "40"]),
                         ("pruned_60", ["--pruned", "60"]),
                         ("masked_40", ["--pruned", "40",

@@ -87,7 +87,13 @@ def main():
             like)[0]["torso_params"]
 
     if args.roll_k:
-        conf = dict(conf, roll_k=args.roll_k)
+        # rolling mode has no keyframe CDF to anchor on — force
+        # kf_blend off even if a future gated point carries one
+        # (TemporalStream refuses roll_k + kf_blend > 0)
+        if conf.get("kf_blend"):
+            print(f"# roll_k: dropping gated kf_blend={conf['kf_blend']}",
+                  flush=True)
+        conf = dict(conf, roll_k=args.roll_k, kf_blend=0.0)
     stream = TemporalStream(cfg, head_params, identity,
                             torso_params=torso_params,
                             latent_codes=latents, operating_point=conf,

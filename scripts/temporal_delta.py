@@ -97,6 +97,11 @@ def main():
                         "the previous frame's (anchors the temporal "
                         "importance prior against drift). >0 suffixes "
                         "mode keys with 'b<pct>'")
+    p.add_argument("--head_parse", action="store_true",
+                   help="tighten the per-field priors from face-rect "
+                        "boxes to parse silhouettes (foreground_prior"
+                        "_fields head_parse — round-4 fewer-point-evals "
+                        "lever). Suffixes mode keys with 'hp'")
     p.add_argument("--auto_rung", action="store_true",
                    help="pick the keyframe rung from runs/rehearsal2/"
                         "sample_sweep.json (cheapest rung within 0.05 dB "
@@ -269,11 +274,13 @@ def main():
              else f"_b{round(args.kf_blend * 100)}")
     fz_tag = "_fz" if args.freeze_z_torso else ""
     d_tag = (f"_d{args.dilate_every}" if args.dilate_every > 1 else "")
-    ksuf = k_tag + u_tag + b_tag + d_tag
-    ksuf_comp = k_tag + kt_tag + u_tag + b_tag + d_tag + fz_tag
+    hp_tag = "_hp" if args.head_parse else ""
+    ksuf = k_tag + u_tag + b_tag + d_tag + hp_tag
+    ksuf_comp = k_tag + kt_tag + u_tag + b_tag + d_tag + fz_tag + hp_tag
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
     place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend,
-                 dilate_every=args.dilate_every)
+                 dilate_every=args.dilate_every,
+                 head_parse=args.head_parse)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds, delta_keep=args.delta_keep,
@@ -296,11 +303,24 @@ def main():
               flush=True)
 
     # head-only temporal (eval_aud_exp_nerf.py:437 workload) vs the full
-    # head-only render — quality is measured against the render, not GT
-    # (GT com_imgs contain the torso)
+    # head-only render AND vs head_imgs GT (round-4: the ≥40 dB
+    # agreement gate alone is self-referential — head_imgs are the
+    # head-over-plate ground truth the offline pipeline produces, the
+    # exact thing a head-only render reconstructs)
+    gt_h = None
+    try:
+        identity_h = load_transforms_dataset(cfg.datadir, mode=args.split,
+                                             near=cfg.near, far=cfg.far,
+                                             gt_dirs="head_imgs")
+        gt_h = identity_h.images[:n].astype(np.float32) / 255.0
+    except Exception as e:
+        print(f"NOTE: no head_imgs GT ({e}); head gate stays "
+              "agreement-only", flush=True)
     common_h = {k: v for k, v in common.items() if k != "torso_params"}
     full_h, t_full_warm, _ = timed(cfg, **common_h)  # rebinds keyframe proxy
     out["fps_head_full_warm"] = round(1.0 / t_full_warm, 3)
+    if gt_h is not None:
+        out["psnr_head_full_vs_gt"] = psnr(full_h, gt_h)
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds["head"] if bounds else None,
@@ -313,6 +333,10 @@ def main():
             "fps_delta_frames": fps_delta,
             "keyframe_cost_measured": measured_key,
         }
+        if gt_h is not None:
+            m["psnr_temporal_vs_gt"] = psnr(tm, gt_h)
+            m["delta_psnr_vs_gt"] = round(
+                out["psnr_head_full_vs_gt"] - m["psnr_temporal_vs_gt"], 3)
         out["modes"][f"head_only_s_delta_{s_delta}{ksuf}"] = m
         print(f"head-only s_delta={s_delta}{ksuf}: {json.dumps(m)}",
               flush=True)

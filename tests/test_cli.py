@@ -368,6 +368,7 @@ def test_bench_temporal_mode_configs_across_files():
                            "delta_keep": 1.0, "delta_keep_torso": None,
                            "freeze_z_torso": False, "uni_frac": 0.25,
                            "kf_blend": 0.0, "dilate_every": 1,
+                           "head_parse": False,
                            "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
     assert out["head"] == {"quality_ok": True, "refresh": 25,
@@ -375,6 +376,7 @@ def test_bench_temporal_mode_configs_across_files():
                            "delta_keep": 1.0, "delta_keep_torso": None,
                            "freeze_z_torso": False, "uni_frac": 0.25,
                            "kf_blend": 0.0, "dilate_every": 1,
+                           "head_parse": False,
                            "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
     assert out["evidence"][0]["tightened"] is True

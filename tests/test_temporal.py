@@ -768,6 +768,51 @@ def test_temporal_rolling_slice_matches_keyframe_rows():
         assert np.allclose(z[:, -1], far)
 
 
+def test_temporal_rolling_unmasked_nondivisible():
+    """roll_k with NO prior mask and H·W % K != 0 (round-4 advisor
+    repro, H=23/W=25/K=4): _pad_sel_for_roll pads sel past H·W, so
+    assembly must scatter through sel instead of dense-reshaping the
+    padded rgb. Frame 0 must equal the full render; delta frames stay
+    finite through a comb wrap; composite path likewise."""
+    from idealnerf_tpu.eval.renderer import make_frame_renderer
+    from idealnerf_tpu.eval.temporal import (
+        make_temporal_composite_renderer, make_temporal_frame_renderer,
+    )
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup(H=23, W=25)
+    rc = cfg.render_config()
+    hcall = dict(aud=call["aud"], expr=call["expr"], latent=call["latent"])
+    K = 4
+    assert (H * W) % K != 0
+
+    full = make_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                               cx=cx, cy=cy, use_pallas="ray")
+    ref = np.asarray(full(hp, pose, bc, **hcall))
+
+    tm = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                      cx=cx, cy=cy, s_delta=8,
+                                      delta_keep=0.75, roll_k=K)
+    frame0, cache = tm(hp, pose, bc, **hcall, cache=None)
+    np.testing.assert_allclose(np.asarray(frame0), ref, atol=2e-5)
+    for _ in range(K + 1):
+        frame, cache = tm(hp, pose, bc, **hcall, cache=cache)
+        assert frame.shape == (H, W, 3)
+        assert np.isfinite(np.asarray(frame)).all()
+
+    tmc = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+        s_delta=8, roll_k=K)
+    ccall = dict(aud=call["aud"], signal=call["signal"],
+                 expr=call["expr"], latent=call["latent"])
+    f0, cc = tmc(hp, tp, pose, pose0, bc, **ccall, cache=None)
+    assert f0.shape == (H, W, 3)
+    for _ in range(K + 1):
+        f, cc = tmc(hp, tp, pose, pose0, bc, **ccall, cache=cc)
+        assert f.shape == (H, W, 3)
+        assert np.isfinite(np.asarray(f)).all()
+
+
 def test_stream_rolling_emits_and_bounds_cache():
     """TemporalStream with roll_k: only frame 0 is a keyframe, every
     push emits (after the lookahead), frames finite, and the cache's
