@@ -32,7 +32,7 @@ import jax.numpy as jnp
 # --auto_temporal and this bench read the same gated configs; names
 # re-exported here for callers/tests that import them from bench.
 from idealnerf_tpu.eval.operating_points import (  # noqa: F401
-    TEMPORAL_EVIDENCE_FILES, load_temporal_evidence,
+    TEMPORAL_EVIDENCE_FILES, load_temporal_evidence, pick_masked_point,
     pick_quality_matched_rung, pick_temporal_mode_configs,
     pick_temporal_points,
 )
@@ -71,6 +71,7 @@ class BenchState:
             "fps_head_temporal_video_loop": None,
             "fps_head_temporal_delta": None,
             "quality_matched": None,
+            "masked_point": None,
             "temporal_quality": None,
             "prior_mask_source": None,
             "prior_mask_coverage": None,
@@ -176,7 +177,29 @@ def main():
     compute_dtype = jnp.bfloat16 if on_tpu else None
     n_frames = int(os.environ.get("BENCH_FRAMES", "4"))
     keep = float(os.environ.get("BENCH_KEEP", "0.4"))
-    keep_masked = float(os.environ.get("BENCH_KEEP_MASKED", "0.4"))
+    # masked budget: the measured-gated cheapest point from the
+    # rehearsal quality study (runs/rehearsal2/results.json) when
+    # present — frame-basis keep + optionally the parse-silhouette
+    # prior, each row gated at ≤0.05 dB vs the full render on the
+    # converged checkpoint; BENCH_KEEP_MASKED overrides.
+    keep_masked = 0.4
+    masked_hp = False
+    masked_point_delta = None
+    res_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "runs", "rehearsal2", "results.json")
+    if os.path.exists(res_path):
+        try:
+            with open(res_path) as fh:
+                mp = pick_masked_point(json.load(fh))
+            if mp:
+                keep_masked, masked_hp, masked_point_delta = mp
+        except Exception as e:
+            print(f"# masked-point pick failed: {e}", file=sys.stderr)
+    if "BENCH_KEEP_MASKED" in os.environ:
+        keep_masked = float(os.environ["BENCH_KEEP_MASKED"])
+        masked_hp = False
+        masked_point_delta = None
 
     state = BenchState(H, jax.default_backend(), compute_dtype,
                        f"{cfg.N_samples}+{cfg.N_importance}")
@@ -270,6 +293,21 @@ def main():
     mask_dev = jnp.asarray(mask)
     state.x["prior_mask_source"] = mask_src
     state.x["prior_mask_coverage"] = round(float(np.asarray(mask).mean()), 4)
+
+    # masked-mode prior at the gated point (parse silhouette when the
+    # quality study gated it)
+    mask_m_dev, k_m = mask_dev, k_coarse
+    if masked_hp:
+        try:
+            m_hp, k_hp = foreground_prior(ds_prior, head_parse=True)
+            mask_m_dev, k_m = jnp.asarray(m_hp), k_hp
+        except Exception as e:
+            print(f"# hp prior failed: {e}", file=sys.stderr)
+            masked_hp = False
+    state.x["masked_point"] = {
+        "keep": keep_masked, "head_parse": masked_hp,
+        "delta_db_on_converged_model": masked_point_delta,
+        "coverage": round(float(np.asarray(mask_m_dev).mean()), 4)}
 
     try:
         mask_h, mask_t = foreground_prior_fields(ds_prior)
@@ -553,7 +591,7 @@ def main():
             nerf_cfg, H, W, focal, near, far, cfg_qm.render_config(),
             cx=cx, cy=cy, tile=(H * W) // 12,
             keep_fraction=keep_masked, compute_dtype=compute_dtype,
-            prior_mask=mask_dev, k_coarse=k_coarse,
+            prior_mask=mask_m_dev, k_coarse=k_m,
         )
         qm_fps_masked = round(timed(qm_masked), 3)
         state.x["quality_matched"] = {
@@ -587,7 +625,7 @@ def main():
                 nerf_cfg, H, W, focal, near, far, cfg.render_config(),
                 cx=cx, cy=cy, tile=(H * W) // 12,
                 keep_fraction=keep_masked, compute_dtype=compute_dtype,
-                prior_mask=mask_dev, k_coarse=k_coarse,
+                prior_mask=mask_m_dev, k_coarse=k_m,
             )
         else:
             @jax.jit
@@ -599,7 +637,7 @@ def main():
                                    latent, compute_dtype=compute_dtype)
                 return render_frame_prior_masked(
                     cf, ff, H, W, focal, pose, bc_img, near, far,
-                    cfg.render_config(), mask_dev, k_coarse, cx=cx, cy=cy,
+                    cfg.render_config(), mask_m_dev, k_m, cx=cx, cy=cy,
                     keep_fraction=keep_masked,
                 )
 

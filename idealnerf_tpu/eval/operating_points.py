@@ -64,6 +64,25 @@ def pick_quality_matched_rung(sweep, ref_prefix="64+", max_delta=0.05):
     return best[1:] if best else None
 
 
+def pick_masked_point(results: dict, max_delta: float = 0.05):
+    """Cheapest measured-gated prior-masked eval config from a
+    rehearsal results.json (scripts/rehearsal.py phase_eval rows
+    ``delta_psnr_masked_<keep>[_hp]``, frame-basis budgets).
+
+    Returns (keep_fraction, head_parse, delta_db) or None. Ranking:
+    fine cost ∝ keep; at equal keep the parse-silhouette prior's
+    smaller coarse set wins."""
+    cands = []
+    for keep in (28, 40, 60):
+        for hp in (True, False):
+            key = f"masked_{keep}" + ("_hp" if hp else "")
+            d = results.get(f"delta_psnr_{key}")
+            if d is not None and d <= max_delta:
+                cands.append((keep / 100.0, hp, d))
+    cands.sort(key=lambda c: (c[0], not c[1]))
+    return cands[0] if cands else None
+
+
 def pick_temporal_points(td, refresh, default_s_delta=32):
     """Per-mode temporal operating points from temporal_delta.json
     evidence (scripts/temporal_delta.py, converged checkpoints).

@@ -72,25 +72,47 @@ def phase_eval(args):
     # ~19% of frame rays at keep 0.4 on the 47% prior) masked_40
     # measured a 0.378 dB fine-starvation loss while GT == plate
     # outside the mask (the prior itself is lossless).
-    for name, extra in (("full", []), ("pruned_40", ["--pruned", "40"]),
-                        ("pruned_60", ["--pruned", "60"]),
-                        ("masked_40", ["--pruned", "40",
-                                       "--prior_masked", "1"]),
-                        ("masked_60", ["--pruned", "60",
-                                       "--prior_masked", "1"]),
-                        ("masked_40_tight", ["--pruned", "40",
-                                             "--prior_masked", "1",
-                                             "--tighten_bounds", "1"])):
+    all_modes = {
+        "full": [],
+        "pruned_40": ["--pruned", "40"],
+        "pruned_60": ["--pruned", "60"],
+        # frame-basis (round-4 default): same absolute fine budget as
+        # the unmasked pruned mode
+        "masked_40": ["--pruned", "40", "--prior_masked", "1"],
+        "masked_60": ["--pruned", "60", "--prior_masked", "1"],
+        # pre-round-4 mask-basis point, for the starvation record
+        "masked_40_maskbasis": ["--pruned", "40", "--prior_masked", "1",
+                                "--keep_basis", "mask"],
+        # 28% of frame ~= the old masked_60 fine budget (0.6*47%),
+        # which measured 0.002 dB — the candidate fps/quality knee
+        "masked_28": ["--pruned", "28", "--prior_masked", "1"],
+        # parse-silhouette prior (head_parse): ~31% coverage vs the
+        # 47% rect union — cheaper coarse pass at the same fine budget
+        "masked_40_hp": ["--pruned", "40", "--prior_masked", "1",
+                         "--head_parse", "1"],
+        "masked_28_hp": ["--pruned", "28", "--prior_masked", "1",
+                         "--head_parse", "1"],
+        "masked_40_tight": ["--pruned", "40", "--prior_masked", "1",
+                            "--tighten_bounds", "1"],
+    }
+    default_modes = ("full,pruned_40,masked_40,masked_28,"
+                     "masked_40_hp,masked_28_hp")
+    modes = [m for m in (args.eval_modes or default_modes).split(",") if m]
+    for name in modes:
         t0 = time.time()
-        m = render_val.main(base + extra)
+        m = render_val.main(base + all_modes[name])
         results[name] = {"psnr": m["psnr"], "ssim": m["ssim"],
                          "wall_s": round(time.time() - t0, 1)}
-        print(name, results[name])
-    for mode in ("pruned_40", "pruned_60", "masked_40", "masked_60",
-                 "masked_40_tight"):
-        results[f"delta_psnr_{mode}"] = round(
-            results["full"]["psnr"] - results[mode]["psnr"], 3)
-    with open(os.path.join(args.out, "results.json"), "w") as fh:
+        print(name, results[name], flush=True)
+    res_path = os.path.join(args.out, "results.json")
+    if os.path.exists(res_path):  # merge: keep prior modes' rows
+        with open(res_path) as fh:
+            results = {**json.load(fh), **results}
+    for mode in modes:
+        if mode != "full" and "full" in results:
+            results[f"delta_psnr_{mode}"] = round(
+                results["full"]["psnr"] - results[mode]["psnr"], 3)
+    with open(res_path, "w") as fh:
         json.dump(results, fh, indent=2)
     print(json.dumps(results, indent=2))
 
@@ -104,6 +126,10 @@ def main():
     p.add_argument("--epochs", type=int, default=140,
                    help="epochs over the train split (~100 steps each)")
     p.add_argument("--phase", default="all")
+    p.add_argument("--eval_modes", default=None,
+                   help="comma list of eval-phase modes (default: full + "
+                        "pruned_40 + the round-4 masked budget/prior "
+                        "study); see phase_eval's all_modes")
     p.add_argument("--with_torso", action="store_true",
                    help="make phase: write the composite (with-torso) "
                         "variant of the subject (for train_torso runs)")

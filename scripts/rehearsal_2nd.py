@@ -27,6 +27,93 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _collect_traj(out_dir, expname):
+    """Sampled (step, loss, psnr, aux) rows from the run's metrics.jsonl."""
+    import json as _json
+    import os as _os
+
+    mfile = None
+    for root, _dirs, files in _os.walk(_os.path.join(out_dir, "logs")):
+        # run dirs carry a stage suffix (e.g. <expname>_second)
+        if "metrics.jsonl" in files and expname in _os.path.basename(root):
+            mfile = _os.path.join(root, "metrics.jsonl")
+    if not mfile:
+        return []
+    with open(mfile) as fh:
+        traj = [_json.loads(ln) for ln in fh if ln.strip()]
+    return [
+        {k.split("/")[-1]: t[k]
+         for k in ("step", "train/loss", "train/psnr", "train/aux_loss")
+         if k in t} for t in traj[:: max(1, len(traj) // 20)]
+    ]
+
+
+def run_ablation(args, base_argv, w_landmark, fan_npz, fan_src,
+                 gt_crop, bc_crop):
+    """Per-loss second-stage ablation (round-4 verdict #7): identical
+    runs except the aux term — MSE-only, +landmark (converged-FAN proxy
+    when available), +vgg16 (probe-normalized; the reference wires VGG
+    but comments its application out, distribute_nerf.py:483-486).
+    Reports each row's final train PSNR over the same steps/seed."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from idealnerf_tpu.cli import train_second_stage
+    from idealnerf_tpu.losses.vgg import init_vgg16, make_vgg16_loss
+
+    vraw = float(make_vgg16_loss(init_vgg16(jax.random.PRNGKey(2)))(
+        2.0 * gt_crop[None] - 1.0, 2.0 * bc_crop[None] - 1.0))
+    w_vgg = args.aux_vgg / max(vraw, 1e-12)
+    print(f"vgg16-loss probe (random init): raw={vraw:.3e} -> "
+          f"weight={w_vgg:.3e}", flush=True)
+
+    rows = {}
+    runs = [("mse", []),
+            ("landmark", (["--aux_landmark", str(w_landmark)]
+                          + (["--fan_npz", fan_npz] if fan_npz else []))),
+            ("vgg", ["--aux_vgg", str(w_vgg)])]
+    for tag, extra in runs:
+        expname = f"rehearsal_2nd_abl_{tag}"
+        t0 = _time.time()
+        train_second_stage.main(base_argv + extra + ["--expname", expname])
+        wall = _time.time() - t0
+        traj = _collect_traj(args.out, expname)
+        tail = [t["psnr"] for t in traj[-5:] if "psnr" in t]
+        rows[tag] = {
+            "final_psnr_mean_tail": (round(sum(tail) / len(tail), 3)
+                                     if tail else None),
+            "wall_s": round(wall, 1),
+            "trajectory": traj,
+        }
+        print(f"[ablate {tag}] tail PSNR "
+              f"{rows[tag]['final_psnr_mean_tail']}", flush=True)
+
+    res = {
+        "steps_per_row": args.steps,
+        "crop": args.crop,
+        "fan": fan_src,
+        "aux_landmark_target": args.aux_landmark,
+        "aux_vgg_target": args.aux_vgg,
+        "w_landmark": w_landmark,
+        "w_vgg": w_vgg,
+        "rows": rows,
+        "psnr_effect_vs_mse": {
+            t: (round(rows[t]["final_psnr_mean_tail"]
+                      - rows["mse"]["final_psnr_mean_tail"], 3)
+                if rows[t]["final_psnr_mean_tail"] is not None
+                and rows["mse"]["final_psnr_mean_tail"] is not None
+                else None)
+            for t in ("landmark", "vgg")},
+    }
+    out_json = os.path.join(args.out, "second_stage_ablation.json")
+    with open(out_json, "w") as fh:
+        json.dump(res, fh, indent=2)
+    print(json.dumps({k: v for k, v in res.items() if k != "rows"}))
+    print("wrote", out_json)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", default=os.path.join(ROOT, "runs", "rehearsal2"))
@@ -45,6 +132,19 @@ def main():
                         "reference's fixed weighting "
                         "(distribute_nerf.py:487)")
     p.add_argument("--driving_seed", type=int, default=31)
+    p.add_argument("--fan_proxy", type=int, default=1,
+                   help="use <out>/fan_proxy.npz (train_fan_proxy.py) "
+                        "when present — a FAN trained on this subject's "
+                        "known landmarks, so the heatmap loss carries "
+                        "signal; 0 = random init (round-3 behavior)")
+    p.add_argument("--ablate", action="store_true",
+                   help="run the per-loss ablation instead of the single "
+                        "canonical rehearsal: mse-only vs +landmark "
+                        "(proxy FAN) vs +vgg16, same seed/steps, final "
+                        "PSNR per row -> second_stage_ablation.json")
+    p.add_argument("--aux_vgg", type=float, default=0.001,
+                   help="TARGET aux magnitude for the vgg16 ablation "
+                        "row (probe-normalized like the landmark term)")
     p.add_argument("--smoke", action="store_true",
                    help="tiny CPU wiring check")
     args = p.parse_args()
@@ -100,26 +200,45 @@ def main():
     bcp = jnp.asarray(probe_ds.bc_img, jnp.float32) / 255.0
     x0 = int(min(max(probe_ds.face_rects[0][0], 0), probe_ds.hw[1] - crop))
     y0 = int(min(max(probe_ds.face_rects[0][1], 0), probe_ds.hw[0] - crop))
-    lm = make_fan_landmark_loss(init_fan(jax.random.PRNGKey(1)))
-    raw = float(lm(img[y0:y0 + crop, x0:x0 + crop],
-                   bcp[y0:y0 + crop, x0:x0 + crop]))
+    gt_crop = img[y0:y0 + crop, x0:x0 + crop]
+    bc_crop = bcp[y0:y0 + crop, x0:x0 + crop]
+    fan_npz = os.path.join(args.out, "fan_proxy.npz")
+    if args.fan_proxy and os.path.exists(fan_npz):
+        # converged-FAN proxy (scripts/train_fan_proxy.py): the heatmap
+        # loss carries real landmark signal for this subject
+        fan_params = {k: jnp.asarray(v)
+                      for k, v in np.load(fan_npz).items()}
+        fan_src = "proxy"
+    else:
+        fan_params = init_fan(jax.random.PRNGKey(1))
+        fan_src = "random"
+        fan_npz = None
+    lm = make_fan_landmark_loss(fan_params)
+    raw = float(lm(gt_crop, bc_crop))
     weight = args.aux_landmark / max(raw, 1e-12)
-    print(f"landmark-loss probe: raw={raw:.3e} -> weight={weight:.3e} "
-          f"(target magnitude {args.aux_landmark})")
+    print(f"landmark-loss probe ({fan_src} FAN): raw={raw:.3e} -> "
+          f"weight={weight:.3e} (target magnitude {args.aux_landmark})")
 
-    argv = ["--config", cfg_path,
-            "--crop", str(args.crop), "--steps", str(args.steps),
-            "--aux_landmark", str(weight),
-            "--driving_aud", drv_aud,
-            "--expname", "rehearsal_2nd",
-            "--N_rand", "3072", "--N_samples", "64",
-            "--N_importance", "128", "--dim_aud", "64",
-            "--dim_latent", "32", "--lrate", "3e-4"]
+    base_argv = ["--config", cfg_path,
+                 "--crop", str(args.crop), "--steps", str(args.steps),
+                 "--driving_aud", drv_aud,
+                 "--N_rand", "3072", "--N_samples", "64",
+                 "--N_importance", "128", "--dim_aud", "64",
+                 "--dim_latent", "32", "--lrate", "3e-4"]
     if head_ckpt:
-        argv += ["--head_ckpt", head_ckpt]
+        base_argv += ["--head_ckpt", head_ckpt]
     if args.smoke:
-        argv += ["--crop", "24", "--steps", "8", "--dim_expr", "8",
-                 "--N_samples", "8", "--N_importance", "8"]
+        base_argv += ["--crop", "24", "--steps", "8", "--dim_expr", "8",
+                      "--N_samples", "8", "--N_importance", "8"]
+
+    if args.ablate:
+        return run_ablation(args, base_argv, weight, fan_npz, fan_src,
+                            gt_crop, bc_crop)
+
+    argv = base_argv + ["--aux_landmark", str(weight),
+                        "--expname", "rehearsal_2nd"]
+    if fan_npz:
+        argv += ["--fan_npz", fan_npz]
 
     t0 = time.time()
     train_second_stage.main(argv)
@@ -139,6 +258,7 @@ def main():
     res = {
         "steps": n_steps,
         "crop": args.crop if not args.smoke else 24,
+        "fan": fan_src,
         "aux_target_magnitude": args.aux_landmark,
         "aux_probe_raw": raw,
         "aux_weight_used": weight,

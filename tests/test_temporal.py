@@ -417,33 +417,20 @@ def test_temporal_cycle_matches_per_frame():
                                atol=2e-5)
 
 
-def test_temporal_video_tracks_trained_fields():
+def test_temporal_video_tracks_trained_fields(trained_head_torso):
     """On TRAINED head+torso fields, delta frames must stay close to the
     per-frame full render across a moving 4-frame clip (the quality
-    contract of the temporal mode; random fog fields would fail this)."""
-    from idealnerf_tpu.data import make_synthetic_dataset
+    contract of the temporal mode; random fog fields would fail this).
+    Fields come from the shared session fixture (conftest) — the same
+    head-20-epoch + torso-121-step training this test ran inline."""
     from idealnerf_tpu.eval.renderer import make_composite_frame_renderer
-    from idealnerf_tpu.train import HeadTrainer
     from idealnerf_tpu.train.head import compute_aud_feature
-    from idealnerf_tpu.train.torso import (
-        TorsoTrainer, torso_nerf_config, torso_signal,
-    )
+    from idealnerf_tpu.train.torso import torso_nerf_config, torso_signal
 
-    cfg = ExperimentConfig(
-        dim_aud=64, dim_expr=8, dim_latent=32, dim_aud_body=32,
-        N_rand=256, mouth_rays=32, torso_rays=32, sample_rate=0.9,
-        N_samples=10, N_importance=10, lrate=5e-4, nosmo_iters=10**9,
-        density_activation="softplus",
-    )
-    ds_head = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8)
-    ds_com = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8,
-                                    with_torso=True)
-    head = HeadTrainer(cfg, ds_head, seed=0)
-    head.run(n_epochs=20, log_every=100, on_metrics=lambda s, m: None)
-    torso = TorsoTrainer(cfg, ds_com, head.state.params,
-                         latent_codes=head.state.latent_codes, seed=1,
-                         smooth_audio=False)
-    torso.run(n_steps=121, log_every=200, on_metrics=lambda s, m: None)
+    cfg = trained_head_torso["cfg"]
+    ds_com = trained_head_torso["ds_com"]
+    head = trained_head_torso["head"]
+    torso = trained_head_torso["torso"]
 
     rc = cfg.render_config()
     ncfg = cfg.face_nerf_config()

@@ -69,26 +69,18 @@ def test_layered_composite_limits():
     np.testing.assert_allclose(np.asarray(out), 0.3, atol=1e-6)
 
 
-def test_torso_trainer_learns_composite():
-    cfg = ExperimentConfig(**TINY)
-    ds_head = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8)
-    ds_com = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8,
-                                    with_torso=True)
+def test_torso_trainer_learns_composite(trained_head_torso):
+    # shared session fixture (conftest.trained_head_torso): head 20
+    # epochs + torso 121 steps at TINY config, seeds 0/1 — the same
+    # training this test ran inline before round 4
+    cfg = trained_head_torso["cfg"]
+    ds_head = trained_head_torso["ds_head"]
+    ds_com = trained_head_torso["ds_com"]
+    head = trained_head_torso["head"]
+    torso = trained_head_torso["torso"]
+    hist = trained_head_torso["torso_hist"]
     # the com frames really differ from head frames (torso band present)
     assert np.abs(ds_com.images[0].astype(int) - ds_head.images[0].astype(int)).max() > 30
-
-    head = HeadTrainer(cfg, ds_head, seed=0)
-    head.run(n_epochs=20, log_every=100, on_metrics=lambda s, m: None)
-
-    # smooth_audio must match the mode the head was trained in (here: raw
-    # AudioNet, since nosmo_iters was never reached) — with smoothing on,
-    # the frozen head would render through an untrained AudioAttNet.
-    torso = TorsoTrainer(cfg, ds_com, head.state.params,
-                         latent_codes=head.state.latent_codes, seed=1,
-                         smooth_audio=False)
-    hist = []
-    # log_every multiple of n_frames so compared metrics hit the same frame
-    torso.run(n_steps=121, log_every=40, on_metrics=lambda s, m: hist.append(m))
     assert hist[-1]["psnr"] > hist[0]["psnr"] + 1.5, (hist[0], hist[-1])
     # frozen head: params untouched by torso training
     h0 = head.state.params["coarse"]["pts"][0]["w"]
