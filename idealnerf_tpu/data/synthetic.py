@@ -42,6 +42,7 @@ def make_synthetic_dataset(
     sphere_radius: float = 0.35,
     cam_radius: float = 1.5,
     with_torso: bool = False,
+    motion_scale: float = 1.0,
 ) -> FrameDataset:
     """``with_torso=False`` -> head-only frames (the reference's
     head_imgs); ``with_torso=True`` -> composite frames (com_imgs) with an
@@ -69,8 +70,11 @@ def make_synthetic_dataset(
     images, poses, rects, mouth_boxes, torso_masks = [], [], [], [], []
     landmarks = []
     for f in range(n_frames):
-        theta = 0.25 * np.sin(2 * np.pi * f / max(n_frames, 1))
-        phi = 0.12 * np.cos(2 * np.pi * f / max(n_frames, 1))
+        # motion_scale varies the head-pose swing amplitude — a second
+        # independent subject (different geometry/motion, round-4
+        # verdict #4) stresses the temporal depth cache harder/softer
+        theta = motion_scale * 0.25 * np.sin(2 * np.pi * f / max(n_frames, 1))
+        phi = motion_scale * 0.12 * np.cos(2 * np.pi * f / max(n_frames, 1))
         c2w = _camera_pose(theta, phi, cam_radius)
         poses.append(c2w)
 

@@ -83,7 +83,7 @@ def pick_masked_point(results: dict, max_delta: float = 0.05):
     return cands[0] if cands else None
 
 
-def pick_temporal_points(td, refresh, default_s_delta=32):
+def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
     """Per-mode temporal operating points from temporal_delta.json
     evidence (scripts/temporal_delta.py, converged checkpoints).
 
@@ -175,23 +175,46 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
             torso_cost = fixed + (st if st is not None else s) * kt
         return (head_cost + torso_cost) / 2.0
 
-    def _rank(pv):
-        # MEASURED steady-state delta-frame fps ranks points when the
-        # evidence carries it (temporal_delta.py fps_delta_frames) —
-        # the synthetic sample-count cost model mis-ranks configs whose
-        # fixed work differs from its constants (round-4: it picked
-        # s12+fz+d2 over the 1.5×-faster-measured s16+kt1). Cost model
-        # = fallback for evidence predating the fps rows.
-        p, v = pv
+    def _fps_ratio(v, prefix):
+        # session-normalized speed: evidence files come from different
+        # tunnel sessions whose absolute fps differ 2-3x (one outage
+        # session measured 0.03 fps for the SAME render others measure
+        # 0.7), so raw fps is only comparable within a file. Each file
+        # records its own full-render fps in the same session — the
+        # ratio delta_fps / full_fps is the session-invariant speedup.
+        if not fps_trust:
+            # the caller flagged this file's timings as untrustworthy
+            # (outage-contaminated session: its own full-render base is
+            # an outlier vs sibling files)
+            return None
         fps = v.get("fps_delta_frames")
-        if fps:
-            return (0, -fps, p["s"])
-        return (1, _cost(p), p["s"])
+        base = (td or {}).get("fps_head_full_warm"
+                              if prefix.startswith("head") else
+                              "fps_full_warm")
+        if fps and base:
+            return fps / base
+        return None
+
+    def _rank(pv, prefix):
+        # MEASURED steady-state delta-frame speedup ranks points when
+        # the evidence carries fps (temporal_delta.py) — the synthetic
+        # sample-count cost model mis-ranks configs whose fixed work
+        # differs from its constants (round-4: it picked s12+fz+d2 over
+        # the 1.5×-faster-measured s16+kt1). The ratio is BANDED to
+        # quarter steps: per-frame-loop fps is noisy (±5-10% between
+        # sessions), so near-ties fall through to the cost model rather
+        # than letting noise pick the slower config. Cost model alone =
+        # fallback for evidence predating the fps rows.
+        p, v = pv
+        r = _fps_ratio(v, prefix)
+        if r:
+            return (0, -round(r * 4) / 4, _cost(p), p["s"])
+        return (1, 0.0, _cost(p), p["s"])
 
     def _pts(prefix):
         pts = [(p, v) for k, v in modes.items()
                if (p := _parse(k, prefix)) is not None]
-        return sorted(pts, key=_rank)
+        return sorted(pts, key=lambda pv: _rank(pv, prefix))
 
     comp = _pts("s_delta_")
     head = _pts("head_only_s_delta_")
@@ -252,6 +275,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         "cost_comp": _cost(comp_ok_pts[0]) if comp_ok_pts else None,
         "fps_delta_comp": (comp_ok[0][1].get("fps_delta_frames")
                            if comp_ok else None),
+        "fps_ratio_comp": (_fps_ratio(comp_ok[0][1], "s_delta_")
+                           if comp_ok else None),
         "composite_video_quality_ok": bool(comp_ok_pts),
         "s_delta_head": (head_ok_pts[0]["s"] if head_ok_pts
                          else default_s_delta),
@@ -262,6 +287,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32):
         "head_parse_head": head_ok_pts[0]["hp"] if head_ok_pts else False,
         "cost_head": _cost(head_ok_pts[0]) if head_ok_pts else None,
         "fps_delta_head": (head_ok[0][1].get("fps_delta_frames")
+                           if head_ok else None),
+        "fps_ratio_head": (_fps_ratio(head_ok[0][1], "head_only_")
                            if head_ok else None),
         "head_video_quality_ok": bool(head_ok_pts),
     }
@@ -276,23 +303,36 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
     keyframe interval — keyframe cost amortizes over more frames — with
     that file's cheapest quality-holding s_delta and its keyframe rung.
     Falls back to the env defaults with the gate CLOSED."""
+    # session-speed sanity: a file whose own full-render fps is an
+    # outlier vs its siblings (≤ half the median — an outage-slowed
+    # session) gets its measured fps ignored; its QUALITY rows are
+    # still valid (PSNR is speed-independent)
+    bases = [td.get("fps_full_warm") for td in cands
+             if td.get("fps_full_warm")]
+    med = sorted(bases)[len(bases) // 2] if bases else None
+
     out = {}
     for mode, ok_key, sd_key in (
             ("comp", "composite_video_quality_ok", "s_delta_comp"),
             ("head", "head_video_quality_ok", "s_delta_head")):
         best = None
         for td in cands:
+            trust = bool(med and td.get("fps_full_warm")
+                         and td["fps_full_warm"] >= 0.5 * med)
             tq = pick_temporal_points(td, td.get("refresh"),
-                                      default_s_delta)
+                                      default_s_delta, fps_trust=trust)
             if not tq[ok_key]:
                 continue
             st = (tq.get("s_delta_torso_comp") if mode == "comp"
                   else None)
-            # rank: measured delta-frame fps when the evidence has it
-            # (negated: smaller rank wins), else the synthetic cost
-            # model — mirrors pick_temporal_points' _rank
-            fps = tq.get(f"fps_delta_{mode}")
-            cost = (-fps) if fps else tq[f"cost_{mode}"]
+            # rank: session-normalized measured speedup when the
+            # evidence has it (negated: smaller rank wins), else the
+            # synthetic cost model — mirrors pick_temporal_points'
+            # _rank; raw fps is NOT cross-file comparable (sessions
+            # differ 2-3x in tunnel speed)
+            ratio = tq.get(f"fps_ratio_{mode}")
+            cost = ((-round(ratio * 4) / 4, tq[f"cost_{mode}"]) if ratio
+                    else (0.0, tq[f"cost_{mode}"]))
             # largest keyframe interval first; at equal refresh the
             # faster-measured / cheaper-modeled gated point wins
             if (best is None or td["refresh"] > best["refresh"]

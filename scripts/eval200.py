@@ -18,7 +18,11 @@ from idealnerf_tpu.cli import render_val
 
 PAPER = dict(N_rand=3072, N_samples=64, N_importance=128, dim_aud=64,
              dim_latent=32, mouth_rays=512, torso_rays=512,
-             lrate="3e-4", lc_weight=0.005, i_weights=2000, i_print=200)
+             lrate="3e-4", lc_weight=0.005, i_weights=2000, i_print=200,
+             # the 200k run crosses the scaled AudAttNet switch at 150k
+             # (reference: 300k of its full schedule, helper.py:119-122);
+             # eval must smooth the audio exactly when training did
+             nosmo_iters=150000)
 
 
 def main():

@@ -37,7 +37,9 @@ def phase_make(args):
     # against the frozen head; reference run_nerf.py:499)
     ds = make_synthetic_dataset(
         n_frames=args.frames, H=args.hw, W=args.hw, dim_expr=args.dim_expr,
-        seed=7, with_torso=args.with_torso)
+        seed=args.seed, with_torso=args.with_torso,
+        sphere_radius=args.sphere_radius, cam_radius=args.cam_radius,
+        motion_scale=args.motion_scale)
     cfg_path = write_reference_format(ds, args.out, subject="rehearsal")
     print("wrote subject:", cfg_path)
     return cfg_path
@@ -126,6 +128,13 @@ def main():
     p.add_argument("--epochs", type=int, default=140,
                    help="epochs over the train split (~100 steps each)")
     p.add_argument("--phase", default="all")
+    p.add_argument("--seed", type=int, default=7,
+                   help="subject seed (7 = the canonical rehearsal "
+                        "subject; a different seed + geometry/motion "
+                        "knobs makes an independent second subject)")
+    p.add_argument("--sphere_radius", type=float, default=0.35)
+    p.add_argument("--cam_radius", type=float, default=1.5)
+    p.add_argument("--motion_scale", type=float, default=1.0)
     p.add_argument("--eval_modes", default=None,
                    help="comma list of eval-phase modes (default: full + "
                         "pruned_40 + the round-4 masked budget/prior "

@@ -128,6 +128,16 @@ def main():
                         "the checkpoints it times")
     p.add_argument("--torso_ckpt", default=TORSO_CKPT,
                    help="torso checkpoint dir (see --head_ckpt)")
+    p.add_argument("--smooth_audio", type=int, default=0,
+                   help="drive with AudAttNet-smoothed audio features — "
+                        "set to 1 when the checkpoint trained past its "
+                        "nosmo_iters switch (e.g. the 200k head)")
+    p.add_argument("--subject_dir", default=COM,
+                   help="subject run directory holding "
+                        "HeadNeRF_config.txt + the with-torso data "
+                        "(default: the canonical rehearsal2_com). For a "
+                        "second subject pass its dir plus matching "
+                        "--head_ckpt/--torso_ckpt/--out")
     args = p.parse_args()
     head_ckpt, torso_ckpt = args.head_ckpt, args.torso_ckpt
 
@@ -142,7 +152,8 @@ def main():
     from idealnerf_tpu.train.state import init_train_state
     from idealnerf_tpu.train.torso import init_torso_params
 
-    cfg = ExperimentConfig.from_file(os.path.join(COM, "HeadNeRF_config.txt"))
+    cfg = ExperimentConfig.from_file(
+        os.path.join(args.subject_dir, "HeadNeRF_config.txt"))
     identity = load_transforms_dataset(cfg.datadir, mode=args.split,
                                        near=cfg.near, far=cfg.far,
                                        gt_dirs="com_imgs")
@@ -187,7 +198,8 @@ def main():
     exprs = identity.exprs[:n] if cfg.dim_expr else None
     common = dict(
         driving_auds=auds, driving_exprs=exprs, latent_codes=latents,
-        torso_params=torso_params, max_frames=n, smooth_audio=False,
+        torso_params=torso_params, max_frames=n,
+        smooth_audio=bool(args.smooth_audio),
     )
 
     bounds = None
@@ -342,7 +354,7 @@ def main():
               flush=True)
 
     print(json.dumps(out, indent=2))
-    dest = args.out or os.path.join(COM, "temporal_delta.json")
+    dest = args.out or os.path.join(args.subject_dir, "temporal_delta.json")
     with open(dest, "w") as f:
         json.dump(out, f, indent=2)
 
