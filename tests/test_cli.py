@@ -475,6 +475,7 @@ def test_bench_temporal_delta_keep_points():
     assert outb["head"]["kf_blend"] == 0.5
 
 
+@pytest.mark.slow
 def test_cli_serve_streams_synthetic(tmp_path):
     """cli.serve pushes the driving track through TemporalStream frame
     by frame, writes the streamed video, and reports latency stats."""

@@ -174,6 +174,7 @@ def test_synthetic_dataset_consistency():
     assert 0 < ds.near < ds.far
 
 
+@pytest.mark.slow
 def test_head_trainer_overfits_synthetic():
     cfg = ExperimentConfig(**TINY)
     ds = make_synthetic_dataset(n_frames=4, H=48, W=48, dim_expr=8)

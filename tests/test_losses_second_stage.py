@@ -92,6 +92,7 @@ def test_cross_identity_dataset_pairing():
     np.testing.assert_array_equal(ds.exprs[3], b.exprs[2])
 
 
+@pytest.mark.slow
 def test_second_stage_finetune_improves():
     cfg = ExperimentConfig(**TINY)
     identity = make_synthetic_dataset(n_frames=3, H=32, W=32, dim_expr=8, seed=0)
@@ -115,6 +116,7 @@ def test_second_stage_finetune_improves():
     assert hist[-1]["aux_loss"] > 0  # aux loss participated
 
 
+@pytest.mark.slow
 def test_second_stage_nondivisible_crop_pads():
     """A crop whose square is not a multiple of the 8192-ray tile (the
     advisor-flagged case: crop=min(256, min(hw)) on a small dataset)
@@ -135,6 +137,7 @@ def test_second_stage_nondivisible_crop_pads():
     assert np.isfinite(hist[-1]["loss"]) and hist[-1]["loss"] > 0
 
 
+@pytest.mark.slow
 def test_second_stage_sharded_matches_single_device():
     """8-device-sharded second-stage step == 1-device-mesh step
     bit-for-bit (identical tiled program, sharding constraints only —

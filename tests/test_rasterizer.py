@@ -323,6 +323,7 @@ def test_tracker_renderer_auto_bumps_on_overflow():
     assert int(ov) == 0
 
 
+@pytest.mark.slow
 def test_bfm_scale_raster_and_tracking():
     """Reference-scale validation (face_tracker.py:37-53 workload): a
     34.5k-vertex / 68k-triangle open face shell with id 100 / exp 79

@@ -3,6 +3,7 @@ estimation + dilation units, keyframe exactness vs the full fused
 composite, and delta-frame quality tracking on trained fields."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -487,6 +488,7 @@ def test_temporal_video_tracks_trained_fields(trained_head_torso):
     assert min(psnrs_p[1:]) > 23.0, psnrs_p
 
 
+@pytest.mark.slow
 def test_reenact_temporal_mode_runs():
     """reenact(..., temporal=2) threads the cache through the frame loop
     and produces finite frames of the right shape."""
@@ -606,6 +608,7 @@ def test_temporal_dilate_every_thins_band_maintenance():
     assert int(c_cyc["head"]["i"]) == int(c_ref["head"]["i"]) == 4
 
 
+@pytest.mark.slow
 def test_temporal_in_kernel_delta_matches_xla_path():
     """in_kernel_delta=True (fused_render_delta: depth placement +
     render + fg band in one launch) reproduces the XLA delta path over

@@ -3,6 +3,7 @@ training on com_imgs (composite loss drops), and the layered full-frame
 composite renderer."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -112,6 +113,7 @@ def test_torso_trainer_learns_composite(trained_head_torso):
     assert psnr > 14.0, psnr
 
 
+@pytest.mark.slow
 def test_composite_fast_renderer_matches_full():
     """make_composite_fast_renderer at keep=1.0 (unmasked and all-true
     prior) must reproduce the full fused composite exactly; pruned +

@@ -3,6 +3,7 @@ reference's unet_att_nerf path) learns on synthetic data; image tools
 and diagnostics."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,7 @@ TINY = dict(
 )
 
 
+@pytest.mark.slow
 def test_unet_trainer_learns():
     cfg = ExperimentConfig(**TINY)
     # 66² satisfies the UNet's 450-style stage alignment (see face_unet)

@@ -93,6 +93,7 @@ def test_project_points_center():
 # ----------------------------------------------------------- variants
 
 @pytest.mark.parametrize("variant", ["face_nerf_agg", "attention_nerf"])
+@pytest.mark.slow
 def test_variant_trainers_learn(variant):
     cfg = ExperimentConfig(model_variant=variant, **TINY)
     ncfg = variant_nerf_config(cfg)
