@@ -101,6 +101,28 @@ def main():
     warmup_s = stream.warmup()
     print(f"warmup (all programs compiled): {warmup_s:.1f}s", flush=True)
 
+    # tunnel round-trip floor: dispatch+fetch of a trivial program.
+    # Through the axon relay this measures ~200 ms — the per-push
+    # latencies below are RTT-dominated, NOT device compute; on a
+    # locally-attached chip subtract ~this from every percentile.
+    import time as _time
+
+    import jax as _jax
+
+    @_jax.jit
+    def _tiny(x):
+        return x + 1.0
+
+    z = jnp.zeros((1,))
+    float(_tiny(z)[0])  # compile
+    rtts = []
+    for _ in range(10):
+        t0 = _time.perf_counter()
+        float(_tiny(z)[0])
+        rtts.append((_time.perf_counter() - t0) * 1000.0)
+    tunnel_rtt_ms = round(pct(rtts, 50), 2)
+    print(f"tunnel round-trip floor: {tunnel_rtt_ms} ms", flush=True)
+
     n = args.frames
     emitted = 0
     kept_frames = []
@@ -168,6 +190,7 @@ def main():
                              "keyframe_rung") if k in conf},
         "lookahead_frames": stream.algorithmic_latency_frames,
         "warmup_s": round(warmup_s, 1),
+        "tunnel_rtt_floor_ms": tunnel_rtt_ms,
         "p50_ms": round(pct(steady, 50), 2),
         "p95_ms": round(pct(steady, 95), 2),
         "p99_ms": round(pct(steady, 99), 2),
