@@ -113,10 +113,33 @@ def main():
     heat = np.stack([gauss_maps(l) for l in lms_hm])  # (N, 68, HM, HM)
 
     params = init_fan(jax.random.PRNGKey(1))
+
+    # Forward-magnitude calibration: init_fan's random stack grows
+    # activations ~2x per residual block (52 blocks -> ~1e10 outputs),
+    # which makes supervised training diverge (intermediate-module MSE
+    # explodes within 20 steps — measured). Iteratively rescale every
+    # conv kernel by a global per-layer factor until the network's raw
+    # output magnitude is O(10); homogeneity over the ~60-conv deepest
+    # path gives the per-iteration exponent.
+    calib = jnp.asarray(np.transpose(crops[:1], (0, 3, 1, 2)))
+
+    def out_mag(p):
+        outs = apply_fan(jax.tree.map(jnp.asarray, p), calib)
+        return float(max(jnp.abs(o).max() for o in outs))
+
+    for _ in range(8):
+        m = out_mag(params)
+        if m < 30.0:
+            break
+        s = m ** (-1.0 / 60.0)
+        params = {k: (v * s if getattr(v, "ndim", 0) == 4 else v)
+                  for k, v in params.items()}
+    print(f"calibrated forward magnitude: {out_mag(params):.2f}",
+          flush=True)
+
     # zero the per-module output convs (l{i}) so the initial prediction
-    # is ~0 instead of the random stack's ~1e10-magnitude maps — the MSE
-    # starts at the target's scale and Adam converges from step 0
-    # (zero-init of a LAST layer keeps nonzero gradients)
+    # is ~0 — the MSE starts at the target's scale and Adam converges
+    # from step 0 (zero-init of a LAST layer keeps nonzero gradients)
     for k in list(params):
         if k.split(".")[0].startswith("l") and k.split(".")[0][1:].isdigit():
             params[k] = np.zeros_like(params[k])
