@@ -66,13 +66,14 @@ done
 wait_tpu
 run 900 /tmp/r4b_aam.log python scripts/check_audatt_moved.py
 
-# 3. torso against the post-switch head
-T200B=$COM/logs/rehearsal_head_torso200b
+# 3. torso against the post-switch head (train_torso appends "_torso"
+# to the expname — watch the REAL ckpt dir)
+T200B=$COM/logs/rehearsal_head_t2b_torso
 until [ "$(step_of $T200B/ckpt)" -ge 5900 ]; do
   wait_tpu
   STEP=$(step_of $T200B/ckpt); [ "$STEP" -lt 0 ] && STEP=0
   run 2400 /tmp/r4b_torso.log python -m idealnerf_tpu.cli.train_torso \
-    --config $COM/HeadNeRF_config.txt --expname rehearsal_head_torso200b \
+    --config $COM/HeadNeRF_config.txt --expname rehearsal_head_t2b \
     --head_ckpt $H200/ckpt --steps $(( 6000 - STEP )) \
     --nosmo_iters 150000 --smooth_audio 1 $PAPER
 done
