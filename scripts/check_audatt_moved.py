@@ -40,6 +40,9 @@ def main():
         if isinstance(tree, dict):
             for k, v in tree.items():
                 out.update(flat(v, f"{prefix}{k}."))
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                out.update(flat(v, f"{prefix}{i}."))
         else:
             out[prefix[:-1]] = np.asarray(tree)
         return out
