@@ -65,22 +65,31 @@ def pick_quality_matched_rung(sweep, ref_prefix="64+", max_delta=0.05):
 
 
 def pick_masked_point(results: dict, max_delta: float = 0.05):
-    """Cheapest measured-gated prior-masked eval config from a
+    """Fastest measured-gated prior-masked eval config from a
     rehearsal results.json (scripts/rehearsal.py phase_eval rows
-    ``delta_psnr_masked_<keep>[_hp]``, frame-basis budgets).
+    ``delta_psnr_masked_<keep>[_hp]`` with per-row ``wall_s``,
+    frame-basis budgets).
 
     Returns (keep_fraction, head_parse, delta_db) or None. Ranking:
-    fine cost ∝ keep; at equal keep the parse-silhouette prior's
-    smaller coarse set wins."""
+    smallest MEASURED wall_s among gated rows — the cost model
+    (fine cost ∝ keep, smaller coarse set wins) mis-ranked hp priors
+    whose irregular ray set is slower despite lower coverage (round-4:
+    it picked masked_28_hp at 68.7 s over masked_60 at 35.1 s). Rows
+    without a measured wall fall back to the cost model, ranked AFTER
+    every measured row."""
     cands = []
     for keep in (28, 40, 60):
         for hp in (True, False):
             key = f"masked_{keep}" + ("_hp" if hp else "")
             d = results.get(f"delta_psnr_{key}")
-            if d is not None and d <= max_delta:
-                cands.append((keep / 100.0, hp, d))
-    cands.sort(key=lambda c: (c[0], not c[1]))
-    return cands[0] if cands else None
+            if d is None or d > max_delta:
+                continue
+            wall = (results.get(key) or {}).get("wall_s")
+            rank = ((0, wall) if wall
+                    else (1, keep / 100.0 + (0.0 if hp else 0.001)))
+            cands.append((rank, (keep / 100.0, hp, d)))
+    cands.sort(key=lambda c: c[0])
+    return cands[0][1] if cands else None
 
 
 def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
