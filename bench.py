@@ -415,6 +415,7 @@ def main():
             kf_blend=comp_conf.get("kf_blend", 0.0),
             freeze_z_torso=comp_conf.get("freeze_z_torso", False),
             dilate_every=comp_conf.get("dilate_every", 1),
+            roll_k_torso=comp_conf.get("roll_k_torso", 0) or 0,
         )
 
         def tcall(cache):
@@ -458,8 +459,12 @@ def main():
         # each cycle's delta frames after the first run as ONE scanned
         # program — identical frames (equivalence-tested), one dispatch
         # + one bulk fetch per cycle
+        # roll_k_torso has no scanned-cycle program (3 pallas launches
+        # per scanned program exceeds the axon budget) — the per-frame
+        # loop number above IS the production path there
         T_cyc = refresh - 2
-        if T_cyc > 0 and _budget_left() > 120:
+        if (T_cyc > 0 and _budget_left() > 120
+                and not comp_conf.get("roll_k_torso")):
             xs_c = dict(
                 poses=jnp.tile(pose[None], (T_cyc, 1, 1)),
                 auds=jnp.tile(aud[None], (T_cyc, 1)),

@@ -108,6 +108,13 @@ def main(argv=None):
                         help="tighten the subject priors from face-rect "
                              "boxes to parse silhouettes "
                              "(foreground_prior* head_parse)")
+    parser.add_argument("--roll_k_torso", type=int, default=0,
+                        help="with --temporal + --torso_ckpt: torso "
+                             "REFRESH-ONLY rolling — every frame "
+                             "re-renders 1/K of the torso rays at the "
+                             "full keyframe schedule (age bound K "
+                             "frames, no torso delta pass); forces the "
+                             "per-frame loop (no scanned cycle)")
     parser.add_argument("--cycle", type=int, default=1,
                         help="with --temporal: render each cycle's "
                              "delta frames as ONE scanned program "
@@ -135,6 +142,7 @@ def main(argv=None):
         args.uni_frac = conf.get("uni_frac", 0.25)
         args.kf_blend = conf.get("kf_blend", 0.0)
         args.dilate_every = conf.get("dilate_every", 1)
+        args.roll_k_torso = conf.get("roll_k_torso", 0) or 0
         args.head_parse = int(conf.get("head_parse", False))
         args.prior = 1
         if conf["keyframe_rung"]:
@@ -241,8 +249,9 @@ def main(argv=None):
         s_delta_torso=args.s_delta_torso,
         uni_frac=args.uni_frac, kf_blend=args.kf_blend,
         dilate_every=args.dilate_every,
+        roll_k_torso=args.roll_k_torso,
         head_parse=bool(args.head_parse),
-        cycle=bool(args.cycle),
+        cycle=bool(args.cycle) and not args.roll_k_torso,
     )
     logger.info("wrote %d frames to %s", frames.shape[0], out)
 

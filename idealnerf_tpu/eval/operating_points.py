@@ -119,8 +119,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
             return None
         rest = k[len(prefix):].split("_")
         pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0, fz=False,
-                  dil=1, hp=False)
-        tags = dict(kt=("keep_t", 100.0), k=("keep", 100.0),
+                  dil=1, hp=False, rt=0)
+        tags = dict(rt=("rt", 1), kt=("keep_t", 100.0), k=("keep", 100.0),
                     u=("uni", 100.0), b=("blend", 100.0),
                     d=("dil", 1))
         for seg in rest[1:]:
@@ -130,7 +130,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
             if seg == "hp":  # boolean tag: parse-silhouette priors
                 pt["hp"] = True
                 continue
-            tag = next((t for t in ("kt", "k", "u", "b", "d")
+            tag = next((t for t in ("rt", "kt", "k", "u", "b", "d")
                         if seg.startswith(t) and seg[len(t):].isdigit()),
                        None)
             if tag is None:
@@ -178,7 +178,12 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
         kt = pt["keep_t"] if pt["keep_t"] is not None else pt["keep"]
         fixed = FIXED - DIL * (1.0 - 1.0 / pt["dil"])
         head_cost = fixed + s * pt["keep"]
-        if pt["fz"]:
+        if pt["rt"]:
+            # torso refresh-only roll: every frame re-renders 1/rt of
+            # the torso rays at the keyframe schedule — no delta pass,
+            # no fixed work, delta_keep_torso irrelevant
+            torso_cost = kf_width / pt["rt"]
+        elif pt["fz"]:
             torso_cost = kf_width * kt
         else:
             torso_cost = fixed + (st if st is not None else s) * kt
@@ -250,6 +255,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
                 + ("" if pt["uni"] == 0.25 else f"_u{round(pt['uni']*100)}")
                 + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}")
                 + ("" if pt["dil"] <= 1 else f"_d{pt['dil']}")
+                + ("" if pt["rt"] <= 0 else f"_rt{pt['rt']}")
                 + ("_fz" if pt["fz"] else "")
                 + ("_hp" if pt["hp"] else ""))
 
@@ -277,6 +283,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
                                   else None),
         "freeze_z_torso_comp": (comp_ok_pts[0]["fz"] if comp_ok_pts
                                 else False),
+        "roll_k_torso_comp": comp_ok_pts[0]["rt"] if comp_ok_pts else 0,
         "uni_frac_comp": comp_ok_pts[0]["uni"] if comp_ok_pts else 0.25,
         "kf_blend_comp": comp_ok_pts[0]["blend"] if comp_ok_pts else 0.0,
         "dilate_every_comp": comp_ok_pts[0]["dil"] if comp_ok_pts else 1,
@@ -356,6 +363,9 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                         "freeze_z_torso": (
                             tq.get("freeze_z_torso_comp", False)
                             if mode == "comp" else False),
+                        "roll_k_torso": (
+                            tq.get("roll_k_torso_comp", 0)
+                            if mode == "comp" else 0),
                         "uni_frac": tq[f"uni_frac_{mode}"],
                         "kf_blend": tq[f"kf_blend_{mode}"],
                         "dilate_every": tq[f"dilate_every_{mode}"],
@@ -370,6 +380,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "delta_keep": best["delta_keep"] if best else 1.0,
             "delta_keep_torso": best["delta_keep_torso"] if best else None,
             "freeze_z_torso": best["freeze_z_torso"] if best else False,
+            "roll_k_torso": best["roll_k_torso"] if best else 0,
             "uni_frac": best["uni_frac"] if best else 0.25,
             "kf_blend": best["kf_blend"] if best else 0.0,
             "dilate_every": best["dilate_every"] if best else 1,

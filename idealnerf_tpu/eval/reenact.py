@@ -103,6 +103,7 @@ def reenact(
     kf_blend: float = 0.0,
     freeze_z_torso: bool = False,
     dilate_every: int = 1,
+    roll_k_torso: int = 0,
     cycle: bool = False,
     frame_times: Optional[list] = None,
     head_parse: bool = False,
@@ -139,6 +140,9 @@ def reenact(
                              "keyframe/delta schedule)")
         if temporal < 1:
             raise ValueError("temporal must be >= 1 (keyframe interval)")
+        if roll_k_torso and cycle:
+            raise ValueError("roll_k_torso (torso refresh roll) has no "
+                             "scanned-cycle program; drop cycle=True")
     if use_prior and fast_keep is None and temporal is None:
         raise ValueError("use_prior requires fast_keep or temporal (the "
                          "prior mask only applies to the fast renderers)")
@@ -277,6 +281,7 @@ def reenact(
                 uni_frac=uni_frac, kf_blend=kf_blend,
                 freeze_z_torso=freeze_z_torso,
                 dilate_every=dilate_every,
+                roll_k_torso=roll_k_torso,
                 **pf,
             )
         elif fast_keep is not None:

@@ -712,6 +712,36 @@ def _pad_sel_for_roll(sel_np, roll_k):
     return sel_np
 
 
+def _roll_refresh_frame(field, params, pose_f, bc_img, cond, cache):
+    """One REFRESH-ONLY rolling frame of one field: no per-frame delta
+    pass at all — every frame re-renders exactly 1/roll_k of the
+    field's rays at the full keyframe schedule (slice_coarse +
+    slice_fine + merge) and every other ray carries its cached pixels.
+
+    Built for the composite's TORSO field (fixed first-frame pose,
+    run_nerf.py:499): its geometry varies only through the conditioning
+    signal, so the dominant temporal error is conditioning STALENESS,
+    not sampling — re-rendering a strided 1/K comb at keyframe quality
+    every frame bounds each ray's age to K frames (the round-4 kt1
+    freeze point's age bound was the whole refresh interval, which is
+    what failed on the sharper 225k checkpoint) while costing
+    keyframe_width/K samples per ray per frame and zero delta-pass
+    fixed work. Per-frame cost is flat (serving-friendly: no 1-in-R
+    keyframe spike for this field)."""
+    roll = field.roll
+    if cache is None:
+        st = field.kf_coarse(params, pose_f, bc_img, cond)
+        rgb, lw, fg, band = field.kf_fine(params, st, cond)
+        return rgb, lw, fg, {"dev": dict(roll.init(rgb, lw, fg, band)),
+                             "phase": 0}
+    dev, phase = cache["dev"], cache["phase"]
+    p = jnp.int32(phase)
+    st = roll.slice_coarse(params, pose_f, bc_img, cond, p)
+    dev = roll.merge(dev, roll.slice_fine(params, st, cond), p)
+    nphase = (phase + 1) % roll.k
+    return dev["rgb"], dev["lw"], dev["fg"], {"dev": dev, "phase": nphase}
+
+
 def _roll_frame(field, params, pose_f, bc_img, cond, cache):
     """One rolling-refresh frame of one field.
 
@@ -862,6 +892,7 @@ def make_temporal_composite_renderer(
     dilate_every: int = 1,
     in_kernel_delta: Optional[bool] = None,
     roll_k: int = 0,
+    roll_k_torso: int = 0,
     _expose_stages: bool = False,
 ):
     """Head+torso composite renderer with a temporal depth cache.
@@ -882,7 +913,20 @@ def make_temporal_composite_renderer(
     field's rays come from the FIXED first-frame pose (run_nerf.py:499),
     so its cache is near-stationary; the head band tracks pose motion
     through the dilation.
+
+    ``roll_k_torso > 1``: the head keeps the normal keyframe/delta
+    cycle but the TORSO runs REFRESH-ONLY rolling (_roll_refresh_frame)
+    — every frame re-renders 1/K of the torso's prior rays at the full
+    keyframe schedule and carries the rest, bounding each torso ray's
+    conditioning age to K frames with no torso delta pass at all. The
+    scanned-cycle path is unavailable in this mode (the per-frame
+    program set is 3 pallas launches — head delta + torso slice
+    coarse/fine — over the one-launch-per-program axon budget a single
+    scanned program could hold).
     """
+    if roll_k and roll_k_torso:
+        raise ValueError("roll_k (both fields) and roll_k_torso "
+                         "(torso-only refresh roll) are exclusive")
     _check_schedule(cfg, s_delta)
     cfg = cfg.eval_mode()
     cd = compute_dtype or jnp.float32
@@ -897,15 +941,16 @@ def make_temporal_composite_renderer(
     else:
         sel_h_np = sel_t_np = sel_u_np = np.arange(n, dtype=np.int32)
         masked = False
-    if roll_k:
+    if roll_k or roll_k_torso:
         # pad per-field selections only: the union mapping below keys
         # off pixel ids, so a duplicated field row resolves to the same
         # pixel's (last) field position. Padding can leave the field
         # outputs longer than H*W even when unmasked — the dense
         # composite fast path below would then reshape-fail, so route
         # through the mapping branch whenever any selection was padded.
-        sel_h_np = _pad_sel_for_roll(sel_h_np, roll_k)
-        sel_t_np = _pad_sel_for_roll(sel_t_np, roll_k)
+        if roll_k:
+            sel_h_np = _pad_sel_for_roll(sel_h_np, roll_k)
+        sel_t_np = _pad_sel_for_roll(sel_t_np, roll_k or roll_k_torso)
         masked = masked or len(sel_h_np) != n or len(sel_t_np) != n
 
     def _pos(sel_np):
@@ -946,7 +991,7 @@ def make_temporal_composite_renderer(
                             freeze_z=freeze_z_torso,
                             dilate_every=dilate_every,
                             in_kernel_delta=in_kernel_delta,
-                            roll_k=roll_k)
+                            roll_k=roll_k or roll_k_torso)
 
     @jax.jit
     def stage_composite(rgb_h, lw_t, fg_t, bc_img):
@@ -982,6 +1027,12 @@ def make_temporal_composite_renderer(
                                                pose0, bc_img,
                                                (signal, None, None),
                                                band_t)
+        elif roll_k_torso:
+            rgb_h, _, _, new_h = head(head_params, pose, bc_img,
+                                      (aud, expr, latent), band_h)
+            _, lw_t, fg_t, new_t = _roll_refresh_frame(
+                torso, torso_params, pose0, bc_img, (signal, None, None),
+                band_t)
         else:
             rgb_h, _, _, new_h = head(head_params, pose, bc_img,
                                       (aud, expr, latent), band_h)
@@ -1033,7 +1084,13 @@ def make_temporal_composite_renderer(
         cache2, frames = jax.lax.scan(body, cache, xs)
         return frames, cache2
 
-    render.cycle = render_cycle
+    def _no_cycle(*a, **kw):
+        raise RuntimeError(
+            "scanned-cycle rendering is unavailable with roll_k_torso "
+            "(3 pallas launches per scanned program exceeds the axon "
+            "per-program budget); use per-frame render calls")
+
+    render.cycle = _no_cycle if roll_k_torso else render_cycle
     if _expose_stages:  # scripts/temporal_profile.py times each program
         render.stages = {"head": head, "torso": torso,
                          "composite": stage_composite}

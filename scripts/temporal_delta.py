@@ -80,6 +80,14 @@ def main():
                         "out-of-band transmittance loss at the cost of "
                         "the keyframe grid width per kept ray). "
                         "Suffixes the composite mode keys with 'fz'")
+    p.add_argument("--roll_k_torso", type=int, default=0,
+                   help="torso REFRESH-ONLY rolling (composite modes "
+                        "only): every frame re-renders 1/K of the torso "
+                        "rays at the full keyframe schedule, bounding "
+                        "each torso ray's conditioning age to K frames; "
+                        "no torso delta pass (--delta_keep_torso / "
+                        "--freeze_z_torso are ignored). Suffixes the "
+                        "composite mode keys with 'rt<K>'")
     p.add_argument("--dilate_every", type=int, default=1,
                    help="run the spatial band dilation only on every "
                         "k-th delta frame (invalid rays carry their "
@@ -286,9 +294,11 @@ def main():
              else f"_b{round(args.kf_blend * 100)}")
     fz_tag = "_fz" if args.freeze_z_torso else ""
     d_tag = (f"_d{args.dilate_every}" if args.dilate_every > 1 else "")
+    rt_tag = (f"_rt{args.roll_k_torso}" if args.roll_k_torso > 1 else "")
     hp_tag = "_hp" if args.head_parse else ""
     ksuf = k_tag + u_tag + b_tag + d_tag + hp_tag
-    ksuf_comp = k_tag + kt_tag + u_tag + b_tag + d_tag + fz_tag + hp_tag
+    ksuf_comp = (k_tag + kt_tag + u_tag + b_tag + d_tag + rt_tag
+                 + fz_tag + hp_tag)
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
     place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend,
                  dilate_every=args.dilate_every,
@@ -298,7 +308,8 @@ def main():
                   bounds=bounds, delta_keep=args.delta_keep,
                   delta_keep_torso=args.delta_keep_torso,
                   freeze_z_torso=args.freeze_z_torso,
-                  s_delta_torso=args.s_delta_torso, **place, **common)
+                  s_delta_torso=args.s_delta_torso,
+                  roll_k_torso=args.roll_k_torso, **place, **common)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {

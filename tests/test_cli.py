@@ -459,6 +459,40 @@ def test_bench_temporal_mode_configs_across_files():
     assert out0["head"]["s_delta"] == 24
 
 
+def test_bench_temporal_roll_torso_points():
+    """_rt<K>-suffixed modes (temporal_delta.py --roll_k_torso): parse,
+    cost model (torso = rung_width/K, no fixed work), and carriage of
+    roll_k_torso into the picked composite config."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    td = {
+        "refresh": 25, "keyframe_rung": "16+32",
+        "modes": {
+            # torso delta at s32 ungated; torso refresh-roll gated
+            "s_delta_32_k80": {"delta_psnr_vs_gt": 0.4},
+            "s_delta_32_k80_rt10": {"delta_psnr_vs_gt": 0.03},
+            "head_only_s_delta_32_k80": {"psnr_temporal_vs_full": 55.3},
+        },
+    }
+    tq = bench.pick_temporal_points(td, 25)
+    assert tq["composite_video_quality_ok"]
+    assert tq["s_delta_comp"] == 32 and tq["delta_keep_comp"] == 0.8
+    assert tq["roll_k_torso_comp"] == 10
+    assert tq["composite_delta_db_vs_gt"]["s_delta_32_k80_rt10"] == 0.03
+    # cost: head fixed+32*0.8 = 31.2; torso rung_width 48/10 = 4.8
+    assert abs(tq["cost_comp"] - (5.6 + 32 * 0.8 + 48 / 10) / 2) < 1e-6
+    out = bench.pick_temporal_mode_configs([td], 32, 25)
+    assert out["comp"]["quality_ok"]
+    assert out["comp"]["roll_k_torso"] == 10
+    # head picks never carry a torso roll
+    assert out["head"]["roll_k_torso"] == 0
+
+
 def test_bench_temporal_delta_keep_points():
     """_k<pct>-suffixed modes (temporal_delta.py --delta_keep) are
     operating points: cost-ranked by s_delta*keep, carried into the

@@ -803,6 +803,107 @@ def test_temporal_rolling_unmasked_nondivisible():
         assert np.isfinite(np.asarray(f)).all()
 
 
+def test_temporal_composite_roll_torso_refresh_only():
+    """roll_k_torso (torso REFRESH-ONLY rolling): frame 0 == the plain
+    temporal keyframe; with CONSTANT conditioning the torso cache after
+    a full comb cycle reproduces its keyframe values (slices re-render
+    deterministic identical inputs); frames stay finite; the mode
+    excludes roll_k and the scanned cycle."""
+    from idealnerf_tpu.eval.temporal import make_temporal_frame_renderer
+
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    K = 4
+
+    plain = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8)
+    ref0, _ = plain(hp, tp, pose, pose0, bc, **call, cache=None)
+
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        delta_keep_head=0.75, roll_k_torso=K, _expose_stages=True)
+    f0, cache = tm(hp, tp, pose, pose0, bc, **call, cache=None)
+    np.testing.assert_allclose(np.asarray(f0), np.asarray(ref0),
+                               atol=2e-5)
+    assert cache["torso"]["phase"] == 0
+    rgb_kf = np.asarray(cache["torso"]["dev"]["rgb"])
+
+    for i in range(K + 1):
+        assert cache["torso"]["phase"] == i % K
+        f, cache = tm(hp, tp, pose, pose0, bc, **call, cache=cache)
+        assert np.isfinite(np.asarray(f)).all()
+    # full comb cycle at constant conditioning: every torso ray was
+    # re-rendered once from identical inputs -> cache rgb ~= keyframe
+    # rgb (slice rays use the einsum path, keyframes the full grid —
+    # same f32 tolerance as the slice-vs-keyframe-rows test)
+    d = np.abs(np.asarray(cache["torso"]["dev"]["rgb"]) - rgb_kf)
+    assert d.max() < 5e-3, d.max()
+    assert (d <= 2e-5).mean() > 0.9
+
+    with pytest.raises(ValueError, match="exclusive"):
+        make_temporal_composite_renderer(
+            ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy,
+            s_delta=8, roll_k=K, roll_k_torso=K)
+    with pytest.raises(RuntimeError, match="scanned-cycle"):
+        tm.cycle(hp, tp, pose[None], pose0, bc, cache)
+    # head-only renderer is unaffected by the torso-roll knob
+    tmh = make_temporal_frame_renderer(ncfg, H, W, focal, near, far, rc,
+                                       cx=cx, cy=cy, s_delta=8)
+    fh, _ = tmh(hp, pose, bc, aud=call["aud"], expr=call["expr"],
+                latent=call["latent"], cache=None)
+    assert np.isfinite(np.asarray(fh)).all()
+
+
+def test_temporal_roll_invalid_slice_band_carry():
+    """A refreshed roll slice whose rays found NO foreground mass must
+    CARRY those rays' previous bands through the merge instead of
+    widening them to the full field interval (the widened band would
+    collapse in-band sample density until the comb revisits)."""
+    (cfg, ncfg, tcfg, H, W, focal, cx, cy, near, far, hp, tp,
+     pose, pose0, bc, call) = _random_setup()
+    rc = cfg.render_config()
+    K = 4
+
+    tm = make_temporal_composite_renderer(
+        ncfg, tcfg, H, W, focal, near, far, rc, cx=cx, cy=cy, s_delta=8,
+        roll_k=K, _expose_stages=True)
+    head = tm.stages["head"]
+    cond = (call["aud"], call["expr"], call["latent"])
+
+    st = head.kf_coarse(hp, pose, bc, cond)
+    rgb, lw, fg, band = head.kf_fine(hp, st, cond)
+    cache = dict(head.roll.init(rgb, lw, fg, band))
+    lo0 = np.asarray(cache["lo"]).copy()
+    hi0 = np.asarray(cache["hi"]).copy()
+
+    p = 1
+    st_sl = head.roll.slice_coarse(hp, pose, bc, cond, jnp.int32(p))
+    sl = dict(head.roll.slice_fine(hp, st_sl, cond))
+    # force the whole slice invalid with interval-wide bands (what
+    # slice_fine emits for massless rays)
+    sl["valid"] = jnp.zeros_like(sl["valid"])
+    sl["lo"] = jnp.full_like(sl["lo"], near)
+    sl["hi"] = jnp.full_like(sl["hi"], far)
+    merged = head.roll.merge(cache, sl, jnp.int32(p))
+
+    # slice rows keep their previous bands...
+    np.testing.assert_allclose(np.asarray(merged["lo"])[p::K], lo0[p::K],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged["hi"])[p::K], hi0[p::K],
+                               atol=1e-6)
+    # ...and a VALID slice does overwrite them
+    sl2 = dict(head.roll.slice_fine(hp, st_sl, cond))
+    sl2["valid"] = jnp.ones_like(sl2["valid"])
+    sl2["lo"] = jnp.full_like(sl2["lo"], 0.7)
+    sl2["hi"] = jnp.full_like(sl2["hi"], 0.8)
+    merged2 = head.roll.merge(cache, sl2, jnp.int32(p))
+    np.testing.assert_allclose(np.asarray(merged2["lo"])[p::K], 0.7,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(merged2["hi"])[p::K], 0.8,
+                               atol=1e-6)
+
+
 def test_stream_rolling_emits_and_bounds_cache():
     """TemporalStream with roll_k: only frame 0 is a keyframe, every
     push emits (after the lookahead), frames finite, and the cache's
