@@ -218,7 +218,7 @@ def main():
     # prior, each row gated at ≤0.05 dB vs the full render on the
     # converged checkpoint; BENCH_KEEP_MASKED overrides.
     keep_masked = 0.4
-    masked_hp = False
+    masked_kind = "rect"
     masked_point_delta = None
     res_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
@@ -228,13 +228,14 @@ def main():
             with open(res_path) as fh:
                 mp = pick_masked_point(json.load(fh))
             if mp:
-                keep_masked, masked_hp, masked_point_delta = mp
+                keep_masked, masked_kind, masked_point_delta = mp
         except Exception as e:
             print(f"# masked-point pick failed: {e}", file=sys.stderr)
     if "BENCH_KEEP_MASKED" in os.environ:
         keep_masked = float(os.environ["BENCH_KEEP_MASKED"])
-        masked_hp = False
+        masked_kind = "rect"
         masked_point_delta = None
+    masked_hp = masked_kind == "hp"
 
     state = BenchState(H, jax.default_backend(), compute_dtype,
                        f"{cfg.N_samples}+{cfg.N_importance}")
@@ -329,8 +330,8 @@ def main():
     state.x["prior_mask_source"] = mask_src
     state.x["prior_mask_coverage"] = round(float(np.asarray(mask).mean()), 4)
 
-    # masked-mode prior at the gated point (parse silhouette when the
-    # quality study gated it)
+    # masked-mode prior at the gated point (parse silhouette / field
+    # occupancy when the quality study gated it)
     mask_m_dev, k_m = mask_dev, k_coarse
     if masked_hp:
         try:
@@ -338,9 +339,29 @@ def main():
             mask_m_dev, k_m = jnp.asarray(m_hp), k_hp
         except Exception as e:
             print(f"# hp prior failed: {e}", file=sys.stderr)
-            masked_hp = False
+            masked_kind, masked_hp = "rect", False
+    elif masked_kind == "occ":
+        # the zero-mass cut mask is a TRAINED-field artifact: cached by
+        # render_val --occ_prior beside the gated checkpoint
+        # (cached_occupancy_prior); bench's random timing params can't
+        # recompute it
+        import glob as _glob
+
+        occs = sorted(_glob.glob(os.path.join(
+            here, "runs", "rehearsal2", "logs", "rehearsal_head200",
+            "ckpt", "occ_prior_*.npy")))
+        if occs and mask_src == "rehearsal2_parse":
+            m_occ = np.load(occs[-1])
+            if m_occ.shape == (H, W):
+                k_occ = int(m_occ.sum())
+                k_m = min(H * W, ((k_occ + 255) // 256) * 256)
+                mask_m_dev = jnp.asarray(m_occ)
+            else:
+                masked_kind = "rect"
+        else:
+            masked_kind = "rect"
     state.x["masked_point"] = {
-        "keep": keep_masked, "head_parse": masked_hp,
+        "keep": keep_masked, "prior_kind": masked_kind,
         "delta_db_on_converged_model": masked_point_delta,
         "coverage": round(float(np.asarray(mask_m_dev).mean()), 4)}
 

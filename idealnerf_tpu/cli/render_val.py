@@ -43,6 +43,14 @@ def main(argv=None):
                         help="with --prior_masked: tighten the prior "
                              "from face-rect boxes to parse silhouettes "
                              "(foreground_prior head_parse)")
+    parser.add_argument("--occ_prior", type=int, default=0,
+                        help="with --prior_masked: additionally cut "
+                             "rays where the TRAINED coarse field "
+                             "carries ~zero foreground mass on probe "
+                             "train frames (field_occupancy_prior — "
+                             "exact by the plate-composite "
+                             "construction, baseline.py:325-375); "
+                             "cached beside the checkpoint")
     parser.add_argument("--keep_basis", choices=("frame", "mask"),
                         default="frame",
                         help="what --pruned's keep %% is a fraction of "
@@ -115,6 +123,40 @@ def main(argv=None):
                 ds_train = resolve_dataset(args, cfg, mode="train")
             mask_np, k_coarse = foreground_prior(
                 ds_train, head_parse=bool(args.head_parse))
+            if args.occ_prior:
+                from idealnerf_tpu.eval.renderer import (
+                    cached_occupancy_prior, field_occupancy_prior,
+                )
+
+                smooth_p = (cfg.dim_aud > 29
+                            and int(state.step) >= cfg.nosmo_iters)
+                auds_d = jnp.asarray(ds_train.auds)
+                ids_d = jnp.asarray(ds_train.aud_ids)
+                lat_p = (state.latent_codes[0] if cfg.dim_latent > 0
+                         else None)
+                probe_ids = list(range(
+                    0, ds_train.size, max(1, ds_train.size // 8)))[:8]
+                conds, poses_p = [], []
+                for pi in probe_ids:
+                    aud_p = compute_aud_feature(
+                        state.params, auds_d, ids_d, pi, cfg, smooth_p)
+                    expr_p = (jnp.asarray(ds_train.exprs[pi])
+                              if cfg.dim_expr > 0 else None)
+                    conds.append(variant_conditioning(
+                        state.params, cfg, aud_p, expr_p))
+                    poses_p.append(ds_train.poses[pi])
+                base_np = mask_np
+                mask_np, k_coarse = cached_occupancy_prior(
+                    args.head_ckpt, state.step,
+                    lambda: field_occupancy_prior(
+                        head_cfg, state.params, H, W, ds.focal, poses_p,
+                        conds, near, far, cfg.render_config(), base_np,
+                        cx=ds.cx, cy=ds.cy, compute_dtype=compute_dtype,
+                        latent=lat_p))
+                logger.info(
+                    "occupancy cut: %.1f%% -> %.1f%% coverage",
+                    100.0 * float(base_np.mean()),
+                    100.0 * float(mask_np.mean()))
             prior_mask = jnp.asarray(mask_np)
             logger.info("subject prior: %.1f%% coverage, k_coarse %d",
                         100.0 * float(mask_np.mean()), k_coarse)

@@ -70,24 +70,28 @@ def pick_masked_point(results: dict, max_delta: float = 0.05):
     ``delta_psnr_masked_<keep>[_hp]`` with per-row ``wall_s``,
     frame-basis budgets).
 
-    Returns (keep_fraction, head_parse, delta_db) or None. Ranking:
-    smallest MEASURED wall_s among gated rows — the cost model
-    (fine cost ∝ keep, smaller coarse set wins) mis-ranked hp priors
-    whose irregular ray set is slower despite lower coverage (round-4:
-    it picked masked_28_hp at 68.7 s over masked_60 at 35.1 s). Rows
-    without a measured wall fall back to the cost model, ranked AFTER
-    every measured row."""
+    Returns (keep_fraction, prior_kind, delta_db) or None, where
+    prior_kind is "rect" (face-rect ∪ torso-parse union), "hp"
+    (parse-silhouette prior), or "occ" (field-occupancy zero-mass cut,
+    round-5). Ranking: smallest MEASURED wall_s among gated rows — the
+    cost model (fine cost ∝ keep, smaller coarse set wins) mis-ranked
+    hp priors whose irregular ray set is slower despite lower coverage
+    (round-4: it picked masked_28_hp at 68.7 s over masked_60 at
+    35.1 s). Rows without a measured wall fall back to the cost model,
+    ranked AFTER every measured row."""
+    kind_rank = {"occ": 0.0, "hp": 0.0005, "rect": 0.001}
     cands = []
     for keep in (28, 40, 60):
-        for hp in (True, False):
-            key = f"masked_{keep}" + ("_hp" if hp else "")
+        for kind in ("occ", "hp", "rect"):
+            key = (f"masked_{keep}"
+                   + ("" if kind == "rect" else f"_{kind}"))
             d = results.get(f"delta_psnr_{key}")
             if d is None or d > max_delta:
                 continue
             wall = (results.get(key) or {}).get("wall_s")
             rank = ((0, wall) if wall
-                    else (1, keep / 100.0 + (0.0 if hp else 0.001)))
-            cands.append((rank, (keep / 100.0, hp, d)))
+                    else (1, keep / 100.0 + kind_rank[kind]))
+            cands.append((rank, (keep / 100.0, kind, d)))
     cands.sort(key=lambda c: c[0])
     return cands[0][1] if cands else None
 

@@ -983,6 +983,101 @@ def foreground_prior(dataset, margin: int = 12, head_parse: bool = False):
     return mask, k
 
 
+def field_occupancy_prior(nerf_cfg, params, H, W, focal, poses, conds,
+                          near, far, cfg: RenderConfig, base_mask,
+                          cx=None, cy=None, thresh: float = 1e-3,
+                          margin: int = 6, tile: int = 8192,
+                          compute_dtype=None, latent=None):
+    """Zero-foreground-mass ray cut: (H, W) bool occupancy prior from
+    the TRAINED coarse field itself.
+
+    Renders the coarse pass on ``base_mask``'s rays for each probe frame
+    in ``poses``/``conds`` and keeps rays whose foreground weight mass
+    (plate sample excluded) exceeds ``thresh`` on ANY probe, max-dilated
+    by ``margin`` px. By the reference's plate-composite construction
+    (baseline.py:325-375: rgb = Σ w·rgb + last_weight·plate) a ray with
+    ~zero foreground mass composites the plate exactly, so cutting it
+    from BOTH passes is exact up to ``thresh`` — this tightens the
+    geometric parse/rect prior (which covers everywhere the subject EVER
+    was) to where the trained field actually carries mass.
+
+    ``conds``: per-probe (aud, expr) tuples (pass the net's conditioning
+    features, not raw audio); ``latent``: the shared eval latent.
+    Returns (mask (H, W) bool ⊆ base_mask, k_coarse tile-padded)."""
+    import numpy as np
+    from scipy.ndimage import binary_dilation
+
+    from idealnerf_tpu.models.face_nerf import make_field_fn
+
+    base = np.asarray(base_mask).reshape(-1).astype(bool)
+    sel = np.nonzero(base)[0].astype(np.int32)
+    pad = (-len(sel)) % 256
+    if pad:
+        sel = np.concatenate([sel, np.repeat(sel[-1:], pad)])
+    sel_d = jnp.asarray(sel)
+    ccfg = RenderConfig(
+        n_samples=cfg.n_samples, n_importance=0, perturb=False,
+        lindisp=cfg.lindisp, density_activation=cfg.density_activation,
+        white_bkgd=False)
+
+    @jax.jit
+    def probe_mass(params, pose_f, aud, expr, latent):
+        cf = make_field_fn(params["coarse"], nerf_cfg, aud, expr, latent,
+                           compute_dtype=compute_dtype)
+        o, d = get_rays(H, W, focal, pose_f, cx, cy)
+        o = o.reshape(-1, 3)[sel_d]
+        d = d.reshape(-1, 3)[sel_d]
+        b = jnp.zeros_like(o)
+
+        def tile_mass(args):
+            out = render_rays(cf, *args, near, far, ccfg)
+            return jnp.sum(out["weights"][..., :-1], -1)
+
+        nrays = o.shape[0]
+        t = min(tile, nrays)
+        t -= t % 256 or 0
+        if nrays % t:
+            t = nrays
+        return jax.lax.map(
+            tile_mass,
+            (o.reshape(-1, t, 3), d.reshape(-1, t, 3),
+             b.reshape(-1, t, 3))).reshape(-1)
+
+    mass = None
+    for pose_f, (aud, expr) in zip(poses, conds):
+        m = probe_mass(params, jnp.asarray(pose_f), aud, expr, latent)
+        mass = m if mass is None else jnp.maximum(mass, m)
+    mass_np = np.asarray(mass, np.float32)
+    occ = np.zeros(H * W, bool)
+    occ[sel] = mass_np > thresh
+    occ = binary_dilation(occ.reshape(H, W), iterations=margin)
+    occ &= np.asarray(base_mask).reshape(H, W).astype(bool)
+    k = int(occ.sum())
+    k = min(H * W, ((k + 255) // 256) * 256)
+    return occ, k
+
+
+def cached_occupancy_prior(cache_dir, step, compute_fn):
+    """Disk-cached field_occupancy_prior beside the checkpoint (same
+    pattern as cached_depth_band): ``<cache_dir>/occ_prior_<step>.npy``.
+    Returns (mask, k_coarse)."""
+    import os
+
+    import numpy as np
+
+    path = os.path.join(cache_dir, f"occ_prior_{int(step)}.npy")
+    if os.path.exists(path):
+        occ = np.load(path)
+        k = int(occ.sum())
+        return occ, min(occ.size, ((k + 255) // 256) * 256)
+    occ, k = compute_fn()
+    try:
+        np.save(path, occ)
+    except OSError:
+        pass
+    return occ, k
+
+
 def render_frame_prior_masked(
     coarse_fn,
     fine_fn,

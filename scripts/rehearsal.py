@@ -40,7 +40,8 @@ def phase_make(args):
         seed=args.seed, with_torso=args.with_torso,
         sphere_radius=args.sphere_radius, cam_radius=args.cam_radius,
         motion_scale=args.motion_scale)
-    cfg_path = write_reference_format(ds, args.out, subject="rehearsal")
+    cfg_path = write_reference_format(ds, args.out, subject="rehearsal",
+                                      train_fraction=args.train_fraction)
     print("wrote subject:", cfg_path)
     return cfg_path
 
@@ -61,7 +62,8 @@ def phase_eval(args):
     from idealnerf_tpu.cli import render_val
 
     cfg_path = os.path.join(args.out, "HeadNeRF_config.txt")
-    ckpt = os.path.join(args.out, "logs", "rehearsal_head", "ckpt")
+    ckpt = args.head_ckpt or os.path.join(args.out, "logs",
+                                          "rehearsal_head", "ckpt")
     base = ["--config", cfg_path, "--head_ckpt", ckpt,
             "--save_path", os.path.join(args.out, "renders")]
     for k, v in PAPER.items():
@@ -96,6 +98,15 @@ def phase_eval(args):
                          "--head_parse", "1"],
         "masked_40_tight": ["--pruned", "40", "--prior_masked", "1",
                             "--tighten_bounds", "1"],
+        # zero-foreground-mass ray cut (round-5): the parse/rect prior
+        # additionally intersected with where the TRAINED coarse field
+        # carries mass on probe frames (field_occupancy_prior)
+        "masked_60_occ": ["--pruned", "60", "--prior_masked", "1",
+                          "--occ_prior", "1"],
+        "masked_40_occ": ["--pruned", "40", "--prior_masked", "1",
+                          "--occ_prior", "1"],
+        "masked_28_occ": ["--pruned", "28", "--prior_masked", "1",
+                          "--occ_prior", "1"],
     }
     default_modes = ("full,pruned_40,masked_40,masked_28,"
                      "masked_40_hp,masked_28_hp")
@@ -135,6 +146,19 @@ def main():
     p.add_argument("--sphere_radius", type=float, default=0.35)
     p.add_argument("--cam_radius", type=float, default=1.5)
     p.add_argument("--motion_scale", type=float, default=1.0)
+    p.add_argument("--train_fraction", type=float, default=10.0 / 11.0,
+                   help="train/val split point. 1.0 writes ALL frames "
+                        "to the train json — used for held-out DRIVING "
+                        "clips (same subject geometry, fresh seed) that "
+                        "gate the temporal modes on the reenactment "
+                        "workload (eval_aud_exp_nerf.py:435-496 "
+                        "semantics: unseen audio/expressions, fixed "
+                        "latent)")
+    p.add_argument("--head_ckpt", default=None,
+                   help="eval phase: checkpoint dir override (default: "
+                        "<out>/logs/rehearsal_head/ckpt) — point at the "
+                        "current best model so the masked operating "
+                        "point is gated on what bench times")
     p.add_argument("--eval_modes", default=None,
                    help="comma list of eval-phase modes (default: full + "
                         "pruned_40 + the round-4 masked budget/prior "

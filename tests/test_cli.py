@@ -244,19 +244,26 @@ def test_bench_masked_point_measured_wall_ranking():
         "masked_40": {"wall_s": 45.1}, "delta_psnr_masked_40": 0.001,
         "masked_60": {"wall_s": 35.1}, "delta_psnr_masked_60": 0.002,
     }
-    keep, hp, delta = pick(res)
-    assert (keep, hp) == (0.60, False) and delta == 0.002
+    keep, kind, delta = pick(res)
+    assert (keep, kind) == (0.60, "rect") and delta == 0.002
     # ungated rows never picked regardless of speed
     res["delta_psnr_masked_60"] = 0.4
-    assert pick(res)[:2] == (0.28, False)
+    assert pick(res)[:2] == (0.28, "rect")
+    # a measured-faster occupancy-cut row wins outright
+    res["masked_60_occ"] = {"wall_s": 24.0}
+    res["delta_psnr_masked_60_occ"] = 0.003
+    assert pick(res)[:2] == (0.60, "occ")
     # wall-less rows rank after every measured row...
     res2 = {"delta_psnr_masked_28_hp": 0.001,
             "masked_40": {"wall_s": 45.1}, "delta_psnr_masked_40": 0.001}
-    assert pick(res2)[:2] == (0.40, False)
+    assert pick(res2)[:2] == (0.40, "rect")
     # ...but the cost model still breaks ties when no walls exist
+    # (smaller coarse set first: occ < hp < rect at equal keep)
     res3 = {"delta_psnr_masked_28_hp": 0.001,
             "delta_psnr_masked_40": 0.001}
-    assert pick(res3)[:2] == (0.28, True)
+    assert pick(res3)[:2] == (0.28, "hp")
+    res3["delta_psnr_masked_28_occ"] = 0.001
+    assert pick(res3)[:2] == (0.28, "occ")
     assert pick({}) is None
 
 

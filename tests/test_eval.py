@@ -171,6 +171,83 @@ def test_reenact_mesh_matches_single_device():
                 use_prior=True)
 
 
+def test_field_occupancy_prior_zero_mass_cut(trained_head_torso, tmp_path):
+    """Zero-foreground-mass ray cut (field_occupancy_prior): the cut is
+    a subset of the geometric prior; rendering with the occupancy prior
+    reproduces the base-prior masked render (cut rays composite the
+    plate — exact by the plate-composite construction, the reference's
+    raw2outputs rgb = Σw·rgb + last_weight·plate); disk cache
+    roundtrips."""
+    from idealnerf_tpu.eval.renderer import (
+        cached_occupancy_prior, field_occupancy_prior, foreground_prior,
+        make_pruned_frame_renderer,
+    )
+    from idealnerf_tpu.models.variants import variant_conditioning
+    from idealnerf_tpu.train.head import compute_aud_feature
+
+    fx = trained_head_torso
+    cfg, ds, head = fx["cfg"], fx["ds_head"], fx["head"]
+    H, W = ds.hw
+    params = head.state.params
+    base, k_base = foreground_prior(ds, margin=4)
+
+    auds_d = jnp.asarray(ds.auds)
+    ids_d = jnp.asarray(ds.aud_ids)
+    conds, poses_p = [], []
+    for i in range(3):
+        aud = compute_aud_feature(params, auds_d, ids_d, i, cfg, False)
+        conds.append(variant_conditioning(
+            params, cfg, aud, jnp.asarray(ds.exprs[i])))
+        poses_p.append(ds.poses[i])
+    latent = head.state.latent_codes[0]
+
+    occ, k_occ = field_occupancy_prior(
+        cfg.face_nerf_config(), params, H, W, ds.focal, poses_p, conds,
+        ds.near, ds.far, cfg.render_config(), base, cx=ds.cx, cy=ds.cy,
+        thresh=1e-3, margin=2, latent=latent)
+    assert occ.dtype == bool and occ.shape == (H, W)
+    assert not (occ & ~base).any()          # strict subset of the prior
+    assert occ.sum() > 0
+
+    # the masked renders agree everywhere: inside occ both render the
+    # same rays; on the CUT rays the trained field carries ~no mass, so
+    # the base render composites (nearly) the plate there — which is
+    # exactly what the occupancy render outputs
+    kw = dict(cx=ds.cx, cy=ds.cy, tile=256, keep_fraction=0.5,
+              keep_basis="frame")
+    r_base = make_pruned_frame_renderer(
+        cfg.face_nerf_config(), H, W, ds.focal, ds.near, ds.far,
+        cfg.render_config(), prior_mask=jnp.asarray(base),
+        k_coarse=k_base, **kw)
+    r_occ = make_pruned_frame_renderer(
+        cfg.face_nerf_config(), H, W, ds.focal, ds.near, ds.far,
+        cfg.render_config(), prior_mask=jnp.asarray(occ),
+        k_coarse=k_occ, **kw)
+    aud0, expr0 = conds[0]
+    bc = jnp.asarray(ds.bc_img, jnp.float32) / 255.0
+    fa = np.asarray(r_base(params, jnp.asarray(ds.poses[0]), bc,
+                           aud=aud0, expr=expr0, latent=latent))
+    fo = np.asarray(r_occ(params, jnp.asarray(ds.poses[0]), bc,
+                          aud=aud0, expr=expr0, latent=latent))
+    cut = base & ~occ
+    if cut.any():
+        assert np.abs(fa - fo)[cut].max() < 0.05
+    agree = -10.0 * np.log10(np.mean((fa - fo) ** 2) + 1e-12)
+    assert agree > 35.0, agree
+
+    # disk cache: first call computes + writes, second loads
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return occ, k_occ
+
+    m1, k1 = cached_occupancy_prior(str(tmp_path), 123, compute)
+    m2, k2 = cached_occupancy_prior(str(tmp_path), 123, compute)
+    assert len(calls) == 1 and (m1 == m2).all() and k1 == k2
+    assert os.path.exists(tmp_path / "occ_prior_123.npy")
+
+
 def test_pruned_renderer_keep_all_matches_full():
     """keep_fraction=1.0 must reproduce the full hierarchical render
     exactly (validates selection/scatter plumbing); lower fractions are a
