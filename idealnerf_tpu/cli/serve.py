@@ -68,10 +68,21 @@ def main(argv=None):
         from idealnerf_tpu.eval.operating_points import gated_video_config
 
         mode = "comp" if args.torso_ckpt else "head"
-        op = gated_video_config(args.auto_temporal, mode)
+        # a rolling cadence must gate on evidence measured AT that
+        # cadence (roll<K> mode keys): a keyframed gate says nothing
+        # about unbounded-horizon rolling drift (round-4 weakness: the
+        # roll_k quality claim rested on an 8-frame agreement check)
+        op = gated_video_config(args.auto_temporal, mode,
+                                roll_k=args.roll_k)
         if op is None or not op.get("quality_ok", False):
-            parser.error(f"--auto_temporal: no gated {mode} operating "
-                         f"point in {args.auto_temporal}")
+            what = (f"roll_k={args.roll_k} rolling" if args.roll_k
+                    else "keyframed")
+            parser.error(
+                f"--auto_temporal: no gated {mode} {what} operating "
+                f"point in {args.auto_temporal} — run scripts/"
+                f"temporal_delta.py"
+                + (f" --roll_k {args.roll_k}" if args.roll_k else "")
+                + " on this subject's converged checkpoint first")
 
     cfg = resolve_config(args)
     if op and op.get("keyframe_rung"):
@@ -114,7 +125,8 @@ def main(argv=None):
         args.max_frames, auds.shape[0])
 
     if args.roll_k and op is not None:
-        op = dict(op, roll_k=args.roll_k)
+        assert op.get("roll_k") == args.roll_k, (
+            "gated config cadence mismatch", op)
     stream = TemporalStream(
         cfg, head_params, identity, torso_params=torso_params,
         latent_codes=latents, operating_point=op, refresh=args.refresh,

@@ -123,10 +123,10 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
             return None
         rest = k[len(prefix):].split("_")
         pt = dict(keep=1.0, keep_t=None, uni=0.25, blend=0.0, fz=False,
-                  dil=1, hp=False, rt=0)
-        tags = dict(rt=("rt", 1), kt=("keep_t", 100.0), k=("keep", 100.0),
-                    u=("uni", 100.0), b=("blend", 100.0),
-                    d=("dil", 1))
+                  dil=1, hp=False, rt=0, roll=0)
+        tags = dict(roll=("roll", 1), rt=("rt", 1), kt=("keep_t", 100.0),
+                    k=("keep", 100.0), u=("uni", 100.0),
+                    b=("blend", 100.0), d=("dil", 1))
         for seg in rest[1:]:
             if seg == "fz":  # boolean tag: torso frozen-z delta frames
                 pt["fz"] = True
@@ -134,7 +134,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
             if seg == "hp":  # boolean tag: parse-silhouette priors
                 pt["hp"] = True
                 continue
-            tag = next((t for t in ("rt", "kt", "k", "u", "b", "d")
+            tag = next((t for t in ("roll", "rt", "kt", "k", "u", "b",
+                                    "d")
                         if seg.startswith(t) and seg[len(t):].isdigit()),
                        None)
             if tag is None:
@@ -182,6 +183,10 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
         kt = pt["keep_t"] if pt["keep_t"] is not None else pt["keep"]
         fixed = FIXED - DIL * (1.0 - 1.0 / pt["dil"])
         head_cost = fixed + s * pt["keep"]
+        if pt["roll"]:
+            # both-field rolling refresh: every frame additionally pays
+            # 1/roll of the keyframe schedule per field
+            head_cost += kf_width / pt["roll"]
         if pt["rt"]:
             # torso refresh-only roll: every frame re-renders 1/rt of
             # the torso rays at the keyframe schedule — no delta pass,
@@ -191,6 +196,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
             torso_cost = kf_width * kt
         else:
             torso_cost = fixed + (st if st is not None else s) * kt
+            if pt["roll"]:
+                torso_cost += kf_width / pt["roll"]
         return (head_cost + torso_cost) / 2.0
 
     def _fps_ratio(v, prefix):
@@ -259,6 +266,7 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
                 + ("" if pt["uni"] == 0.25 else f"_u{round(pt['uni']*100)}")
                 + ("" if pt["blend"] <= 0 else f"_b{round(pt['blend']*100)}")
                 + ("" if pt["dil"] <= 1 else f"_d{pt['dil']}")
+                + ("" if pt["roll"] <= 0 else f"_roll{pt['roll']}")
                 + ("" if pt["rt"] <= 0 else f"_rt{pt['rt']}")
                 + ("_fz" if pt["fz"] else "")
                 + ("_hp" if pt["hp"] else ""))
@@ -288,6 +296,8 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
         "freeze_z_torso_comp": (comp_ok_pts[0]["fz"] if comp_ok_pts
                                 else False),
         "roll_k_torso_comp": comp_ok_pts[0]["rt"] if comp_ok_pts else 0,
+        "roll_k_comp": comp_ok_pts[0]["roll"] if comp_ok_pts else 0,
+        "roll_k_head": head_ok_pts[0]["roll"] if head_ok_pts else 0,
         "uni_frac_comp": comp_ok_pts[0]["uni"] if comp_ok_pts else 0.25,
         "kf_blend_comp": comp_ok_pts[0]["blend"] if comp_ok_pts else 0.0,
         "dilate_every_comp": comp_ok_pts[0]["dil"] if comp_ok_pts else 1,
@@ -314,7 +324,24 @@ def pick_temporal_points(td, refresh, default_s_delta=32, fps_trust=True):
     }
 
 
-def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
+def _filter_roll(cands, roll_k):
+    """Evidence filtered to one rolling cadence: roll_k=0 keeps only
+    keyframed (non-roll) mode keys — the video/bench selection; roll_k=K
+    keeps only the _roll<K> keys — cli/serve's spike-free cadence must
+    gate on evidence measured AT that cadence (a keyframed gate says
+    nothing about unbounded-horizon rolling drift)."""
+    tag = f"_roll{roll_k}" if roll_k else None
+
+    def keep(k):
+        return (tag in k) if tag else ("_roll" not in k)
+
+    return [dict(td, modes={k: v for k, v in (td.get("modes") or
+                                              {}).items() if keep(k)})
+            for td in cands]
+
+
+def pick_temporal_mode_configs(cands, default_s_delta, default_refresh,
+                               roll_k: int = 0):
     """Per-mode temporal configuration across MULTIPLE evidence files
     (scripts/temporal_delta.py runs at different keyframe intervals).
 
@@ -322,7 +349,11 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
     quality gate holds (pick_temporal_points), prefer the LARGEST
     keyframe interval — keyframe cost amortizes over more frames — with
     that file's cheapest quality-holding s_delta and its keyframe rung.
-    Falls back to the env defaults with the gate CLOSED."""
+    Falls back to the env defaults with the gate CLOSED.
+
+    ``roll_k``: 0 (default) selects among keyframed points only; K>1
+    selects among points measured at the _roll<K> rolling cadence."""
+    cands = _filter_roll(cands, roll_k)
     # session-speed sanity: a file whose own full-render fps is an
     # outlier vs its siblings (≤ half the median — an outage-slowed
     # session) gets its measured fps ignored; its QUALITY rows are
@@ -370,6 +401,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
                         "roll_k_torso": (
                             tq.get("roll_k_torso_comp", 0)
                             if mode == "comp" else 0),
+                        "roll_k": tq.get(f"roll_k_{mode}", 0),
                         "uni_frac": tq[f"uni_frac_{mode}"],
                         "kf_blend": tq[f"kf_blend_{mode}"],
                         "dilate_every": tq[f"dilate_every_{mode}"],
@@ -385,6 +417,7 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
             "delta_keep_torso": best["delta_keep_torso"] if best else None,
             "freeze_z_torso": best["freeze_z_torso"] if best else False,
             "roll_k_torso": best["roll_k_torso"] if best else 0,
+            "roll_k": best["roll_k"] if best else 0,
             "uni_frac": best["uni_frac"] if best else 0.25,
             "kf_blend": best["kf_blend"] if best else 0.0,
             "dilate_every": best["dilate_every"] if best else 1,
@@ -405,14 +438,17 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh):
 
 def gated_video_config(evidence_dir: str, mode: str,
                        default_s_delta: int = 32,
-                       default_refresh: int = 25) -> Optional[dict]:
+                       default_refresh: int = 25,
+                       roll_k: int = 0) -> Optional[dict]:
     """The quality-gated temporal video configuration for ``mode``
     ("head" or "comp"), or None when no measured point holds the gate.
 
     Returns {refresh, s_delta, s_delta_torso, delta_keep,
     keyframe_rung} ready to hand to eval.reenact / the temporal
-    renderer constructors."""
+    renderer constructors. ``roll_k``: require a point measured at that
+    rolling cadence (cli/serve --roll_k refuses cadences without their
+    own gate)."""
     cands = load_temporal_evidence(evidence_dir)
     conf = pick_temporal_mode_configs(
-        cands, default_s_delta, default_refresh)[mode]
+        cands, default_s_delta, default_refresh, roll_k=roll_k)[mode]
     return conf if conf["quality_ok"] else None

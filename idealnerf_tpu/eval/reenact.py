@@ -103,6 +103,7 @@ def reenact(
     kf_blend: float = 0.0,
     freeze_z_torso: bool = False,
     dilate_every: int = 1,
+    roll_k: int = 0,
     roll_k_torso: int = 0,
     cycle: bool = False,
     frame_times: Optional[list] = None,
@@ -143,6 +144,11 @@ def reenact(
         if roll_k_torso and cycle:
             raise ValueError("roll_k_torso (torso refresh roll) has no "
                              "scanned-cycle program; drop cycle=True")
+        if roll_k and cycle:
+            raise ValueError("roll_k (rolling keyframe refresh) has no "
+                             "scanned-cycle program; drop cycle=True")
+        if roll_k and roll_k_torso:
+            raise ValueError("roll_k and roll_k_torso are exclusive")
     if use_prior and fast_keep is None and temporal is None:
         raise ValueError("use_prior requires fast_keep or temporal (the "
                          "prior mask only applies to the fast renderers)")
@@ -213,7 +219,7 @@ def reenact(
                 compute_dtype=compute_dtype, s_delta=s_delta,
                 prior_mask=prior_mask, delta_keep=delta_keep,
                 uni_frac=uni_frac, kf_blend=kf_blend,
-                dilate_every=dilate_every,
+                dilate_every=dilate_every, roll_k=roll_k,
             )
         elif fast_keep is not None:
             from idealnerf_tpu.eval.renderer import make_pruned_frame_renderer
@@ -281,7 +287,7 @@ def reenact(
                 uni_frac=uni_frac, kf_blend=kf_blend,
                 freeze_z_torso=freeze_z_torso,
                 dilate_every=dilate_every,
-                roll_k_torso=roll_k_torso,
+                roll_k=roll_k, roll_k_torso=roll_k_torso,
                 **pf,
             )
         elif fast_keep is not None:
@@ -505,7 +511,9 @@ def reenact(
         aud = aud_feats[i]
         aud_arg, expr_arg = variant_conditioning(head_params, cfg, aud, expr)
         if torso_params is None and temporal is not None:
-            if i % temporal == 0:
+            # rolling mode: only frame 0 is a keyframe, the cache then
+            # lives forever (each ray refreshes via its slice)
+            if i % temporal == 0 and not roll_k:
                 cache = None
             frame, cache = render(head_params, pose, bc, aud=aud_arg,
                                   expr=expr_arg, latent=latent, cache=cache)
@@ -514,8 +522,8 @@ def reenact(
                            latent=latent)
         elif temporal is not None:
             # keyframe every `temporal` frames (cache=None), band-confined
-            # delta renders in between
-            if i % temporal == 0:
+            # delta renders in between; rolling mode never re-keyframes
+            if i % temporal == 0 and not roll_k:
                 cache = None
             signal = torso_signal(aud, pose, cfg.dim_aud_body)
             frame, cache = render(head_params, torso_params, pose, pose0,

@@ -96,6 +96,7 @@ class TemporalStream:
         kf_blend: float = 0.0,
         dilate_every: int = 1,
         roll_k: int = 0,
+        roll_k_torso: int = 0,
         use_prior: bool = False,
         head_parse: bool = False,
         bounds=None,
@@ -122,7 +123,11 @@ class TemporalStream:
         # frame pays delta + 1/roll_k of a keyframe, bounding per-push
         # latency (the 1-in-refresh keyframe spike disappears); per-ray
         # refresh age is bounded by roll_k frames
-        self.roll_k = int(op.get("roll_k", roll_k))
+        self.roll_k = int(op.get("roll_k", roll_k) or 0)
+        # torso refresh-only rolling (the gated rt<K> points): head
+        # keeps the keyframe cadence, the torso re-renders 1/K of its
+        # rays at keyframe quality every frame
+        self.roll_k_torso = int(op.get("roll_k_torso", roll_k_torso) or 0)
         head_parse = bool(op.get("head_parse", head_parse))
         if self.roll_k == 1 or self.roll_k < 0:
             raise ValueError("roll_k must be 0 (off) or >= 2")
@@ -204,7 +209,8 @@ class TemporalStream:
                 delta_keep_torso=(delta_keep if dkt is None else dkt),
                 s_delta_torso=s_delta_torso, uni_frac=uni_frac,
                 kf_blend=kf_blend, freeze_z_torso=freeze_z_torso,
-                dilate_every=dilate_every, roll_k=self.roll_k, **pf,
+                dilate_every=dilate_every, roll_k=self.roll_k,
+                roll_k_torso=self.roll_k_torso, **pf,
             )
 
         @jax.jit
@@ -287,6 +293,25 @@ class TemporalStream:
             return self._emit()
         return None
 
+    def push_device(self, aud_window, expr=None, pose=None):
+        """push() variant that returns the frame as a DEVICE array
+        without the host fetch (no np.asarray, no implicit sync) — the
+        measurement hook for isolating device compute from transport
+        RTT: dispatch K pushes back-to-back, force execution once with
+        a single scalar fetch, and the wall is RTT + K·compute
+        (scripts/stream_latency.py's queue-depth sweep)."""
+        if self._closed:
+            raise RuntimeError("stream is flushed/closed")
+        feat = self._feat(self.head_params,
+                          jnp.asarray(aud_window, jnp.float32))
+        self._hist.append(feat)
+        self._pending.append((expr, pose))
+        self._n_pushed += 1
+        self._hist_start = self._n_pushed - len(self._hist)
+        if self._out_i + self.lookahead < self._n_pushed:
+            return self._emit(device=True)
+        return None
+
     def flush(self) -> List[np.ndarray]:
         """End of stream: render the frames still inside the lookahead
         window (their future features are zero, like the offline track
@@ -316,7 +341,7 @@ class TemporalStream:
         return self._att(self.head_params, jnp.stack(rows),
                          jnp.asarray(valid))
 
-    def _emit(self) -> np.ndarray:
+    def _emit(self, device: bool = False):
         t0 = time.time()
         i = self._out_i
         expr, pose = self._pending.popleft()
@@ -347,7 +372,9 @@ class TemporalStream:
                 self.head_params, self.torso_params, pose, self._pose0,
                 self._bc, aud=aud_arg, signal=signal, expr=expr_arg,
                 latent=self.latent, cache=cache)
-        frame = np.asarray(jnp.clip(frame, 0.0, 1.0))
+        frame = jnp.clip(frame, 0.0, 1.0)
+        if not device:
+            frame = np.asarray(frame)
         self._out_i += 1
         self.frame_times.append(time.time() - t0)
         return frame

@@ -80,6 +80,13 @@ def main():
                         "out-of-band transmittance loss at the cost of "
                         "the keyframe grid width per kept ray). "
                         "Suffixes the composite mode keys with 'fz'")
+    p.add_argument("--roll_k", type=int, default=0,
+                   help="BOTH-FIELD rolling keyframe refresh (the "
+                        "cli/serve spike-free cadence): no keyframes "
+                        "after frame 0; every frame pays delta + 1/K of "
+                        "a keyframe per field. Gates the serving "
+                        "configuration vs GT over >=2 comb cycles. "
+                        "Suffixes mode keys with 'roll<K>'")
     p.add_argument("--roll_k_torso", type=int, default=0,
                    help="torso REFRESH-ONLY rolling (composite modes "
                         "only): every frame re-renders 1/K of the torso "
@@ -295,10 +302,11 @@ def main():
     fz_tag = "_fz" if args.freeze_z_torso else ""
     d_tag = (f"_d{args.dilate_every}" if args.dilate_every > 1 else "")
     rt_tag = (f"_rt{args.roll_k_torso}" if args.roll_k_torso > 1 else "")
+    roll_tag = (f"_roll{args.roll_k}" if args.roll_k > 1 else "")
     hp_tag = "_hp" if args.head_parse else ""
-    ksuf = k_tag + u_tag + b_tag + d_tag + hp_tag
-    ksuf_comp = (k_tag + kt_tag + u_tag + b_tag + d_tag + rt_tag
-                 + fz_tag + hp_tag)
+    ksuf = k_tag + u_tag + b_tag + d_tag + roll_tag + hp_tag
+    ksuf_comp = (k_tag + kt_tag + u_tag + b_tag + d_tag + roll_tag
+                 + rt_tag + fz_tag + hp_tag)
     tsuf = (f"t{args.s_delta_torso}" if args.s_delta_torso else "")
     place = dict(uni_frac=args.uni_frac, kf_blend=args.kf_blend,
                  dilate_every=args.dilate_every,
@@ -308,7 +316,7 @@ def main():
                   bounds=bounds, delta_keep=args.delta_keep,
                   delta_keep_torso=args.delta_keep_torso,
                   freeze_z_torso=args.freeze_z_torso,
-                  s_delta_torso=args.s_delta_torso,
+                  s_delta_torso=args.s_delta_torso, roll_k=args.roll_k,
                   roll_k_torso=args.roll_k_torso, **place, **common)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
@@ -347,7 +355,8 @@ def main():
     for s_delta in args.s_delta:
         kw = dict(temporal=args.refresh, s_delta=s_delta, use_prior=True,
                   bounds=bounds["head"] if bounds else None,
-                  delta_keep=args.delta_keep, **place, **common_h)
+                  delta_keep=args.delta_keep, roll_k=args.roll_k,
+                  **place, **common_h)
         tm, _, ft = timed(cfg_kf, **kw)
         fps_am, fps_delta, measured_key = temporal_fps(ft, args.refresh)
         m = {

@@ -55,31 +55,40 @@ PAPER="--N_rand 3072 --N_samples 64 --N_importance 128 --dim_aud 64 \
 
 # ---------------- A: diagnostics on the 225k pair --------------------
 wait_tpu
-run 1800 /tmp/r5_a1.log $TD --frames 50 --refresh 10 --s_delta 32 \
+[ -f $COM/ckpt200/temporal_delta_200k_rt10.json ] || run 1800 /tmp/r5_a1.log $TD --frames 50 --refresh 10 --s_delta 32 \
   --delta_keep 0.8 --dilate_every 2 --roll_k_torso 10 \
   --out $COM/ckpt200/temporal_delta_200k_rt10.json
 wait_tpu
-run 1800 /tmp/r5_a2.log $TD --frames 50 --refresh 10 --s_delta 32 \
+[ -f $COM/ckpt200/temporal_delta_200k_kt1r10.json ] || run 1800 /tmp/r5_a2.log $TD --frames 50 --refresh 10 --s_delta 32 \
   --delta_keep 0.8 --delta_keep_torso 0.01 --dilate_every 2 \
   --out $COM/ckpt200/temporal_delta_200k_kt1r10.json
 wait_tpu
-run 1800 /tmp/r5_a3.log $TD --frames 50 --refresh 10 --s_delta 48 \
+[ -f $COM/ckpt200/temporal_delta_200k_s48k100.json ] || run 1800 /tmp/r5_a3.log $TD --frames 50 --refresh 10 --s_delta 48 \
   --dilate_every 2 \
   --out $COM/ckpt200/temporal_delta_200k_s48k100.json
 
 # ---------------- B: driving-clip gating on the 225k pair ------------
 wait_tpu
-run 2400 /tmp/r5_b1.log $TD --subject_dir $DRV --frames 60 --refresh 25 \
+[ -f $COM/temporal_delta_drive_rt12.json ] || run 2400 /tmp/r5_b1.log $TD --subject_dir $DRV --frames 60 --refresh 25 \
   --s_delta 32 16 --delta_keep 0.8 --dilate_every 2 --roll_k_torso 12 \
   --out $COM/temporal_delta_drive_rt12.json
 wait_tpu
-run 2400 /tmp/r5_b2.log $TD --subject_dir $DRV --frames 60 --refresh 25 \
+[ -f $COM/temporal_delta_drive_kt1.json ] || run 2400 /tmp/r5_b2.log $TD --subject_dir $DRV --frames 60 --refresh 25 \
   --s_delta 16 --delta_keep 0.6 --delta_keep_torso 0.01 --dilate_every 2 \
   --out $COM/temporal_delta_drive_kt1.json
 wait_tpu
-run 2400 /tmp/r5_b3.log $TD --subject_dir $DRV --frames 60 --refresh 50 \
+[ -f $COM/temporal_delta_drive_r50rt25.json ] || run 2400 /tmp/r5_b3.log $TD --subject_dir $DRV --frames 60 --refresh 50 \
   --s_delta 32 16 --delta_keep 0.8 --dilate_every 2 --roll_k_torso 25 \
   --out $COM/temporal_delta_drive_r50rt25.json
+
+# serve's rolling cadence gets its own vs-GT gate (roll16 = the
+# cadence stream_latency/SERVING.md quote), >=3 comb cycles on the
+# driving clip — cli/serve --roll_k refuses cadences without this
+wait_tpu
+[ -f $COM/temporal_delta_drive_roll16.json ] || run 2400 /tmp/r5_b4.log \
+  $TD --subject_dir $DRV --frames 60 --refresh 16 \
+  --s_delta 16 --delta_keep 0.6 --dilate_every 2 --roll_k 16 \
+  --out $COM/temporal_delta_drive_roll16.json
 
 # ---------------- C: finish the smoothed-audio regime ----------------
 # Chunked head extension; stop once smoothed val PSNR >= pre-switch
@@ -123,15 +132,15 @@ done
 TDF="python scripts/temporal_delta.py --tighten --split train \
   --smooth_audio 1 --head_ckpt $H200 --torso_ckpt $T5/ckpt"
 wait_tpu
-run 2400 /tmp/r5_d1.log $TDF --subject_dir $DRV --frames 60 --refresh 25 \
+[ -f $COM/temporal_delta_drive_final_rt12.json ] || run 2400 /tmp/r5_d1.log $TDF --subject_dir $DRV --frames 60 --refresh 25 \
   --s_delta 32 16 --delta_keep 0.8 --dilate_every 2 --roll_k_torso 12 \
   --out $COM/temporal_delta_drive_final_rt12.json
 wait_tpu
-run 2400 /tmp/r5_d2.log $TDF --subject_dir $DRV --frames 60 --refresh 50 \
+[ -f $COM/temporal_delta_drive_final_r50rt25.json ] || run 2400 /tmp/r5_d2.log $TDF --subject_dir $DRV --frames 60 --refresh 50 \
   --s_delta 32 16 --delta_keep 0.8 --dilate_every 2 --roll_k_torso 25 \
   --out $COM/temporal_delta_drive_final_r50rt25.json
 wait_tpu
-run 1800 /tmp/r5_d3.log $TDF --frames 50 --refresh 10 --s_delta 32 \
+[ -f $COM/ckpt200/temporal_delta_final_rt10.json ] || run 1800 /tmp/r5_d3.log $TDF --frames 50 --refresh 10 --s_delta 32 \
   --delta_keep 0.8 --dilate_every 2 --roll_k_torso 10 \
   --out $COM/ckpt200/temporal_delta_final_rt10.json
 
@@ -142,7 +151,7 @@ TDS="python scripts/temporal_delta.py --tighten --split train \
   --smooth_audio 0 --head_ckpt $S2/logs/rehearsal_head/ckpt \
   --torso_ckpt $S2C/logs/rehearsal_head_torso/ckpt --subject_dir $S2D"
 wait_tpu
-run 2400 /tmp/r5_d4.log $TDS --frames 60 --refresh 25 --s_delta 32 24 \
+[ -f $S2C/temporal_delta_drive_rt12.json ] || run 2400 /tmp/r5_d4.log $TDS --frames 60 --refresh 25 --s_delta 32 24 \
   --delta_keep 0.8 --dilate_every 2 --roll_k_torso 12 \
   --out $S2C/temporal_delta_drive_rt12.json
 

@@ -500,6 +500,40 @@ def test_bench_temporal_roll_torso_points():
     assert out["head"]["roll_k_torso"] == 0
 
 
+def test_bench_temporal_roll_cadence_gating():
+    """_roll<K>-suffixed modes gate the cli/serve rolling cadence:
+    default selection (roll_k=0) ignores them; roll_k=K selects ONLY
+    points measured at that cadence and carries roll_k into the
+    config; an unmeasured cadence stays gated closed."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from idealnerf_tpu.eval.operating_points import (
+        pick_temporal_mode_configs,
+    )
+
+    td = {
+        "refresh": 25, "keyframe_rung": "16+32",
+        "modes": {
+            "head_only_s_delta_16_k60": {"psnr_temporal_vs_full": 52.0,
+                                         "delta_psnr_vs_gt": 0.01},
+            "head_only_s_delta_16_k60_roll16": {
+                "psnr_temporal_vs_full": 47.0, "delta_psnr_vs_gt": 0.02},
+        },
+    }
+    out0 = pick_temporal_mode_configs([td], 32, 25)
+    assert out0["head"]["quality_ok"] and out0["head"]["roll_k"] == 0
+    out16 = pick_temporal_mode_configs([td], 32, 25, roll_k=16)
+    assert out16["head"]["quality_ok"] and out16["head"]["roll_k"] == 16
+    assert out16["head"]["s_delta"] == 16
+    # a cadence with no measured gate stays closed
+    out8 = pick_temporal_mode_configs([td], 32, 25, roll_k=8)
+    assert not out8["head"]["quality_ok"]
+
+
 def test_bench_temporal_delta_keep_points():
     """_k<pct>-suffixed modes (temporal_delta.py --delta_keep) are
     operating points: cost-ranked by s_delta*keep, carried into the

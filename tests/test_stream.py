@@ -104,6 +104,28 @@ def test_stream_matches_offline_reenact_composite():
     _assert_stream_matches(frames, ref)
 
 
+def test_stream_push_device_matches_push():
+    """push_device (the compute-isolation hook: no host fetch per push)
+    emits frames bit-identical to push() on the same schedule, as
+    device arrays."""
+    import jax.numpy as jnp
+
+    cfg, ds, state = _setup()
+    n = 6
+    a = TemporalStream(cfg, state.params, ds,
+                       latent_codes=state.latent_codes,
+                       refresh=3, s_delta=6, smooth_audio=False)
+    b = TemporalStream(cfg, state.params, ds,
+                       latent_codes=state.latent_codes,
+                       refresh=3, s_delta=6, smooth_audio=False)
+    for i in range(n):
+        fa = a.push(ds.auds[i], pose=ds.poses[i % ds.size])
+        fb = b.push_device(ds.auds[i], pose=ds.poses[i % ds.size])
+        assert isinstance(fa, np.ndarray)
+        assert isinstance(fb, jnp.ndarray)
+        np.testing.assert_array_equal(fa, np.asarray(fb))
+
+
 def test_stream_warmup_flush_and_unsmoothed_latency():
     """Push/emit accounting: smoothed streams warm up for exactly the
     lookahead, flush drains it; smooth_audio=False emits on every push
