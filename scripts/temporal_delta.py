@@ -276,6 +276,10 @@ def main():
     out = {
         "frames": n,
         "split": args.split,
+        # which clip the GT came from: a *_drive dir = the held-out
+        # driving clip (reenactment workload); the subject's own dir =
+        # the train/val split record
+        "subject_dir": os.path.relpath(args.subject_dir, ROOT),
         "refresh": args.refresh,
         "keyframe_rung": f"{kf_s}+{kf_imp}",
         "head_ckpt": os.path.relpath(head_ckpt, ROOT),
