@@ -93,7 +93,10 @@ def main():
         if conf.get("kf_blend"):
             print(f"# roll_k: dropping gated kf_blend={conf['kf_blend']}",
                   flush=True)
-        conf = dict(conf, roll_k=args.roll_k, kf_blend=0.0)
+        # both-field rolling excludes the torso refresh-roll (the roll
+        # delta pass covers the torso) and the keyframe-CDF anchor
+        conf = dict(conf, roll_k=args.roll_k, kf_blend=0.0,
+                    roll_k_torso=0)
     stream = TemporalStream(cfg, head_params, identity,
                             torso_params=torso_params,
                             latent_codes=latents, operating_point=conf,
@@ -255,6 +258,7 @@ def main():
                             ("refresh", "s_delta", "s_delta_torso",
                              "delta_keep", "delta_keep_torso",
                              "freeze_z_torso", "dilate_every",
+                             "roll_k_torso", "roll_k", "head_parse",
                              "keyframe_rung") if k in conf},
         "lookahead_frames": stream.algorithmic_latency_frames,
         "warmup_s": round(warmup_s, 1),
