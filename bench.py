@@ -356,6 +356,7 @@ def main():
                 k_occ = int(m_occ.sum())
                 k_m = min(H * W, ((k_occ + 255) // 256) * 256)
                 mask_m_dev = jnp.asarray(m_occ)
+                occ_np = m_occ
             else:
                 masked_kind = "rect"
         else:
@@ -369,7 +370,17 @@ def main():
         mask_h, mask_t = foreground_prior_fields(ds_prior)
     except Exception:
         mask_h = mask_t = np.asarray(mask)
+    # Zero-mass cut for the PER-FRAME composite modes' head field: rays
+    # where the trained head field carries no mass composite the plate
+    # for the head layer — the same exactness argument as the parse
+    # prior. The temporal modes keep the exact prior their quality gate
+    # was measured with; the torso field keeps its parse prior (the occ
+    # mask was probed on the head field).
+    mask_h_pf = (np.asarray(mask_h) & occ_np if masked_kind == "occ"
+                 else mask_h)
     state.x["prior_coverage_head"] = round(float(np.asarray(mask_h).mean()), 4)
+    state.x["prior_coverage_head_perframe"] = round(
+        float(np.asarray(mask_h_pf).mean()), 4)
     state.x["prior_coverage_torso"] = round(
         float(np.asarray(mask_t).mean()), 4)
 
@@ -617,7 +628,7 @@ def main():
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg.render_config(), cx=cx, cy=cy,
             compute_dtype=compute_dtype,
-            prior_mask_head=jnp.asarray(mask_h),
+            prior_mask_head=jnp.asarray(mask_h_pf),
             prior_mask_torso=jnp.asarray(mask_t),
             keep_head=keep_masked, keep_torso=keep_masked,
         )
@@ -664,7 +675,7 @@ def main():
             nerf_cfg, torso_cfg, H, W, focal, near, far,
             cfg_qm.render_config(), cx=cx, cy=cy,
             compute_dtype=compute_dtype,
-            prior_mask_head=jnp.asarray(mask_h),
+            prior_mask_head=jnp.asarray(mask_h_pf),
             prior_mask_torso=jnp.asarray(mask_t),
             keep_head=keep_masked, keep_torso=keep_masked,
         )
