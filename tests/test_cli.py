@@ -448,6 +448,7 @@ def test_bench_temporal_mode_configs_across_files():
                            "delta_keep": 1.0, "delta_keep_torso": None,
                            "freeze_z_torso": False, "uni_frac": 0.25,
                            "kf_blend": 0.0, "dilate_every": 1,
+                           "roll_k_torso": 0, "roll_k": 0,
                            "head_parse": False,
                            "keyframe_rung": "64+192"}
     # head: only refresh 25 holds (s_delta 16, qm keyframes)
@@ -456,6 +457,7 @@ def test_bench_temporal_mode_configs_across_files():
                            "delta_keep": 1.0, "delta_keep_torso": None,
                            "freeze_z_torso": False, "uni_frac": 0.25,
                            "kf_blend": 0.0, "dilate_every": 1,
+                           "roll_k_torso": 0, "roll_k": 0,
                            "head_parse": False,
                            "keyframe_rung": "32+64"}
     assert len(out["evidence"]) == 2
