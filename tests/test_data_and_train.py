@@ -245,3 +245,12 @@ def test_export_roundtrip_through_loader(tmp_path):
     assert err < 6.0, f"jpg roundtrip error {err}"
     val = load_transforms_dataset(out, mode="val", gt_dirs="head_imgs")
     assert val.size == 6 - split
+
+    # driving-clip export (round 5): train_fraction=1.0 puts ALL frames
+    # in the train json — the held-out reenactment clip the temporal
+    # gates are measured on (same geometry, fresh seed)
+    drv = str(tmp_path / "drive")
+    write_reference_format(ds, drv, subject="t", train_fraction=1.0)
+    clip = load_transforms_dataset(drv, mode="train", gt_dirs="com_imgs")
+    assert clip.size == 6
+    np.testing.assert_allclose(clip.poses, ds.poses, atol=1e-5)
