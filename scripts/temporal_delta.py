@@ -270,6 +270,16 @@ def main():
             fps_am = None
         return (fps_am, round(1.0 / t_delta, 3), bool(keys))
 
+    dest = args.out or os.path.join(args.subject_dir,
+                                    "temporal_delta.json")
+
+    def _write(out):
+        # incremental write after EVERY measured mode: a timeout mid-run
+        # keeps the rows already measured (a 40-min tunnel stall once
+        # cost a whole run's evidence)
+        with open(dest, "w") as f:
+            json.dump(out, f, indent=2)
+
     full, t_full_warm, _ = timed(cfg, **common)
 
     gt = identity.images[:n].astype(np.float32) / 255.0
@@ -336,6 +346,7 @@ def main():
         out["modes"][f"s_delta_{s_delta}{tsuf}{ksuf_comp}"] = m
         print(f"s_delta={s_delta}{tsuf}{ksuf_comp}: {json.dumps(m)}",
               flush=True)
+        _write(out)
 
     # head-only temporal (eval_aud_exp_nerf.py:437 workload) vs the full
     # head-only render AND vs head_imgs GT (round-4: the ≥40 dB
@@ -376,11 +387,10 @@ def main():
         out["modes"][f"head_only_s_delta_{s_delta}{ksuf}"] = m
         print(f"head-only s_delta={s_delta}{ksuf}: {json.dumps(m)}",
               flush=True)
+        _write(out)
 
     print(json.dumps(out, indent=2))
-    dest = args.out or os.path.join(args.subject_dir, "temporal_delta.json")
-    with open(dest, "w") as f:
-        json.dump(out, f, indent=2)
+    _write(out)
 
 
 if __name__ == "__main__":
