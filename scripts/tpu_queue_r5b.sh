@@ -44,6 +44,24 @@ R2=runs/rehearsal2
 COM=runs/rehearsal2_com
 H200=$R2/logs/rehearsal_head200/ckpt
 
+# ---- E0: quality-matched-rung version of the winning temporal point -
+# Every r5 phase-A/B run measured PAPER-RUNG (64+128) keyframes (no
+# --samples/--importance override); the r50 rt25 winner's amortized
+# keyframe cost is then marginal against 25 fps. Re-gate the same
+# config with 16+32 keyframes (the round-4 quality-matched rung) so
+# bench can time the cheap-keyframe configuration AT ITS OWN GATE.
+# Head s16/s32 rows at refresh 50 come along for the head headline.
+H200S=$R2/logs/rehearsal_head200/ckpt
+wait_tpu
+[ -f runs/rehearsal2_com/temporal_delta_drive_r50rt25_rung.json ] || \
+run 2400 /tmp/r5b_e0.log python scripts/temporal_delta.py \
+  --tighten --split train --smooth_audio 1 --head_ckpt $H200S \
+  --torso_ckpt runs/rehearsal2_com/logs/rehearsal_head_t5_torso/ckpt \
+  --subject_dir runs/rehearsal2_drive --frames 60 --refresh 50 \
+  --s_delta 32 16 --delta_keep 0.8 --dilate_every 2 --roll_k_torso 25 \
+  --samples 16 --importance 32 \
+  --out runs/rehearsal2_com/temporal_delta_drive_r50rt25_rung.json
+
 # ---- E1: masked study incl. occ rows on the FINAL checkpoint --------
 if [ ! -f $R2/results_100k.json ]; then
   cp $R2/results.json $R2/results_100k.json
