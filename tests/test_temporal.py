@@ -303,6 +303,10 @@ def test_temporal_freeze_z_torso_exact_at_same_conditioning():
     assert np.isfinite(np.asarray(f2)).all()
 
 
+# slow (42s): kf_blend measured quality-NEGATIVE in round 3-4 and is
+# excluded from every gated operating point; depth-placement coverage
+# for production configs lives in the quick dilate_every/delta tests
+@pytest.mark.slow
 def test_temporal_kf_blend_and_uni_frac():
     """kf_blend anchors part of each delta frame's importance draw to
     the KEYFRAME's full-resolution CDF: keyframes are unchanged (still
@@ -418,6 +422,10 @@ def test_temporal_cycle_matches_per_frame():
                                atol=2e-5)
 
 
+# slow (60s): long trained-field quality tracking; the quick tier keeps
+# keyframe-exactness + cycle-equivalence, the chip evidence runs carry
+# the real quality gates
+@pytest.mark.slow
 def test_temporal_video_tracks_trained_fields(trained_head_torso):
     """On TRAINED head+torso fields, delta frames must stay close to the
     per-frame full render across a moving 4-frame clip (the quality
@@ -758,6 +766,9 @@ def test_temporal_rolling_slice_matches_keyframe_rows():
         assert np.allclose(z[:, -1], far)
 
 
+# slow (54s): advisor-repro edge case (unmasked non-divisible H*W);
+# the quick tier keeps the main rolling-refresh + slice-match tests
+@pytest.mark.slow
 def test_temporal_rolling_unmasked_nondivisible():
     """roll_k with NO prior mask and H·W % K != 0 (round-4 advisor
     repro, H=23/W=25/K=4): _pad_sel_for_roll pads sel past H·W, so
