@@ -380,9 +380,16 @@ def pick_temporal_mode_configs(cands, default_s_delta, default_refresh,
             # evidence has it (negated: smaller rank wins), else the
             # synthetic cost model — mirrors pick_temporal_points'
             # _rank; raw fps is NOT cross-file comparable (sessions
-            # differ 2-3x in tunnel speed)
+            # differ 2-3x in tunnel speed). CROSS-FILE ratios use a
+            # FULL-unit band (not the within-file quarter band):
+            # round-5 measured the same delta workload at 0.41 vs 0.58
+            # normalized fps in two sessions minutes apart — per-frame
+            # reenact-loop fps through the relay is only order-of-
+            # magnitude trustworthy across sessions, so near-ties fall
+            # through to the physical cost model (which prices the
+            # keyframe rung and the torso roll width).
             ratio = tq.get(f"fps_ratio_{mode}")
-            cost = ((-round(ratio * 4) / 4, tq[f"cost_{mode}"]) if ratio
+            cost = ((-round(ratio), tq[f"cost_{mode}"]) if ratio
                     else (0.0, tq[f"cost_{mode}"]))
             # largest keyframe interval first; at equal refresh the
             # faster-measured / cheaper-modeled gated point wins
